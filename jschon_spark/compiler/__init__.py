@@ -1,0 +1,24 @@
+from jschon_spark.compiler.context import (
+    Compiled,
+    Ctx,
+    VIOLATION_DDL,
+    VIOLATION_STRUCT,
+    empty_violations,
+    escape_pointer,
+    jtype_of,
+)
+from jschon_spark.compiler.core import CompileError, CompiledSchema, Compiler, compile_schema
+
+__all__ = [
+    "Compiled",
+    "Ctx",
+    "VIOLATION_DDL",
+    "VIOLATION_STRUCT",
+    "empty_violations",
+    "escape_pointer",
+    "jtype_of",
+    "CompileError",
+    "CompiledSchema",
+    "Compiler",
+    "compile_schema",
+]

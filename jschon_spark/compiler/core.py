@@ -1,0 +1,1013 @@
+"""The schema→Column compiler.
+
+Driver-side equivalent of the reference's schema compilation
+(jschon/jsonschema.py:110-185: keyword lookup, dependency-ordered
+instantiation, reference resolution) — but instead of building
+``Keyword`` evaluator objects it emits Catalyst ``Column`` expressions,
+specialized to the static Spark type of each instance node. jschon's
+``instance_types`` runtime gate (jschon/vocabulary/__init__.py:131)
+becomes compile-time constant folding: a ``maximum`` applied to a string
+column vanishes from the plan.
+
+Evaluation-node semantics follow jschon/jsonschema.py:191-220 — a node
+fails iff any asserted keyword for the same instance path fails; sibling
+keyword communication (then/else ← if, max/minContains ← contains,
+items ← prefixItems) is resolved through the ``results`` dict, mirroring
+``Result.sibling`` (jschon/jsonschema.py:444-449).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import replace as _replace
+from typing import Any, Callable, Optional
+from urllib.parse import urldefrag, urljoin
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jschon_spark.compiler.context import (
+    Compiled,
+    Ctx,
+    combine,
+    concat_viols,
+    empty_violations,
+    escape_pointer,
+    is_integral,
+    is_numeric,
+    jtype_of,
+    leaf,
+    make_violation,
+)
+
+
+class CompileError(Exception):
+    """Schema cannot be compiled to Spark expressions."""
+
+
+# Keyword evaluation order ≙ jschon's depends_on toposort
+# (jschon/jsonschema.py:168-185). Static order suffices because the
+# dependency graph is fixed in 2020-12.
+_ORDER = [
+    "$ref",
+    "type",
+    "enum",
+    "const",
+    "multipleOf",
+    "maximum",
+    "exclusiveMaximum",
+    "minimum",
+    "exclusiveMinimum",
+    "maxLength",
+    "minLength",
+    "pattern",
+    "maxItems",
+    "minItems",
+    "uniqueItems",
+    "maxProperties",
+    "minProperties",
+    "required",
+    "dependentRequired",
+    "format",
+    "properties",
+    "patternProperties",
+    "additionalProperties",
+    "propertyNames",
+    "prefixItems",
+    "items",
+    "contains",
+    "maxContains",
+    "minContains",
+    "dependentSchemas",
+    "allOf",
+    "anyOf",
+    "oneOf",
+    "not",
+    "if",
+    "then",
+    "else",
+    "unevaluatedItems",
+    "unevaluatedProperties",
+]
+
+_ANNOTATION_ONLY = {
+    "$schema",
+    "$id",
+    "$anchor",
+    "$dynamicAnchor",
+    "$defs",
+    "$comment",
+    "$vocabulary",
+    "title",
+    "description",
+    "default",
+    "deprecated",
+    "readOnly",
+    "writeOnly",
+    "examples",
+    "contentMediaType",
+    "contentEncoding",
+    "contentSchema",
+    "definitions",
+}
+
+_MAX_DEPTH = 48
+
+
+def _true(c: Column | bool) -> Column:
+    return F.lit(c) if isinstance(c, bool) else c
+
+
+class Compiler:
+    """Compiles one root schema document (with its $defs/$id/$anchor
+    registry ≙ jschon's Catalog, jschon/catalog/__init__.py:70-391)."""
+
+    def __init__(
+        self,
+        root: Any,
+        assert_formats: bool = False,
+        format_validators: Optional[dict[str, Callable[[Ctx], Column]]] = None,
+        max_depth: int = _MAX_DEPTH,
+    ):
+        self.root = root
+        self.assert_formats = assert_formats
+        self.format_validators = dict(_BUILTIN_FORMATS)
+        if format_validators:
+            self.format_validators.update(format_validators)
+        self.max_depth = max_depth
+        # URI → (schema_node, canonical spath); ≙ Catalog schema cache
+        self.registry: dict[str, tuple[Any, str]] = {}
+        self.base_uri = ""
+        if isinstance(root, dict):
+            self.base_uri = urldefrag(root.get("$id", "")).url
+            self._index(root, self.base_uri, "")
+
+    # -- reference registry ------------------------------------------------
+
+    def _index(self, node: Any, base: str, spath: str) -> None:
+        if isinstance(node, dict):
+            if isinstance(node.get("$id"), str):
+                base = urljoin(base, node["$id"])
+                self.registry[urldefrag(base).url] = (node, spath)
+            for akw in ("$anchor", "$dynamicAnchor"):
+                if isinstance(node.get(akw), str):
+                    self.registry[urldefrag(base).url + "#" + node[akw]] = (node, spath)
+            for k, v in node.items():
+                if k in ("enum", "const", "default", "examples"):
+                    continue
+                self._index(v, base, spath + "/" + escape_pointer(k))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                self._index(v, base, f"{spath}/{i}")
+
+    def _resolve_pointer(self, doc: Any, pointer: str) -> Any:
+        node = doc
+        if pointer in ("", "/"):
+            return node if pointer == "" else node
+        for raw in pointer.lstrip("/").split("/"):
+            token = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                node = node[int(token)]
+            elif isinstance(node, dict):
+                node = node[token]
+            else:
+                raise CompileError(f"$ref pointer {pointer!r} does not resolve")
+        return node
+
+    def resolve_ref(self, ref: str) -> tuple[Any, str]:
+        """$ref → (target schema node, canonical spath). Compile-time
+        inlining replaces jschon's two-phase resolve (jschon/vocabulary/
+        core.py:82-103); cycles hit the depth guard instead."""
+        uri, frag = urldefrag(urljoin(self.base_uri, ref))
+        if frag and not frag.startswith("/"):
+            key = uri + "#" + frag
+            if key in self.registry:
+                return self.registry[key]
+            raise CompileError(f"unresolvable $anchor reference {ref!r}")
+        if uri and uri != self.base_uri:
+            if uri in self.registry:
+                doc, spath = self.registry[uri]
+                if frag:
+                    return (
+                        self._resolve_pointer(doc, frag),
+                        spath + frag,
+                    )
+                return doc, spath
+            raise CompileError(f"unresolvable external reference {ref!r} (no network)")
+        return self._resolve_pointer(self.root, frag), frag
+
+    # -- node compilation --------------------------------------------------
+
+    def apply(self, schema: Any, ctx: Ctx) -> Compiled:
+        """Compile ``schema`` at instance context ``ctx``.
+
+        Boolean schemas short-circuit (jschon/jsonschema.py:201-205).
+        """
+        if ctx.depth > self.max_depth:
+            raise CompileError(
+                f"schema recursion exceeds max depth {self.max_depth} at {ctx.spath!r}"
+            )
+        if schema is True or schema == {}:
+            return Compiled.passed()
+        if schema is False:
+            return Compiled(
+                F.lit(False),
+                F.array(make_violation(ctx, "", "the instance is invalid (false schema)")),
+            )
+        if not isinstance(schema, dict):
+            raise CompileError(f"schema must be bool or object, got {type(schema)}")
+
+        results: dict[str, Compiled] = {}
+        parts: list[Compiled] = []
+        for kw in _ORDER:
+            if kw not in schema:
+                continue
+            handler = getattr(self, "_k_" + kw.lstrip("$").replace("-", "_"), None)
+            if handler is None:
+                continue
+            out = handler(schema[kw], schema, ctx, results)
+            if out is None:
+                continue
+            results[kw] = out
+            if kw not in ("if",):  # `if` never asserts (applicator.py:89-94)
+                parts.append(out)
+        return combine(parts)
+
+    # -- validation keywords (jschon/vocabulary/validation.py) -------------
+
+    def _k_type(self, value, schema, ctx: Ctx, results) -> Compiled:
+        types = [value] if isinstance(value, str) else list(value)
+        jt = jtype_of(ctx.dtype)
+        if jt in types or ("number" in types and jt == "integer"):
+            nonnull_ok: Column | bool = True
+        elif "integer" in types and jt == "number":
+            # zero-fraction numbers are integers (validation.py:40-41)
+            nonnull_ok = ctx.col == F.floor(ctx.col)
+        else:
+            nonnull_ok = False
+        valid = F.when(ctx.col.isNull(), F.lit("null" in types)).otherwise(
+            F.coalesce(_true(nonnull_ok), F.lit(False))
+        )
+        err = f"the instance must be of type {types}"
+        viols = F.when(~valid, F.array(make_violation(ctx, "type", err))).otherwise(
+            empty_violations()
+        )
+        return Compiled(valid, viols)
+
+    def _eq_literal(self, dtype: T.DataType, col: Column, v: Any) -> Column:
+        """Deep equality of a column against a JSON literal (reference
+        jschon/json.py:277-289; cross-type numeric equality preserved)."""
+        if v is None:
+            return col.isNull()
+        if isinstance(v, bool):
+            if not isinstance(dtype, T.BooleanType):
+                return F.lit(False)
+            return col.isNotNull() & (col == F.lit(v))
+        if isinstance(v, (int, float)):
+            if not is_numeric(dtype):
+                return F.lit(False)
+            return col.isNotNull() & (col == F.lit(v))
+        if isinstance(v, str):
+            if not isinstance(dtype, T.StringType):
+                return F.lit(False)
+            return col.isNotNull() & (col == F.lit(v))
+        if isinstance(v, list):
+            if not isinstance(dtype, T.ArrayType):
+                return F.lit(False)
+            elems = [self._lit_of(dtype.elementType, e) for e in v]
+            if any(e is None for e in elems):
+                return F.lit(False)
+            if not elems:
+                return col.isNotNull() & (F.size(col) == 0)
+            return col.isNotNull() & (col == F.array(*elems))
+        if isinstance(v, dict):
+            if isinstance(dtype, T.StructType):
+                names = set(f.name for f in dtype.fields)
+                if not set(v.keys()) <= names:
+                    return F.lit(False)
+                # struct fields absent from the literal must be null
+                conds = [col.isNotNull()]
+                for f in dtype.fields:
+                    fc = col.getField(f.name)
+                    if f.name in v:
+                        conds.append(F.coalesce(self._eq_literal(f.dataType, fc, v[f.name]), F.lit(False)))
+                    else:
+                        conds.append(fc.isNull())
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out & c
+                return out
+            if isinstance(dtype, T.MapType) and isinstance(dtype.keyType, T.StringType):
+                canonical = json.dumps(v, sort_keys=True, separators=(",", ":"))
+                sorted_json = F.to_json(
+                    F.map_from_entries(F.array_sort(F.map_entries(col)))
+                )
+                return col.isNotNull() & (F.size(col) == len(v)) & (
+                    sorted_json == F.lit(canonical)
+                )
+            return F.lit(False)
+        raise CompileError(f"unsupported literal {v!r}")
+
+    def _lit_of(self, dtype: T.DataType, v: Any) -> Optional[Column]:
+        """A Column literal of ``v`` castable to ``dtype`` (None = type
+        mismatch → caller folds to False)."""
+        if v is None:
+            return F.lit(None).cast(dtype)
+        if isinstance(v, bool):
+            return F.lit(v) if isinstance(dtype, T.BooleanType) else None
+        if isinstance(v, (int, float)):
+            return F.lit(v).cast(dtype) if is_numeric(dtype) else None
+        if isinstance(v, str):
+            return F.lit(v) if isinstance(dtype, T.StringType) else None
+        if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+            elems = [self._lit_of(dtype.elementType, e) for e in v]
+            if any(e is None for e in elems):
+                return None
+            return F.array(*elems) if elems else F.array().cast(dtype)
+        return None
+
+    def _k_enum(self, value, schema, ctx: Ctx, results) -> Compiled:
+        eqs = [F.coalesce(self._eq_literal(ctx.dtype, ctx.col, v), F.lit(False)) for v in value]
+        valid = eqs[0] if eqs else F.lit(False)
+        for e in eqs[1:]:
+            valid = valid | e
+        err = "the value must be one of the enumerated values"
+        viols = F.when(~valid, F.array(make_violation(ctx, "enum", err))).otherwise(
+            empty_violations()
+        )
+        return Compiled(valid, viols)
+
+    def _k_const(self, value, schema, ctx: Ctx, results) -> Compiled:
+        valid = F.coalesce(self._eq_literal(ctx.dtype, ctx.col, value), F.lit(False))
+        err = "the value must be equal to the constant"
+        viols = F.when(~valid, F.array(make_violation(ctx, "const", err))).otherwise(
+            empty_violations()
+        )
+        return Compiled(valid, viols)
+
+    def _k_multipleOf(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not is_numeric(ctx.dtype):
+            return None
+        if is_integral(ctx.dtype) and isinstance(value, int):
+            pred = F.pmod(ctx.col, F.lit(value)) == 0
+        else:
+            # Decimal exactness (validation.py:72); try_cast: out-of-range
+            # falls back to double modulo
+            dec = "decimal(38,12)"
+            exact = F.pmod(ctx.col.try_cast(dec), F.lit(value).cast(dec)) == 0
+            approx = ctx.col.cast("double") % F.lit(float(value)) == 0.0
+            pred = F.coalesce(exact, approx)
+        return leaf(ctx, "multipleOf", pred, f"the value must be a multiple of {value}")
+
+    def _numeric_bound(self, kw: str, op, value, ctx: Ctx, msg: str) -> Optional[Compiled]:
+        if not is_numeric(ctx.dtype):
+            return None
+        return leaf(ctx, kw, op(ctx.col, F.lit(value)), msg)
+
+    def _k_maximum(self, v, s, ctx, r):
+        return self._numeric_bound("maximum", lambda c, l: c <= l, v, ctx, f"the value must be <= {v}")
+
+    def _k_exclusiveMaximum(self, v, s, ctx, r):
+        return self._numeric_bound("exclusiveMaximum", lambda c, l: c < l, v, ctx, f"the value must be < {v}")
+
+    def _k_minimum(self, v, s, ctx, r):
+        return self._numeric_bound("minimum", lambda c, l: c >= l, v, ctx, f"the value must be >= {v}")
+
+    def _k_exclusiveMinimum(self, v, s, ctx, r):
+        return self._numeric_bound("exclusiveMinimum", lambda c, l: c > l, v, ctx, f"the value must be > {v}")
+
+    def _k_maxLength(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.StringType):
+            return None
+        return leaf(ctx, "maxLength", F.length(ctx.col) <= v, f"the text is too long (maxLength {v})")
+
+    def _k_minLength(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.StringType):
+            return None
+        return leaf(ctx, "minLength", F.length(ctx.col) >= v, f"the text is too short (minLength {v})")
+
+    def _k_pattern(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.StringType):
+            return None
+        # rlike = unanchored Java-regex search, matching re.search
+        # (validation.py:132-142); dialect deltas documented in SURVEY §2.9
+        return leaf(ctx, "pattern", ctx.col.rlike(v), f"the text must match the pattern {v!r}")
+
+    def _k_maxItems(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        return leaf(ctx, "maxItems", F.size(ctx.col) <= v, f"the array has too many items (maxItems {v})")
+
+    def _k_minItems(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        return leaf(ctx, "minItems", F.size(ctx.col) >= v, f"the array has too few items (minItems {v})")
+
+    def _k_uniqueItems(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType) or v is not True:
+            return None
+        # O(n) distinct vs the reference's O(n²) scan (validation.py:163-177)
+        pred = F.size(F.array_distinct(ctx.col)) == F.size(ctx.col)
+        return leaf(ctx, "uniqueItems", pred, "the array's items must all be unique")
+
+    # -- object keywords ---------------------------------------------------
+
+    def _prop_count(self, ctx: Ctx) -> Optional[Column]:
+        if isinstance(ctx.dtype, T.StructType):
+            counts = [ctx.col.getField(f.name).isNotNull().cast("int") for f in ctx.dtype.fields]
+            if not counts:
+                return F.lit(0)
+            out = counts[0]
+            for c in counts[1:]:
+                out = out + c
+            return out
+        if isinstance(ctx.dtype, T.MapType):
+            return F.size(ctx.col)
+        return None
+
+    def _k_maxProperties(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        n = self._prop_count(ctx)
+        if n is None:
+            return None
+        return leaf(ctx, "maxProperties", n <= v, f"the object has too many properties (maxProperties {v})")
+
+    def _k_minProperties(self, v, s, ctx: Ctx, r) -> Optional[Compiled]:
+        n = self._prop_count(ctx)
+        if n is None:
+            return None
+        return leaf(ctx, "minProperties", n >= v, f"the object has too few properties (minProperties {v})")
+
+    def _has_prop(self, ctx: Ctx, name: str) -> Column:
+        if isinstance(ctx.dtype, T.StructType):
+            if name not in ctx.dtype.fieldNames():
+                return F.lit(False)
+            return ctx.col.getField(name).isNotNull()
+        return F.map_contains_key(ctx.col, F.lit(name))
+
+    def _k_required(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, (T.StructType, T.MapType)):
+            return None
+        present = [self._has_prop(ctx, n) for n in value]
+        pred = F.lit(True)
+        for p in present:
+            pred = pred & p
+        return leaf(ctx, "required", pred, f"the object is missing required properties {list(value)}")
+
+    def _k_dependentRequired(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, (T.StructType, T.MapType)):
+            return None
+        parts = []
+        for name, deps in value.items():
+            implied = F.lit(True)
+            for d in deps:
+                implied = implied & self._has_prop(ctx, d)
+            pred = ~self._has_prop(ctx, name) | implied
+            parts.append(
+                leaf(
+                    ctx,
+                    "dependentRequired",
+                    pred,
+                    f"properties {list(deps)} are required when {name!r} is present",
+                )
+            )
+        return combine(parts) if parts else None
+
+    def _k_properties(self, value: dict, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, (T.StructType, T.MapType)):
+            return None
+        parts = []
+        is_struct = isinstance(ctx.dtype, T.StructType)
+        for name, sub in value.items():
+            if is_struct and name not in ctx.dtype.fieldNames():
+                continue  # never present → subschema never applies
+            child_ctx = ctx.field(name)
+            child_ctx = _replace(child_ctx, spath=ctx.spath + f"/properties/{escape_pointer(name)}")
+            c = self.apply(sub, child_ctx)
+            present = self._has_prop(ctx, name)
+            parts.append(
+                Compiled(
+                    F.when(present, c.valid).otherwise(F.lit(True)),
+                    F.when(present, c.viols).otherwise(empty_violations()),
+                )
+            )
+        return combine(parts) if parts else None
+
+    def _k_patternProperties(self, value: dict, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if isinstance(ctx.dtype, T.StructType):
+            parts = []
+            for regex, sub in value.items():
+                creg = re.compile(regex)
+                for f in ctx.dtype.fields:
+                    if not creg.search(f.name):
+                        continue
+                    child_ctx = ctx.field(f.name)
+                    child_ctx = _replace(child_ctx, spath=ctx.spath + f"/patternProperties/{escape_pointer(regex)}")
+                    c = self.apply(sub, child_ctx)
+                    present = ctx.col.getField(f.name).isNotNull()
+                    parts.append(
+                        Compiled(
+                            F.when(present, c.valid).otherwise(F.lit(True)),
+                            F.when(present, c.viols).otherwise(empty_violations()),
+                        )
+                    )
+            return combine(parts) if parts else None
+        if isinstance(ctx.dtype, T.MapType):
+            parts = []
+            for regex, sub in value.items():
+                parts.append(self._map_entries_check(ctx, sub, f"/patternProperties/{escape_pointer(regex)}", include_key_rlike=regex))
+            return combine(parts) if parts else None
+        return None
+
+    def _map_entries_check(
+        self,
+        ctx: Ctx,
+        sub: Any,
+        spath_suffix: str,
+        include_key_rlike: Optional[str] = None,
+        exclude_keys: Optional[set[str]] = None,
+        exclude_rlikes: Optional[list[str]] = None,
+    ) -> Compiled:
+        """Apply ``sub`` to every map value whose key matches the
+        include/exclude filters, via HOFs over map_entries."""
+
+        def key_selected(k: Column) -> Column:
+            cond = F.lit(True)
+            if include_key_rlike is not None:
+                cond = cond & k.rlike(include_key_rlike)
+            if exclude_keys:
+                cond = cond & ~k.isin(*sorted(exclude_keys))
+            for rx in exclude_rlikes or []:
+                cond = cond & ~k.rlike(rx)
+            return cond
+
+        vtype = ctx.dtype.valueType
+
+        def child(e: Column) -> Compiled:
+            cctx = ctx.child(
+                e.getField("value"),
+                vtype,
+                F.concat(ctx.path, F.lit("/"), e.getField("key")),
+                spath_suffix,
+            )
+            return self.apply(sub, cctx)
+
+        entries = F.map_entries(ctx.col)
+        per_entry = F.transform(
+            entries,
+            lambda e: F.when(
+                key_selected(e.getField("key")),
+                F.struct(child(e).valid.alias("ok"), child(e).viols.alias("v")),
+            ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))),
+        )
+        valid = F.coalesce(
+            F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True)
+        )
+        viols = F.coalesce(
+            F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
+            empty_violations(),
+        )
+        applies = ctx.col.isNotNull()
+        return Compiled(
+            F.when(applies, valid).otherwise(F.lit(True)),
+            F.when(applies, viols).otherwise(empty_violations()),
+        )
+
+    def _k_additionalProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        known = set((schema.get("properties") or {}).keys())
+        patterns = list((schema.get("patternProperties") or {}).keys())
+        if isinstance(ctx.dtype, T.StructType):
+            parts = []
+            for f in ctx.dtype.fields:
+                if f.name in known:
+                    continue
+                if any(re.compile(p).search(f.name) for p in patterns):
+                    continue
+                child_ctx = ctx.field(f.name)
+                child_ctx = _replace(child_ctx, spath=ctx.spath + "/additionalProperties")
+                c = self.apply(value, child_ctx)
+                present = ctx.col.getField(f.name).isNotNull()
+                parts.append(
+                    Compiled(
+                        F.when(present, c.valid).otherwise(F.lit(True)),
+                        F.when(present, c.viols).otherwise(empty_violations()),
+                    )
+                )
+            return combine(parts) if parts else None
+        if isinstance(ctx.dtype, T.MapType):
+            return self._map_entries_check(
+                ctx,
+                value,
+                "/additionalProperties",
+                exclude_keys=known,
+                exclude_rlikes=patterns,
+            )
+        return None
+
+    def _k_propertyNames(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if isinstance(ctx.dtype, T.StructType):
+            parts = []
+            for f in ctx.dtype.fields:
+                name_ctx = ctx.child(
+                    F.lit(f.name),
+                    T.StringType(),
+                    F.concat(ctx.path, F.lit("/" + escape_pointer(f.name))),
+                    "/propertyNames",
+                )
+                c = self.apply(value, name_ctx)
+                present = ctx.col.getField(f.name).isNotNull()
+                parts.append(
+                    Compiled(
+                        F.when(present, c.valid).otherwise(F.lit(True)),
+                        F.when(present, c.viols).otherwise(empty_violations()),
+                    )
+                )
+            return combine(parts) if parts else None
+        if isinstance(ctx.dtype, T.MapType):
+            def child(k: Column) -> Compiled:
+                cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), k), "/propertyNames")
+                return self.apply(value, cctx)
+
+            keys = F.map_keys(ctx.col)
+            valid = F.coalesce(F.forall(keys, lambda k: child(k).valid), F.lit(True))
+            viols = F.coalesce(
+                F.flatten(F.transform(keys, lambda k: child(k).viols)),
+                empty_violations(),
+            )
+            applies = ctx.col.isNotNull()
+            return Compiled(
+                F.when(applies, valid).otherwise(F.lit(True)),
+                F.when(applies, viols).otherwise(empty_violations()),
+            )
+        return None
+
+    # -- array applicators -------------------------------------------------
+
+    def _k_prefixItems(self, value: list, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        parts = []
+        for i, sub in enumerate(value):
+            el = F.get(ctx.col, i)  # null-safe 0-based access
+            cctx = ctx.child(
+                el,
+                ctx.dtype.elementType,
+                F.concat(ctx.path, F.lit(f"/{i}")),
+                f"/prefixItems/{i}",
+            )
+            c = self.apply(sub, cctx)
+            applies = ctx.col.isNotNull() & (F.size(ctx.col) > i)
+            parts.append(
+                Compiled(
+                    F.when(applies, c.valid).otherwise(F.lit(True)),
+                    F.when(applies, c.viols).otherwise(empty_violations()),
+                )
+            )
+        return combine(parts) if parts else None
+
+    def _per_element(self, ctx: Ctx, sub: Any, spath_suffix: str, start: int = 0) -> tuple[Column, Column]:
+        """(valid, viols) of ``sub`` applied to elements [start:] —
+        single HOF pass building struct(ok, v) per element."""
+
+        def mk(x: Column, i: Column) -> Column:
+            cctx = ctx.element(x, i)
+            cctx = _replace(cctx, spath=ctx.spath + spath_suffix)
+            c = self.apply(sub, cctx)
+            body = F.struct(c.valid.alias("ok"), c.viols.alias("v"))
+            if start > 0:
+                return F.when(
+                    i >= start, body
+                ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v")))
+            return body
+
+        per = F.transform(ctx.col, mk)
+        valid = F.coalesce(F.forall(per, lambda s: s.getField("ok")), F.lit(True))
+        viols = F.coalesce(
+            F.flatten(F.transform(per, lambda s: s.getField("v"))), empty_violations()
+        )
+        return valid, viols
+
+    def _k_items(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        start = len(schema.get("prefixItems") or [])
+        valid, viols = self._per_element(ctx, value, "/items", start=start)
+        applies = ctx.col.isNotNull()
+        return Compiled(
+            F.when(applies, valid).otherwise(F.lit(True)),
+            F.when(applies, viols).otherwise(empty_violations()),
+        )
+
+    def _contains_count(self, ctx: Ctx, schema: dict) -> Column:
+        sub = schema["contains"]
+
+        def pred(x: Column, i: Column) -> Column:
+            cctx = ctx.element(x, i)
+            return self.apply(sub, cctx).valid
+
+        return F.size(F.filter(ctx.col, lambda x, i: pred(x, i)))
+
+    def _k_contains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        count = self._contains_count(ctx, schema)
+        min_c = schema.get("minContains", 1)
+        # minContains: 0 rescues a failed contains (validation.py:205-208)
+        pred = count >= 1 if min_c != 0 else F.lit(True)
+        return leaf(ctx, "contains", pred, "the array must contain a matching item")
+
+    def _k_maxContains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType) or "contains" not in schema:
+            return None
+        count = self._contains_count(ctx, schema)
+        return leaf(ctx, "maxContains", count <= value, f"too many matching items (maxContains {value})")
+
+    def _k_minContains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType) or "contains" not in schema:
+            return None
+        count = self._contains_count(ctx, schema)
+        return leaf(ctx, "minContains", count >= value, f"too few matching items (minContains {value})")
+
+    # -- in-place applicators ----------------------------------------------
+
+    def _branches(self, ctx: Ctx, kw: str, subs: list) -> list[Compiled]:
+        out = []
+        for i, sub in enumerate(subs):
+            bctx = _replace(ctx, spath=ctx.spath + f"/{kw}/{i}", depth=ctx.depth + 1)
+            out.append(self.apply(sub, bctx))
+        return out
+
+    def _k_allOf(self, value, schema, ctx: Ctx, results) -> Compiled:
+        return combine(self._branches(ctx, "allOf", value))
+
+    def _k_anyOf(self, value, schema, ctx: Ctx, results) -> Compiled:
+        branches = self._branches(ctx, "anyOf", value)
+        valid = branches[0].valid
+        for b in branches[1:]:
+            valid = valid | b.valid
+        # failing-branch details surface only when the whole anyOf fails
+        viols = F.when(
+            ~valid,
+            concat_viols(
+                F.array(make_violation(ctx, "anyOf", "the instance must validate against at least one subschema")),
+                *[b.viols for b in branches],
+            ),
+        ).otherwise(empty_violations())
+        return Compiled(valid, viols)
+
+    def _k_oneOf(self, value, schema, ctx: Ctx, results) -> Compiled:
+        branches = self._branches(ctx, "oneOf", value)
+        n = branches[0].valid.cast("int")
+        for b in branches[1:]:
+            n = n + b.valid.cast("int")
+        valid = n == 1
+        viols = F.when(
+            ~valid,
+            concat_viols(
+                F.array(make_violation(ctx, "oneOf", "the instance must validate against exactly one subschema")),
+                *[b.viols for b in branches],
+            ),
+        ).otherwise(empty_violations())
+        return Compiled(valid, viols)
+
+    def _k_not(self, value, schema, ctx: Ctx, results) -> Compiled:
+        nctx = _replace(ctx, spath=ctx.spath + "/not", depth=ctx.depth + 1)
+        c = self.apply(value, nctx)
+        valid = ~c.valid
+        viols = F.when(
+            ~valid, F.array(make_violation(ctx, "not", "the instance must not validate against the subschema"))
+        ).otherwise(empty_violations())
+        return Compiled(valid, viols)
+
+    def _k_if(self, value, schema, ctx: Ctx, results) -> Compiled:
+        ictx = _replace(ctx, spath=ctx.spath + "/if", depth=ctx.depth + 1)
+        return self.apply(value, ictx)  # never asserts (applicator.py:89-94)
+
+    def _k_then(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if "if" not in results:
+            return None
+        cond = results["if"].valid
+        tctx = _replace(ctx, spath=ctx.spath + "/then", depth=ctx.depth + 1)
+        c = self.apply(value, tctx)
+        return Compiled(
+            F.when(cond, c.valid).otherwise(F.lit(True)),
+            F.when(cond, c.viols).otherwise(empty_violations()),
+        )
+
+    def _k_else(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if "if" not in results:
+            return None
+        cond = results["if"].valid
+        ectx = _replace(ctx, spath=ctx.spath + "/else", depth=ctx.depth + 1)
+        c = self.apply(value, ectx)
+        return Compiled(
+            F.when(~cond, c.valid).otherwise(F.lit(True)),
+            F.when(~cond, c.viols).otherwise(empty_violations()),
+        )
+
+    def _k_dependentSchemas(self, value: dict, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, (T.StructType, T.MapType)):
+            return None
+        parts = []
+        for name, sub in value.items():
+            if isinstance(ctx.dtype, T.StructType) and name not in ctx.dtype.fieldNames():
+                continue
+            present = self._has_prop(ctx, name)
+            dctx = _replace(ctx, spath=ctx.spath + f"/dependentSchemas/{escape_pointer(name)}", depth=ctx.depth + 1)
+            c = self.apply(sub, dctx)
+            parts.append(
+                Compiled(
+                    F.when(present, c.valid).otherwise(F.lit(True)),
+                    F.when(present, c.viols).otherwise(empty_violations()),
+                )
+            )
+        return combine(parts) if parts else None
+
+    # -- references --------------------------------------------------------
+
+    def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
+        target, spath = self.resolve_ref(value)
+        rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
+        return self.apply(target, rctx)
+
+    # -- format (annotate-only unless enabled; format.py:14-32) ------------
+
+    def _k_format(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not self.assert_formats:
+            return None
+        fn = self.format_validators.get(value)
+        if fn is None:
+            return None  # unknown formats annotate only
+        return leaf(ctx, "format", fn(ctx), f"the value must be a valid {value!r}")
+
+    # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --
+
+    def _coverage_sources(self, schema: dict) -> list[tuple[Any, Any]]:
+        """(guard_schema, subschema) pairs whose annotations can cover
+        properties/items at this node: self + in-place applicators."""
+        out: list[tuple[Any, Any]] = [(None, schema)]
+        for kw in ("allOf", "anyOf", "oneOf"):
+            for sub in schema.get(kw) or []:
+                if isinstance(sub, dict) or sub in (True, False):
+                    out.append((sub, sub))
+        for kw in ("if", "then", "else"):
+            if kw in schema:
+                out.append((schema[kw] if kw != "if" else schema["if"], schema[kw]))
+        if "$ref" in schema:
+            target, _ = self.resolve_ref(schema["$ref"])
+            if isinstance(target, dict):
+                out.extend(self._coverage_sources(target))
+        return out
+
+    def _k_unevaluatedProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.StructType):
+            if isinstance(ctx.dtype, T.MapType):
+                raise CompileError(
+                    "unevaluatedProperties over open MapType columns is not supported in v0"
+                )
+            return None
+        parts = []
+        for f in ctx.dtype.fields:
+            covered = self._prop_covered(schema, ctx, f.name)
+            child_ctx = ctx.field(f.name)
+            child_ctx = _replace(child_ctx, spath=ctx.spath + "/unevaluatedProperties")
+            c = self.apply(value, child_ctx)
+            applies = ctx.col.getField(f.name).isNotNull() & ~covered
+            parts.append(
+                Compiled(
+                    F.when(applies, c.valid).otherwise(F.lit(True)),
+                    F.when(applies, c.viols).otherwise(empty_violations()),
+                )
+            )
+        return combine(parts) if parts else None
+
+    def _prop_covered(self, schema: dict, ctx: Ctx, name: str) -> Column:
+        """Is property ``name`` annotated as evaluated by a sibling
+        keyword or a *successful* in-place applicator branch? Branch
+        success is runtime (Column); coverage within a branch is static.
+        Mirrors collect_annotations (jschon/jsonschema.py:515-524)."""
+        covered = F.lit(False)
+        for guard, src in self._coverage_sources(schema):
+            if not isinstance(src, dict):
+                continue
+            static_cover = False
+            if name in (src.get("properties") or {}):
+                static_cover = True
+            if not static_cover and any(
+                re.compile(p).search(name) for p in (src.get("patternProperties") or {})
+            ):
+                static_cover = True
+            if not static_cover and "additionalProperties" in src:
+                known = set((src.get("properties") or {}).keys())
+                pats = [re.compile(p) for p in (src.get("patternProperties") or {})]
+                if name not in known and not any(p.search(name) for p in pats):
+                    static_cover = True
+            if not static_cover:
+                continue
+            if guard is None:
+                cond = F.lit(True)
+            else:
+                gctx = _replace(ctx, depth=ctx.depth + 1)
+                cond = self.apply(guard, gctx).valid
+            covered = covered | cond
+        return covered
+
+    def _k_unevaluatedItems(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        if not isinstance(ctx.dtype, T.ArrayType):
+            return None
+        # static coverage: items/contains anywhere in scope cover everything;
+        # prefixItems cover indices < len
+        max_prefix = 0
+        all_covered_conds: list[Column] = []
+        for guard, src in self._coverage_sources(schema):
+            if not isinstance(src, dict):
+                continue
+            covers_all = "items" in src or "contains" in src or "unevaluatedItems" in src and src is not schema
+            n_prefix = len(src.get("prefixItems") or [])
+            if not covers_all and n_prefix == 0:
+                continue
+            if guard is None:
+                cond = F.lit(True)
+            else:
+                gctx = _replace(ctx, depth=ctx.depth + 1)
+                cond = self.apply(guard, gctx).valid
+            if covers_all:
+                all_covered_conds.append(cond)
+            else:
+                max_prefix = max(max_prefix, n_prefix)  # approximation: unconditional prefix cover
+        all_covered = F.lit(False)
+        for c in all_covered_conds:
+            all_covered = all_covered | c
+        valid_elems, viols_elems = self._per_element(ctx, value, "/unevaluatedItems", start=max_prefix)
+        applies = ctx.col.isNotNull() & ~all_covered
+        return Compiled(
+            F.when(applies, valid_elems).otherwise(F.lit(True)),
+            F.when(applies, viols_elems).otherwise(empty_violations()),
+        )
+
+
+# -- built-in format validators (reference ships only json-pointer,
+#    jschon/formats.py:5-9; the rest follow the 2020-12 format registry) ----
+
+_JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
+
+
+def _fmt_regex(pattern: str) -> Callable[[Ctx], Column]:
+    def fn(ctx: Ctx) -> Column:
+        return ctx.col.rlike(pattern)
+
+    return fn
+
+
+_BUILTIN_FORMATS: dict[str, Callable[[Ctx], Column]] = {
+    "json-pointer": _fmt_regex(_JSON_POINTER_RE),
+    "date": lambda ctx: F.try_to_timestamp(ctx.col, F.lit("yyyy-MM-dd")).isNotNull(),
+    "date-time": lambda ctx: F.try_to_timestamp(
+        F.regexp_replace(ctx.col, r"[Zz]$", "+00:00"), F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+    ).isNotNull(),
+    "ipv4": _fmt_regex(r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
+    "uuid": _fmt_regex(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "email": _fmt_regex(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+}
+
+
+class CompiledSchema:
+    """A compiled schema document, applicable to typed DataFrames.
+
+    ≙ a cached ``JSONSchema`` in the reference's catalog
+    (jschon/catalog/__init__.py:281-297); compile once, validate many.
+    """
+
+    def __init__(self, schema: Any, assert_formats: bool = False, **kw):
+        self.schema = schema
+        self.compiler = Compiler(schema, assert_formats=assert_formats, **kw)
+
+    def apply(self, ctx: Ctx) -> Compiled:
+        return self.compiler.apply(self.schema, ctx)
+
+    def columns(self, dtype: T.DataType, col: Column) -> Compiled:
+        return self.apply(Ctx(col=col, dtype=dtype, path=F.lit(""), spath=""))
+
+    def validate(
+        self,
+        df: DataFrame,
+        instance_columns: Optional[list[str]] = None,
+        valid_col: str = "valid",
+        violations_col: str = "violations",
+    ) -> DataFrame:
+        """Append ``valid`` + ``violations`` columns; the row (or the
+        selected columns) is the instance object. Catalyst's
+        SimplifyExtractValueOps collapses struct(cols).getField back to
+        the raw columns, so parquet column pruning is preserved."""
+        cols = instance_columns or df.columns
+        dtype = T.StructType([df.schema[c] for c in cols])
+        root = F.struct(*[F.col(c).alias(c) for c in cols])
+        c = self.columns(dtype, root)
+        return df.withColumn(valid_col, c.valid).withColumn(violations_col, c.viols)
+
+
+def compile_schema(schema: Any, assert_formats: bool = False, **kw) -> CompiledSchema:
+    """Compile a JSON Schema (2020-12 semantics) into a reusable
+    DataFrame validator."""
+    return CompiledSchema(schema, assert_formats=assert_formats, **kw)

@@ -1,0 +1,117 @@
+"""Harness for JSON-Schema-Test-Suite-style cases.
+
+The reference consumes suite files of ``{description, schema, tests:
+[{description, data, valid}]}`` (jschon/tests/test_suite.py:143-158) and
+asserts ``JSONSchema(schema).evaluate(JSON(data)).valid``. Here a case
+instance is loaded into a ONE-ROW typed DataFrame (Spark type inferred
+from the JSON value) and evaluated by the compiled plan.
+
+Heterogeneous arrays / objects with no single Spark type are reported by
+``infer_spark_type`` raising ``Untypeable`` — those suite cases are
+skipped with a documented semantic delta (SURVEY.md §2.9.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jschon_spark.compiler import Ctx, compile_schema
+
+
+class Untypeable(Exception):
+    """The JSON value has no single Spark type (heterogeneous array,
+    mixed-type object treated as closed struct…)."""
+
+
+def _unify(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    nums = (T.LongType, T.DoubleType)
+    if isinstance(a, nums) and isinstance(b, nums):
+        return T.DoubleType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_unify(a.elementType, b.elementType), True)
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        names = list(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
+        fields = []
+        for n in names:
+            ta = a[n].dataType if n in a.fieldNames() else T.NullType()
+            tb = b[n].dataType if n in b.fieldNames() else T.NullType()
+            fields.append(T.StructField(n, _unify(ta, tb), True))
+        return T.StructType(fields)
+    raise Untypeable(f"cannot unify {a} and {b}")
+
+
+def infer_spark_type(data: Any) -> T.DataType:
+    if data is None:
+        return T.NullType()
+    if isinstance(data, bool):
+        return T.BooleanType()
+    if isinstance(data, int):
+        return T.LongType()
+    if isinstance(data, float):
+        return T.DoubleType()
+    if isinstance(data, str):
+        return T.StringType()
+    if isinstance(data, list):
+        et: T.DataType = T.NullType()
+        for item in data:
+            et = _unify(et, infer_spark_type(item))
+        return T.ArrayType(et, True)
+    if isinstance(data, dict):
+        return T.StructType(
+            [T.StructField(k, infer_spark_type(v), True) for k, v in data.items()]
+        )
+    raise Untypeable(f"unsupported JSON value {data!r}")
+
+
+def _to_row(data: Any, dtype: T.DataType) -> Any:
+    if data is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        return Row(**{f.name: _to_row(data.get(f.name), f.dataType) for f in dtype.fields})
+    if isinstance(dtype, T.ArrayType):
+        return [_to_row(x, dtype.elementType) for x in data]
+    if isinstance(dtype, T.DoubleType) and isinstance(data, int):
+        return float(data)
+    return data
+
+
+def evaluate_instance(
+    spark: SparkSession, schema: Any, data: Any, assert_formats: bool = False
+) -> tuple[bool, list[Row]]:
+    """Evaluate one JSON instance against one schema; returns
+    (valid, violation_rows). ≙ schema.evaluate(JSON(data)) in the
+    reference (jschon/jsonschema.py:191-220)."""
+    dtype = infer_spark_type(data)
+    if isinstance(dtype, T.NullType):
+        # a bare null column: use a nullable long so Spark accepts it;
+        # jtype stays 'null' because the value is always null — model it
+        # with an explicitly nullable value column of void-like type
+        df = spark.createDataFrame([Row(value=None)], T.StructType([T.StructField("value", T.NullType(), True)]))
+    else:
+        df = spark.createDataFrame(
+            [Row(value=_to_row(data, dtype))], T.StructType([T.StructField("value", dtype, True)])
+        )
+    compiled = compile_schema(schema, assert_formats=assert_formats)
+    c = compiled.columns(dtype, F.col("value"))
+    out = df.select(c.valid.alias("valid"), c.viols.alias("violations")).collect()[0]
+    return bool(out["valid"]), list(out["violations"])
+
+
+def check_case(spark: SparkSession, schema: Any, data: Any, expected_valid: bool, **kw) -> None:
+    valid, viols = evaluate_instance(spark, schema, data, **kw)
+    assert valid == expected_valid, (
+        f"schema={schema!r} data={data!r}: got valid={valid}, want {expected_valid}; "
+        f"violations={viols}"
+    )
+    if not valid:
+        assert len(viols) > 0, "invalid instance must carry at least one violation row"

@@ -1,0 +1,231 @@
+"""Applicator + reference keyword cases (reference
+jschon/vocabulary/applicator.py and core.py; suite-style, see
+tests/test_keywords.py docstring)."""
+
+import pytest
+
+from jschon_spark.testing import check_case
+
+# in-place applicators — applicator.py:28-86
+COMBINATOR_CASES = [
+    ({"allOf": [{"minimum": 0}, {"maximum": 10}]}, 5, True),
+    ({"allOf": [{"minimum": 0}, {"maximum": 10}]}, 11, False),
+    ({"anyOf": [{"minimum": 10}, {"multipleOf": 2}]}, 4, True),
+    ({"anyOf": [{"minimum": 10}, {"multipleOf": 2}]}, 3, False),
+    ({"oneOf": [{"minimum": 5}, {"maximum": 6}]}, 7, True),
+    ({"oneOf": [{"minimum": 5}, {"maximum": 6}]}, 5, False),  # both match
+    ({"oneOf": [{"minimum": 5}, {"maximum": 3}]}, 4, False),  # neither
+    ({"not": {"type": "integer"}}, "x", True),
+    ({"not": {"type": "integer"}}, 1, False),
+    ({"not": {"not": {"type": "integer"}}}, 1, True),
+]
+
+# if/then/else — applicator.py:89-116 (`if` alone never asserts)
+CONDITIONAL_CASES = [
+    ({"if": {"minimum": 5}, "then": {"multipleOf": 2}}, 6, True),
+    ({"if": {"minimum": 5}, "then": {"multipleOf": 2}}, 7, False),
+    ({"if": {"minimum": 5}, "then": {"multipleOf": 2}}, 3, True),
+    ({"if": {"minimum": 5}, "else": {"multipleOf": 2}}, 3, False),
+    ({"if": {"minimum": 5}, "else": {"multipleOf": 2}}, 4, True),
+    ({"if": {"minimum": 5}}, 1, True),
+    ({"then": {"multipleOf": 2}}, 7, True),  # then without if is ignored
+    (
+        {"if": {"minimum": 5}, "then": {"maximum": 10}, "else": {"maximum": 2}},
+        11,
+        False,
+    ),
+    ({"if": {"minimum": 5}, "then": {"maximum": 10}, "else": {"maximum": 2}}, 3, False),
+    ({"if": {"minimum": 5}, "then": {"maximum": 10}, "else": {"maximum": 2}}, 1, True),
+]
+
+# dependentSchemas — applicator.py:119-139
+DEPENDENT_CASES = [
+    ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1, "b": 2}, True),
+    ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1}, False),
+    ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"c": 1}, True),
+]
+
+# array applicators — applicator.py:142-250
+ARRAY_APPLICATOR_CASES = [
+    ({"prefixItems": [{"minimum": 5}]}, [6, 1], True),
+    ({"prefixItems": [{"minimum": 5}]}, [4], False),
+    ({"prefixItems": [{"minimum": 5}, {"maximum": 2}]}, [6, 1], True),
+    ({"prefixItems": [{"minimum": 5}, {"maximum": 2}]}, [6, 3], False),
+    ({"prefixItems": [{"minimum": 5}]}, [], True),  # shorter than prefix
+    ({"items": {"minimum": 0}}, [0, 1, 2], True),
+    ({"items": {"minimum": 0}}, [0, -1], False),
+    ({"items": {"minimum": 0}}, [], True),
+    ({"prefixItems": [{"minimum": 5}], "items": {"maximum": 2}}, [9, 1, 2], True),
+    ({"prefixItems": [{"minimum": 5}], "items": {"maximum": 2}}, [9, 3], False),
+    ({"items": {"type": "integer"}}, [1.0, 2.5], False),
+]
+
+# object applicators — applicator.py:253-380
+OBJECT_APPLICATOR_CASES = [
+    ({"properties": {"a": {"minimum": 0}}}, {"a": 1}, True),
+    ({"properties": {"a": {"minimum": 0}}}, {"a": -1}, False),
+    ({"properties": {"a": {"minimum": 0}}}, {"b": 1}, True),
+    (
+        {"properties": {"a": {"properties": {"b": {"type": "string"}}}}},
+        {"a": {"b": "x"}},
+        True,
+    ),
+    (
+        {"properties": {"a": {"properties": {"b": {"type": "string"}}}}},
+        {"a": {"b": 1}},
+        False,
+    ),
+    ({"patternProperties": {"^S_": {"type": "string"}}}, {"S_x": "ok"}, True),
+    ({"patternProperties": {"^S_": {"type": "string"}}}, {"S_x": 1}, False),
+    ({"patternProperties": {"^S_": {"type": "string"}}}, {"x": 1}, True),
+    (
+        {"properties": {"a": {}}, "additionalProperties": False},
+        {"a": 1},
+        True,
+    ),
+    (
+        {"properties": {"a": {}}, "additionalProperties": False},
+        {"a": 1, "b": 2},
+        False,
+    ),
+    (
+        {
+            "properties": {"a": {}},
+            "patternProperties": {"^S_": {}},
+            "additionalProperties": False,
+        },
+        {"a": 1, "S_b": 2},
+        True,
+    ),
+    ({"additionalProperties": {"type": "integer"}}, {"a": 1, "b": 2}, True),
+    ({"additionalProperties": {"type": "integer"}}, {"a": "x"}, False),
+    ({"propertyNames": {"maxLength": 3}}, {"ab": 1, "abc": 2}, True),
+    ({"propertyNames": {"maxLength": 3}}, {"abcd": 1}, False),
+    ({"propertyNames": {"pattern": "^[a-z]+$"}}, {"ok": 1}, True),
+    ({"propertyNames": {"pattern": "^[a-z]+$"}}, {"Bad": 1}, False),
+]
+
+# $ref / $defs / $anchor — core.py:82-118 (compile-time inlining)
+REF_CASES = [
+    ({"$defs": {"pos": {"minimum": 0}}, "$ref": "#/$defs/pos"}, 5, True),
+    ({"$defs": {"pos": {"minimum": 0}}, "$ref": "#/$defs/pos"}, -1, False),
+    ({"$defs": {"p": {"$anchor": "pos", "minimum": 0}}, "$ref": "#pos"}, 3, True),
+    ({"$defs": {"p": {"$anchor": "pos", "minimum": 0}}, "$ref": "#pos"}, -3, False),
+    (
+        {
+            "$id": "https://example.com/root",
+            "$defs": {"s": {"$id": "sub", "type": "string"}},
+            "$ref": "https://example.com/sub",
+        },
+        "x",
+        True,
+    ),
+    (
+        {
+            "properties": {
+                "v": {"type": "integer"},
+                "child": {"$ref": "#"},
+            }
+        },
+        {"v": 1, "child": {"v": 2, "child": None}},
+        True,
+    ),
+    (
+        {
+            "properties": {
+                "v": {"type": "integer"},
+                "child": {"$ref": "#"},
+            }
+        },
+        {"v": 1, "child": {"v": 2.5, "child": None}},
+        False,
+    ),
+]
+
+# unevaluated* — applicator.py:190-232, 333-365 (static closure, SURVEY §2.2)
+UNEVALUATED_CASES = [
+    ({"properties": {"a": {}}, "unevaluatedProperties": False}, {"a": 1}, True),
+    ({"properties": {"a": {}}, "unevaluatedProperties": False}, {"a": 1, "b": 2}, False),
+    (
+        {
+            "allOf": [{"properties": {"b": {}}}],
+            "properties": {"a": {}},
+            "unevaluatedProperties": False,
+        },
+        {"a": 1, "b": 2},
+        True,
+    ),
+    (
+        {
+            "allOf": [{"patternProperties": {"^x": {}}}],
+            "unevaluatedProperties": False,
+        },
+        {"xa": 1, "y": 2},
+        False,
+    ),
+    (
+        {"unevaluatedProperties": {"type": "integer"}},
+        {"a": 1, "b": 2},
+        True,
+    ),
+    (
+        {"unevaluatedProperties": {"type": "integer"}},
+        {"a": "x"},
+        False,
+    ),
+    # conditional coverage: the if-branch only covers when it passes
+    (
+        {
+            "if": {"properties": {"a": {"minimum": 5}}, "required": ["a"]},
+            "unevaluatedProperties": False,
+        },
+        {"a": 6},
+        True,
+    ),
+    ({"prefixItems": [{}], "unevaluatedItems": False}, [1], True),
+    ({"prefixItems": [{}], "unevaluatedItems": False}, [1, 2], False),
+    ({"items": {}, "unevaluatedItems": False}, [1, 2], True),
+    ({"unevaluatedItems": {"minimum": 0}}, [1, -2], False),
+]
+
+
+@pytest.mark.parametrize(
+    "block",
+    [
+        COMBINATOR_CASES,
+        CONDITIONAL_CASES,
+        DEPENDENT_CASES,
+        ARRAY_APPLICATOR_CASES,
+        OBJECT_APPLICATOR_CASES,
+        REF_CASES,
+        UNEVALUATED_CASES,
+    ],
+    ids=["combinators", "conditionals", "dependentSchemas", "arrays", "objects", "refs", "unevaluated"],
+)
+def test_applicators(spark, block):
+    for schema, data, valid in block:
+        check_case(spark, schema, data, valid)
+
+
+def test_format_annotate_vs_assert(spark):
+    """format asserts only when enabled (jschon/vocabulary/format.py:14-32);
+    built-in json-pointer validator ≙ jschon/formats.py:5-9."""
+    check_case(spark, {"format": "ipv4"}, "999.1.1.1", True)  # annotate-only
+    check_case(spark, {"format": "ipv4"}, "10.0.0.1", True, assert_formats=True)
+    check_case(spark, {"format": "ipv4"}, "999.1.1.1", False, assert_formats=True)
+    check_case(spark, {"format": "json-pointer"}, "/a/b~0c", True, assert_formats=True)
+    check_case(spark, {"format": "json-pointer"}, "a", False, assert_formats=True)
+    check_case(spark, {"format": "uuid"}, "123e4567-e89b-12d3-a456-426614174000", True, assert_formats=True)
+    check_case(spark, {"format": "uuid"}, "nope", False, assert_formats=True)
+
+
+def test_ref_cycle_raises(spark):
+    """A tight $ref cycle exceeds the depth guard with a clear error
+    (the reference would recurse at eval time; we fail at compile)."""
+    import pytest as _pytest
+
+    from jschon_spark.compiler import CompileError
+    from jschon_spark.testing import evaluate_instance
+
+    with _pytest.raises(CompileError):
+        evaluate_instance(spark, {"$ref": "#"}, 1)
