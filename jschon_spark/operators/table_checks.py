@@ -1,0 +1,256 @@
+"""Table-level validation operators (SURVEY.md §2.10).
+
+These re-express jschon's per-document semantics at table scale:
+``uniqueItems`` becomes a distributed key-uniqueness check
+(reference jschon/vocabulary/validation.py:163-177), ``$ref`` becomes a
+referential anti-join (core.py:82-103), and column statistics /
+distribution drift feed the checks the north rule demands.
+
+Scale notes (the 100 TB story):
+- stats/histograms are single-pass partial aggregations — Spark's hash
+  aggregate combines map-side, so a hot key never ships raw rows;
+- uniqueness groups by the key only (map-side combine ≙ built-in
+  salting for counts); the violating-rows join is a semi-join against
+  an (almost always tiny) duplicate-key set, broadcast;
+- referential checks pick broadcast vs sort-merge from the dim-side
+  HLL cardinality estimate, with AQE skew-join enabled as backstop;
+- drift reduces each side to a few dozen bin counts before any
+  driver-side math (KS/PSI on numpy) — no data-scale collect.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """min/max/null-rate/approx-distinct per column, single pass.
+
+    One wide aggregation → one row; unpivoted to (column_name, ...) rows.
+    """
+    cols = list(cols or df.columns)
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        orderable = not isinstance(dt, (T.MapType, T.BinaryType))
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                (F.min(F.col(c)).cast("string") if orderable else F.lit(None)).alias(f"{c}__min"),
+                (F.max(F.col(c)).cast("string") if orderable else F.lit(None)).alias(f"{c}__max"),
+                F.approx_count_distinct(F.col(c)).alias(f"{c}__adist"),
+            ]
+        )
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                (F.col(f"{c}__nulls") / F.col(f"{c}__n")).alias("null_rate"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__adist").alias("approx_distinct"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
+def hll_sketches(df: DataFrame, cols: Sequence[str], lg_k: int = 12) -> DataFrame:
+    """Mergeable per-column HLL sketches (Spark ≥3.5 Datasketches).
+    Sketches from different partitions/snapshots union with
+    ``hll_union_agg`` — the building block for incremental distinct
+    counts across checkpointed runs."""
+    aggs = [
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c).cast("string"), lg_k)).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs)
+    parts = [
+        F.struct(F.lit(c).alias("column_name"), F.col(c).alias("distinct_estimate"))
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
+def categorical_histogram(df: DataFrame, col: str) -> DataFrame:
+    """Value → count for a low-cardinality column (codec, sr_hz).
+    Map-side combine makes this skew-immune."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
+
+
+def numeric_histogram(df: DataFrame, col: str, bin_width: float, lo: float = 0.0) -> DataFrame:
+    """Fixed-width bins; the shuffle carries only (bin, partial count)."""
+    bin_col = F.floor((F.col(col) - F.lit(lo)) / F.lit(bin_width)).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            (F.lit(lo) + F.col("bin") * F.lit(bin_width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(bin_width)).alias("bin_hi"),
+            "count",
+        )
+    )
+
+
+# -- uniqueness (≙ uniqueItems at table scale) ------------------------------
+
+
+def duplicate_keys(df: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity.
+
+    ``groupBy(key).count()`` partial-aggregates map-side, so even a
+    pathologically hot key ships one partial row per task — the
+    explicit two-phase salt the reference design calls for is what
+    Spark's hash aggregate already does for algebraic aggregates.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str = "clip_id", id_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """The offending rows themselves: semi-join against the (tiny)
+    duplicate-key set — broadcast so no full-table shuffle."""
+    dups = duplicate_keys(df, key)
+    sel = list(id_cols) if id_cols else [key]
+    return df.select(*sel).join(F.broadcast(dups.select(key)), on=key, how="semi")
+
+
+def uniqueness_summary(df: DataFrame, key: str = "clip_id") -> DataFrame:
+    dups = duplicate_keys(df, key)
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_duplicate_keys"),
+        F.coalesce(F.sum(F.col("n_occurrences") - 1), F.lit(0)).alias("n_excess_rows"),
+    )
+
+
+# -- referential (≙ $ref-style cross-record constraint) ---------------------
+
+BROADCAST_ROW_THRESHOLD = 20_000_000
+
+
+def _estimated_rows(df: DataFrame) -> Optional[int]:
+    """Cheap cardinality estimate from the optimized plan statistics
+    (parquet row-count metadata — no job)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return int(plan.stats().rowCount().getOrElse(lambda: None) or plan.stats().sizeInBytes() // 64)
+    except Exception:
+        return None
+
+
+def referential_check(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: Optional[str] = None,
+    broadcast_rows: int = BROADCAST_ROW_THRESHOLD,
+    dim_rows: Optional[int] = None,
+) -> DataFrame:
+    """Rows of ``fact`` whose key has no match in ``dim`` (left anti).
+
+    Join strategy is cardinality-driven: if the dim side is estimated
+    small (plan stats / caller-provided HLL estimate) we broadcast the
+    *projected key column only*; otherwise fall through to sort-merge
+    with AQE skew-join splitting hot keys.
+    """
+    dim_key = dim_key or fact_key
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).where(F.col(dim_key).isNotNull())
+    est = dim_rows if dim_rows is not None else _estimated_rows(dim_keys)
+    if est is not None and est <= broadcast_rows:
+        dim_keys = F.broadcast(dim_keys)
+    return fact.join(dim_keys, on=fact_key, how="left_anti")
+
+
+def referential_violations(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: Optional[str] = None, **kw
+) -> DataFrame:
+    """Anti-join projected to `basic`-style violation rows (≙ failed
+    $ref, reference jschon/vocabulary/core.py:82-103)."""
+    orphans = referential_check(fact, dim, fact_key, dim_key, **kw)
+    return orphans.select(
+        F.col(fact_key),
+        F.lit("/" + fact_key).alias("instance_path"),
+        F.lit("/$ref").alias("keyword_path"),
+        F.lit("$ref").alias("keyword"),
+        F.lit(f"no matching row for {fact_key}").alias("error"),
+    )
+
+
+# -- distribution drift ------------------------------------------------------
+
+
+def ks_statistic(current_bins: pd.DataFrame, baseline_bins: pd.DataFrame) -> float:
+    """Two-sample KS statistic from binned counts (columns: bin_lo,
+    count). Bin counts are tiny — numpy on the driver, per SURVEY §2.10."""
+    merged = pd.merge(
+        current_bins[["bin_lo", "count"]].rename(columns={"count": "cur"}),
+        baseline_bins[["bin_lo", "count"]].rename(columns={"count": "base"}),
+        on="bin_lo",
+        how="outer",
+    ).fillna(0.0).sort_values("bin_lo")
+    cur_cdf = merged["cur"].cumsum() / max(merged["cur"].sum(), 1)
+    base_cdf = merged["base"].cumsum() / max(merged["base"].sum(), 1)
+    return float(np.abs(cur_cdf.to_numpy() - base_cdf.to_numpy()).max())
+
+
+def psi_statistic(current: pd.DataFrame, baseline: pd.DataFrame, key: str = "bin_lo") -> float:
+    """Population Stability Index over categorical/binned counts."""
+    merged = pd.merge(
+        current[[key, "count"]].rename(columns={"count": "cur"}),
+        baseline[[key, "count"]].rename(columns={"count": "base"}),
+        on=key,
+        how="outer",
+    ).fillna(0.0)
+    eps = 1e-6
+    p = np.maximum(merged["cur"].to_numpy() / max(merged["cur"].sum(), 1), eps)
+    q = np.maximum(merged["base"].to_numpy() / max(merged["base"].sum(), 1), eps)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def drift_check(
+    df: DataFrame,
+    baseline: pd.DataFrame,
+    dur_col: str = "dur_ms",
+    sr_col: str = "sr_hz",
+    bin_width: float = 100.0,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> dict:
+    """KS on the duration distribution + PSI on the sample-rate
+    categories vs a frozen baseline snapshot (FIXTURES.md §3). Each side
+    is reduced to bin counts in Spark; the statistics are driver-side
+    numpy over ≤ dozens of bins."""
+    base_dur = baseline[baseline["column_name"] == dur_col]
+    width = float(base_dur["bin_hi"].iloc[0] - base_dur["bin_lo"].iloc[0]) if len(base_dur) else bin_width
+    cur_dur = numeric_histogram(df, dur_col, width).toPandas()
+    cur_sr = (
+        categorical_histogram(df, sr_col)
+        .toPandas()
+        .rename(columns={"value": "bin_lo"})
+        .astype({"bin_lo": float})
+    )
+    base_sr = baseline[baseline["column_name"] == sr_col][["bin_lo", "count"]]
+    ks = ks_statistic(cur_dur, base_dur[["bin_lo", "count"]])
+    psi = psi_statistic(cur_sr, base_sr)
+    return {
+        "ks_dur": ks,
+        "psi_sr": psi,
+        "ks_pass": bool(ks <= ks_threshold),
+        "psi_pass": bool(psi <= psi_threshold),
+    }

@@ -1,0 +1,106 @@
+"""The flagship job: validate an audio clips table end-to-end.
+
+One scan feeds the compiled per-row predicates (Catalyst, codegen'd) and
+the flag/basic outputs; a second, column-pruned projection feeds the
+Arrow audio stage; table-level checks (uniqueness, referential, drift)
+run as separate jobs over the same source. Per-partition results land in
+a checkpoint manifest for resume (SURVEY.md §3.3 pipeline shape).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jschon_spark.audio import with_audio_invariant
+from jschon_spark.compiler import compile_schema
+from jschon_spark.operators import table_checks as tc
+from jschon_spark.output import basic_output, flag_summary
+
+# The clip schema — jschon keyword semantics over the input_hint shape.
+# `bytes` is opaque binary and deliberately NOT in this metadata schema:
+# requiring it here would force every scan to read the audio payload.
+# Its presence/decodability is asserted by the audio stage instead.
+CLIP_SCHEMA = {
+    "$id": "https://jschon-spark.dev/clip",
+    "type": "object",
+    "required": ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"],
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip-[0-9a-f]"},
+        "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+        "dur_ms": {"type": "integer", "minimum": 20, "maximum": 600000},
+        "codec": {"enum": ["pcm_s16le", "wav", "flac", "opus"]},
+        "transcript": {"type": "string", "maxLength": 4096},
+    },
+}
+
+METADATA_COLS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part_id"]
+
+
+def validate_clips_rows(clips: DataFrame, schema: Optional[dict] = None) -> DataFrame:
+    """Per-row keyword validation — metadata columns only, so the scan
+    never reads the audio payload (column pruning hygiene)."""
+    compiled = compile_schema(schema or CLIP_SCHEMA)
+    cols = [c for c in METADATA_COLS if c in clips.columns and c != "part_id"]
+    return compiled.validate(clips, instance_columns=cols)
+
+
+def run_validation(
+    spark: SparkSession,
+    clips: DataFrame,
+    transcripts: Optional[DataFrame] = None,
+    baseline: Optional[pd.DataFrame] = None,
+    schema: Optional[dict] = None,
+    audio: bool = True,
+    partition_col: str = "part_id",
+) -> dict:
+    """Full pipeline. Returns a dict of result DataFrames + driver-side
+    drift stats. Nothing is collected here except tiny aggregates."""
+    meta = clips.select(*[c for c in METADATA_COLS if c in clips.columns])
+    validated = validate_clips_rows(meta, schema)
+
+    out: dict = {
+        "rows": validated,
+        "flag": flag_summary(validated, partition_col),
+        "violations": basic_output(validated, ["clip_id", partition_col]),
+        "stats": tc.column_stats(meta, [c for c in meta.columns if c != partition_col]),
+        "codec_histogram": tc.categorical_histogram(meta, "codec"),
+        "sr_histogram": tc.categorical_histogram(meta, "sr_hz"),
+        "duplicates": tc.duplicate_keys(meta, "clip_id"),
+    }
+
+    if audio:
+        audio_df = with_audio_invariant(
+            clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", partition_col)
+        ).drop("bytes")
+        out["audio"] = audio_df
+        out["audio_flag"] = flag_summary(audio_df, partition_col, valid_col="audio_valid")
+        out["audio_violations"] = basic_output(
+            audio_df, ["clip_id", partition_col], violations_col="audio_violations"
+        )
+
+    if transcripts is not None:
+        out["missing_transcripts"] = tc.referential_violations(
+            meta.select("clip_id", partition_col), transcripts, "clip_id"
+        )
+        out["orphan_transcripts"] = tc.referential_check(
+            transcripts, meta.select("clip_id"), "clip_id"
+        )
+        joined = meta.select("clip_id", "transcript").join(
+            transcripts.select("clip_id", "text"), "clip_id", "inner"
+        )
+        # distinct keys: duplicate clip_ids fan out in the join, but one
+        # mismatching key is one violation
+        out["transcript_mismatches"] = (
+            joined.where(~F.col("transcript").eqNullSafe(F.col("text")))
+            .select("clip_id")
+            .distinct()
+        )
+
+    if baseline is not None:
+        out["drift"] = tc.drift_check(meta, baseline)
+
+    return out

@@ -1,0 +1,134 @@
+"""End-to-end clips validation against the fixture oracle.
+
+The fixture injects a known count of each violation (FIXTURES.md §1);
+the pipeline must recover exactly those counts — this is the
+"per-partition pass/fail parity" gate of BASELINE.md.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jschon_spark import fixtures as fx
+from jschon_spark.pipeline import run_validation
+
+N = 2000  # tiny scale
+
+
+@pytest.fixture(scope="module")
+def clips_df(spark):
+    pdf = fx.gen_clips_batch(np.arange(N), audio=True)
+    return spark.createDataFrame(pdf, schema=fx.CLIPS_DDL)
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark):
+    pdf = fx.gen_transcripts_batch(np.arange(N))
+    return spark.createDataFrame(pdf, schema=fx.TRANSCRIPTS_DDL)
+
+
+@pytest.fixture(scope="module")
+def results(spark, clips_df, transcripts_df):
+    return run_validation(
+        spark, clips_df, transcripts_df, baseline=fx.baseline_snapshot(), audio=True
+    )
+
+
+def test_violation_counts_match_injection(results):
+    expected = fx.expected_violation_counts(N)
+    viols = results["violations"].toPandas()
+    by_kw = viols.groupby("keyword").size().to_dict()
+    assert by_kw.get("pattern", 0) == expected["pattern"]
+    assert by_kw.get("enum", 0) == expected["enum"]
+    assert by_kw.get("minimum", 0) == expected["minimum"]
+    assert by_kw.get("maximum", 0) == expected["maximum"]
+    assert by_kw.get("required", 0) == expected["required"]
+    assert by_kw.get("maxLength", 0) == expected["maxLength"]
+
+
+def test_flag_summary_partition_parity(results):
+    flag = results["flag"].toPandas().set_index("part_id").sort_index()
+    assert set(flag.index) == set(range(fx.N_PARTS))
+    assert int(flag["n_rows"].sum()) == N
+    # exact per-partition parity: a partition is invalid iff one of its
+    # row ids carries a row-level injection slot
+    row_slots = (fx.SLOT_PATTERN, fx.SLOT_ENUM, fx.SLOT_MIN, fx.SLOT_MAX, fx.SLOT_REQUIRED, fx.SLOT_MAXLEN)
+    expected_invalid_parts = {
+        i % fx.N_PARTS for i in range(N) if (i % fx.MOD) in row_slots
+    }
+    got_invalid_parts = set(flag.index[~flag["partition_valid"]])
+    assert got_invalid_parts == expected_invalid_parts
+    expected_total = sum(
+        fx.expected_violation_counts(N)[k]
+        for k in ["pattern", "enum", "minimum", "maximum", "required", "maxLength"]
+    )
+    assert int(flag["n_invalid"].sum()) == expected_total
+
+
+def test_uniqueness_check(results):
+    expected = fx.expected_violation_counts(N)
+    dups = results["duplicates"].toPandas()
+    assert int((dups["n_occurrences"] - 1).sum()) == expected["duplicate_clip_id"]
+
+
+def test_referential_checks(results):
+    expected = fx.expected_violation_counts(N)
+    assert results["missing_transcripts"].count() == expected["missing_transcript_row"]
+    assert results["orphan_transcripts"].count() == expected["orphan_transcript"]
+    # duplicate clip_id pairs join both texts under one key → each dup
+    # key also surfaces as a (genuine) mismatch
+    assert (
+        results["transcript_mismatches"].count()
+        == expected["text_mismatch"] + expected["duplicate_clip_id"]
+    )
+
+
+def test_audio_invariant(results):
+    expected = fx.expected_violation_counts(N)
+    av = results["audio_violations"].toPandas()
+    by_kw = av.groupby("keyword").size().to_dict()
+    assert by_kw.get("snr", 0) == expected["snr"]
+    assert by_kw.get("frames", 0) == expected["truncated"]
+    assert by_kw.get("decode", 0) == 0
+
+
+def test_drift_same_distribution_passes(results):
+    drift = results["drift"]
+    assert drift["ks_pass"], drift
+    assert drift["psi_pass"], drift
+
+
+def test_drift_shifted_distribution_fails(spark, clips_df):
+    from pyspark.sql import functions as F
+
+    from jschon_spark.operators.table_checks import drift_check
+
+    shifted = clips_df.withColumn("dur_ms", (F.col("dur_ms") * 1.5).cast("int"))
+    drift = drift_check(shifted, fx.baseline_snapshot())
+    assert not drift["ks_pass"], drift
+
+
+def test_column_stats(results):
+    stats = results["stats"].toPandas().set_index("column_name")
+    assert int(stats.loc["clip_id", "n_rows"]) == N
+    assert stats.loc["transcript", "n_nulls"] > 0
+    assert float(stats.loc["dur_ms", "null_rate"]) == 0.0
+
+
+def test_manifest_resume(spark, clips_df, tmp_path):
+    from jschon_spark import manifest as mf
+    from jschon_spark.output import flag_summary
+    from jschon_spark.pipeline import validate_clips_rows
+
+    path = str(tmp_path / "manifest")
+    all_parts = clips_df.select("part_id").distinct()
+    pending0 = mf.pending_partitions(spark, path, all_parts)
+    assert pending0.count() == fx.N_PARTS
+
+    # complete half the partitions
+    half = clips_df.where("part_id < 8")
+    flags = flag_summary(validate_clips_rows(half), "part_id")
+    mf.append_results(spark, path, flags, run_id="r1", source_path="fixture")
+    pending1 = mf.pending_partitions(spark, path, all_parts)
+    assert pending1.count() == fx.N_PARTS - 8
+    assert set(r.part_id for r in pending1.collect()) == set(range(8, 16))
