@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` (codegen'd, no
+Python). Each operator is deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify it value-for-value (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = [
+    "the", "a", "of", "to", "and", "in", "is", "it", "you", "that",
+    "he", "was", "for", "on", "are", "with", "as", "his", "they", "be",
+]
+STOPWORDS_FR = ["le", "la", "les", "de", "des", "un", "une", "et", "est", "que", "pour", "dans"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "zu"]
+STOPWORDS_ES = ["el", "la", "los", "las", "de", "y", "es", "que", "un", "una", "por", "para"]
+
+_LANGS = [("en", STOPWORDS_EN), ("fr", STOPWORDS_FR), ("de", STOPWORDS_DE), ("es", STOPWORDS_ES)]
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization with empty tokens dropped — identical
+    semantics to the SQL oracle's regexp_split + filter."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(words_col(F.col(text_col))))
+
+
+def with_bpe_ish_token_estimate(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token estimate: count of regex word/punct chunks — the
+    standard cheap proxy (≈ GPT-2 pre-tokenizer granularity) without a
+    vocab. JVM regexp, no UDF."""
+    chunks = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return df.withColumn(out, F.size(chunks))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (length/punct/stopword ratios)."""
+    n_chars = F.length(text)
+    ws = words_col(text)
+    n_words = F.size(ws)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    return {
+        "n_chars_q": n_chars,
+        "n_words": n_words,
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_hits": n_stop,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality_score") -> DataFrame:
+    """Scalar quality score in [0,1]: favors alphabetic, stopword-bearing,
+    mid-length documents; punishes punctuation soup. Fully JVM-side."""
+    q = quality_columns(F.col(text_col))
+    score = (
+        F.least(q["n_words"] / F.lit(50.0), F.lit(1.0)) * 0.3
+        + q["alpha_ratio"] * 0.3
+        + (1.0 - F.least(q["punct_ratio"] * 5.0, F.lit(1.0))) * 0.2
+        + F.least(q["stopword_hits"] / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family): the language
+    with the most distinct stopword hits wins; ties resolve in fixed
+    registry order; zero hits → 'und'."""
+    ws = words_col(F.lower(F.col(text_col)))
+    scored = None
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, stops in _LANGS:
+        hits = F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in stops])))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return df.withColumn(out, best_lang)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (md5 is bit-identical in DuckDB → oracle-checkable; the rolling-hash
+    shingle variant lives in dedup.py as minhash)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(normalized.cast("binary")))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles) of normalized text —
+    building block for minhash/jaccard. Pure HOF: sequence + transform
+    + substring, no Python."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    ln = F.length(normalized)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams via HOFs (sequence over word positions)."""
+    ws = words_col(F.lower(text))
+    count = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(
+        count > 0,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,164 @@
+"""Tests for training-data pipeline operators (text analysis, dedup,
+similarity, multimodal plumbing) with numpy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines and columnar execution"),
+        (4, "le chat est dans la maison et il est content"),
+        (5, ""),
+        (6, "der hund ist nicht in der küche und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    out = {r.doc_id: r.n_tokens for r in text.with_token_count(docs).collect()}
+    assert out[0] == 9
+    assert out[5] == 0
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(0, "hello, world! x2")], "doc_id long, text string")
+    out = text.with_bpe_ish_token_estimate(df).collect()[0]
+    # hello , world ! x 2 → 6 chunks
+    assert out.n_bpe_tokens == 6
+
+
+def test_quality_score_ranges(spark, docs):
+    out = text.with_quality_score(docs).collect()
+    scores = {r.doc_id: r.quality_score for r in out}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[0] > scores[5]  # real sentence beats empty
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in text.with_lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "fr"
+    assert out[6] == "de"
+    assert out[5] == "und"
+
+
+def test_fingerprint_matches_dup(spark, docs):
+    out = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0].doc_ids) == [0, 1]
+    kept = {r.doc_id for r in dedup.exact_dedup(docs).collect()}
+    assert 0 in kept and 1 not in kept
+    assert kept >= {2, 3, 4, 5, 6}
+
+
+def test_minhash_near_duplicates(spark, docs):
+    pairs = dedup.minhash_near_duplicates(docs.where("text <> ''"), threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # identical docs always collide
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert all(a not in (3,) and b not in (3,) for a, b in got)  # unrelated doc never pairs
+
+
+def test_jaccard_oracle(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.0 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sigs = dedup.with_simhash(docs.where("text <> ''"))
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    assert bin(rows[0] ^ rows[2]).count("1") < bin(rows[0] ^ rows[3]).count("1")
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_duplicates(sigs, max_hamming=10).collect()}
+    assert (0, 1) in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    query = vecs[7].tolist()
+    got = [r.vec_id for r in similarity.brute_force_topk(df, query, k=5).collect()]
+    sims = (vecs @ np.asarray(query)) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(query))
+    want = list(np.argsort(np.round(-sims, 6), kind="stable")[:5])
+    assert got[0] == 7
+    assert got == [int(w) for w in want]
+    got_pd = [r.vec_id for r in similarity.brute_force_topk_pandas(df, query, k=5).collect()]
+    assert got_pd == got
+
+
+def test_ann_lsh_recall(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    query = (vecs[3] + rng.normal(size=16) * 0.01).tolist()
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, query, k=1).collect()]
+    approx = [r.vec_id for r in similarity.ann_topk_lsh(df, query, k=5, max_probe_hamming=3).collect()]
+    assert exact[0] == 3
+    assert 3 in approx  # the true NN survives multi-probe bucketing
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    dup = base[0] + rng.normal(size=8).astype(np.float32) * 0.001
+    vecs = np.vstack([base, dup[None, :]])
+    pdf = pd.DataFrame({"vec_id": range(21), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(df, threshold=0.99).collect()}
+    assert (0, 20) in pairs
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [("m1", b"\x00\x01payload"), ("m2", b""), ("m1b", b"\x00\x01payload")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = multimodal.extract_features(df).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id["m1"].n_bytes == 9
+    assert len(by_id["m1"].features) == multimodal.FEATURE_DIM
+    # deterministic: same payload → same features/sha1
+    assert by_id["m1"].content_sha1 == by_id["m1b"].content_sha1
+    assert list(by_id["m1"].features) == list(by_id["m1b"].features)
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", "png")
+
+
+def test_frame_sampling_plan(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("meta", multimodal.MEDIA_META_TYPE),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(media_id="v1", meta=Row(media_type="video", format="mp4", width=10, height=10, n_frames=95, sample_rate=None))],
+        schema=schema,
+    )
+    out = multimodal.sample_frames_meta(df, every_n=30).collect()[0]
+    assert out.frames_to_sample == [0, 30, 60, 90]
