@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2 + the
+training-data ops) over the driver's parquet tables at ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+SQL-expressible operator. Column names/aliases match pairwise — the
+driver compares row-count + schema + order-insensitive value hashes.
+
+Non-SQL-expressible ops (xxhash64-based MinHash/SimHash, LSH planes,
+HLL sketches) are registered without oracles → rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +15,469 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# The orders validation schema (jschon keyword semantics over TPC-H-ish
+# orders; thresholds chosen so real rows violate each keyword)
+# ---------------------------------------------------------------------------
+
+ORDERS_SCHEMA = {
+    "type": "object",
+    "required": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_totalprice": {"minimum": 1000, "maximum": 300000},
+        "o_orderpriority": {"pattern": "^[1-3]-"},
+    },
+}
+
+_ORDERS_VALID_SQL = (
+    "o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL "
+    "AND o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL "
+    "AND o_orderstatus IN ('O','F') "
+    "AND o_totalprice >= 1000 AND o_totalprice <= 300000 "
+    "AND regexp_matches(o_orderpriority, '^[1-3]-')"
+)
+
+_ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _validated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.compiler import compile_schema
+
+    orders = _t(spark, sf_dir, "orders")
+    return compile_schema(ORDERS_SCHEMA).validate(orders, instance_columns=_ORDERS_COLS)
+
+
+# -- query implementations ---------------------------------------------------
+
+
+def q_validate_orders_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _validated_orders(spark, sf_dir)
+    return (
+        v.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+        )
+    )
+
+
+def q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.output import basic_output
+
+    v = _validated_orders(spark, sf_dir)
+    return basic_output(v, ["o_orderkey"]).select("o_orderkey", "instance_path", "keyword")
+
+
+def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_quantity").cast("double"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity").cast("double"), 6).alias("max_qty"),
+        F.round(F.min("l_extendedprice").cast("double"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice").cast("double"), 6).alias("max_price"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("n_null_returnflag"),
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate — registered without oracle (estimates are
+    # engine-specific); rows-only check
+    from jschon_spark.operators.table_checks import hll_sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_sketches(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def q_histogram_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import categorical_histogram
+
+    return categorical_histogram(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+def q_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 50000.0)
+
+
+def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import duplicate_keys
+
+    return duplicate_keys(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import referential_check
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return referential_check(
+        cust.select(F.col("c_custkey")), orders.select(F.col("o_custkey")), "c_custkey", "o_custkey"
+    )
+
+
+def q_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import referential_check
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return referential_check(
+        orders.select("o_orderkey", "o_custkey"), cust, "o_custkey", "c_custkey"
+    ).select("o_orderkey", "o_custkey")
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.text import with_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.text import with_bpe_ish_token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bpe_ish_token_estimate(docs).select("doc_id", "n_bpe_tokens")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality_score")
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.text import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("content_hash", "n_docs", "doc_ids")
+
+
+def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based — no DuckDB equivalent; rows-only check
+    from jschon_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.2, n_perm=16, bands=8)
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based — rows-only check
+    from jschon_spark.operators.dedup import simhash_near_duplicates, with_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(with_simhash(docs), max_hamming=8)
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for a fixed id band (SQL-expressible)."""
+    from jschon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .where("id_a < 20")
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")).where("id_b < 20"))
+        .where("id_a < id_b")
+    )
+    return ngram_jaccard_pairs(docs, pairs).where(F.col("jaccard") > 0)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    return brute_force_topk(emb, query, k=10, round_digits=4)
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH hyperplanes — rows-only check
+    from jschon_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.9)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic fake extractor over binary payloads — rows-only
+    from jschon_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_features(docs)
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import categorical_histogram
+
+    return categorical_histogram(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.operators.table_checks import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "events"), "value", 50.0)
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate a JSON-string column: extract props.k, bound-check it
+    (≙ schema over a dynamic JSON payload, SURVEY §1.4 JSON-column row)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_id"), k.alias("k"))
+        .withColumn("k_valid", F.coalesce((F.col("k") >= 0) & (F.col("k") <= 100), F.lit(False)))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders_flag": q_validate_orders_flag,
+        "validate_orders_violations": q_validate_orders_violations,
+        "column_stats_lineitem": q_column_stats_lineitem,
+        "distinct_counts": q_distinct_counts,
+        "hll_distinct": q_hll_distinct,
+        "histogram_returnflag": q_histogram_returnflag,
+        "price_bins": q_price_bins,
+        "duplicate_orderkeys": q_duplicate_orderkeys,
+        "customers_without_orders": q_customers_without_orders,
+        "orphan_orders": q_orphan_orders,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_exact_dups": q_doc_exact_dups,
+        "doc_minhash_near_dups": q_doc_minhash_near_dups,
+        "doc_simhash_near_dups": q_doc_simhash_near_dups,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "multimodal_features": q_multimodal_features,
+        "events_histogram": q_events_histogram,
+        "events_value_bins": q_events_value_bins,
+        "events_props_json": q_events_props_json,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_STOP_EN = "['the','a','of','to','and','in','is','it','you','that','he','was','for','on','are','with','as','his','they','be']"
+_STOP_FR = "['le','la','les','de','des','un','une','et','est','que','pour','dans']"
+_STOP_DE = "['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','zu']"
+_STOP_ES = "['el','la','los','las','de','y','es','que','un','una','por','para']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_orders_flag": f"""
+            SELECT o_orderstatus,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
+                   sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "validate_orders_violations": """
+            SELECT o_orderkey, '/o_orderstatus' AS instance_path, 'enum' AS keyword
+              FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT o_orderkey, '/o_totalprice', 'minimum'
+              FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 1000)
+            UNION ALL
+            SELECT o_orderkey, '/o_totalprice', 'maximum'
+              FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000)
+            UNION ALL
+            SELECT o_orderkey, '/o_orderpriority', 'pattern'
+              FROM orders WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+            UNION ALL
+            SELECT o_orderkey, '' AS instance_path, 'required' AS keyword
+              FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
+                          OR o_totalprice IS NULL OR o_orderpriority IS NULL
+        """,
+        "column_stats_lineitem": """
+            SELECT count(*) AS n_rows,
+                   round(min(l_quantity)::double, 6) AS min_qty,
+                   round(max(l_quantity)::double, 6) AS max_qty,
+                   round(min(l_extendedprice)::double, 6) AS min_price,
+                   round(max(l_extendedprice)::double, 6) AS max_price,
+                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_null_returnflag
+            FROM lineitem
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem
+        """,
+        "histogram_returnflag": """
+            SELECT l_returnflag AS value, count(*) AS count FROM lineitem GROUP BY l_returnflag
+        """,
+        "price_bins": """
+            SELECT (floor(o_totalprice / 50000) * 50000)::double AS bin_lo,
+                   ((floor(o_totalprice / 50000) + 1) * 50000)::double AS bin_hi,
+                   count(*) AS count
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "duplicate_orderkeys": """
+            SELECT l_orderkey, count(*) AS n_occurrences
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        """,
+        "orphan_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len({_WORDS_SQL}) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(list_intersect({_WORDS_SQL}, {_STOP_EN})) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_words / 50.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                     + least(n_stop / 5.0, 1.0) * 0.2,
+                   6) AS quality_score
+            FROM q
+        """,
+        "doc_lang_id": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     len(list_intersect(ws, {_STOP_EN})) AS he,
+                     len(list_intersect(ws, {_STOP_FR})) AS hf,
+                     len(list_intersect(ws, {_STOP_DE})) AS hd,
+                     len(list_intersect(ws, {_STOP_ES})) AS hs
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+                        WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+                        WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+                        WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "doc_exact_dups": """
+            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "doc_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([
+                       array_to_string(ws[i:i+2], ' ')
+                       FOR i IN range(1, len(ws) - 1)
+                     ]) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+              )
+              WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::double
+                         / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE a.doc_id < 20 AND b.doc_id < 20
+              AND len(list_intersect(a.grams, b.grams)) > 0
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "events_histogram": """
+            SELECT event_type AS value, count(*) AS count FROM events GROUP BY event_type
+        """,
+        "events_value_bins": """
+            SELECT (floor(value / 50) * 50)::double AS bin_lo,
+                   ((floor(value / 50) + 1) * 50)::double AS bin_hi,
+                   count(*) AS count
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "events_props_json": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   coalesce(CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 100, false) AS k_valid
+            FROM events
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: validate the orders table (jschon keyword semantics →
+    Catalyst predicates) and emit the violation histogram."""
+    from jschon_spark.output import violation_histogram
+
+    v = _validated_orders(spark, "/root/testdata/sf0.001")
+    return violation_histogram(v)

@@ -48,15 +48,18 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Cosine top-k against a literal query vector. The per-row score is
     one codegen'd expression; top-k is a global sort of (score, id)
     pairs only — Spark's TakeOrderedAndProject keeps it a per-partition
-    heap + driver merge, no full sort shuffle."""
+    heap + driver merge, no full sort shuffle. Scores are rounded BEFORE
+    ordering (ties then break on id) so ranking is reproducible across
+    engines."""
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine_sim"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_digits).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
