@@ -73,9 +73,12 @@ def run_validation(
     }
 
     if audio:
+        # persist post-decode (bytes dropped → tiny rows) so the flag and
+        # violation outputs don't each re-decode the whole audio payload;
+        # caller unpersists via out["audio"].unpersist()
         audio_df = with_audio_invariant(
             clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", partition_col)
-        ).drop("bytes")
+        ).drop("bytes").persist()
         out["audio"] = audio_df
         out["audio_flag"] = flag_summary(audio_df, partition_col, valid_col="audio_valid")
         out["audio_violations"] = basic_output(
