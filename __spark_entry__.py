@@ -191,7 +191,7 @@ def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.2, n_perm=16, bands=8)
+    return minhash_near_duplicates(docs, threshold=0.6, n_perm=16, bands=4)
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

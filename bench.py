@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every driver-contract query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the flagship clips-validation
+pipeline (per-row keywords + zero-copy audio invariant + table checks)
+over a cached deterministic clips fixture, and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "clips": {...}}
+
+The clips fixture (seed 42, violation-injected; FIXTURES.md) is
+generated once under .bench_data/ and reused across rounds. Set
+SPARK_GRAFT_BENCH_CLIPS=0 to skip the clips stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CLIPS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "100000"))
+CLIPS_MAX_DUR_MS = 1500
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_clips(spark, n_rows: int) -> str:
+    from jschon_spark.fixtures import write_clips, write_transcripts
+
+    out = os.path.join(REPO, ".bench_data", f"clips_{n_rows}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_clips(spark, out, n_rows, audio=True, max_dur_ms=CLIPS_MAX_DUR_MS)
+        write_transcripts(spark, out, n_rows)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_clips_pipeline(spark, data_dir: str) -> dict:
+    """Full north-rule pipeline: metadata keywords, audio invariant,
+    uniqueness, referential, drift — everything forced via noop sinks."""
+    from jschon_spark.fixtures import baseline_snapshot
+    from jschon_spark.pipeline import run_validation
+
+    clips = spark.read.parquet(f"{data_dir}/clips.parquet")
+    transcripts = spark.read.parquet(f"{data_dir}/transcripts.parquet")
+    n = clips.count()
+    t0 = time.perf_counter()
+    out = run_validation(
+        spark, clips, transcripts=transcripts, baseline=baseline_snapshot(), audio=True
+    )
+    stage_times = {}
+    for key, df in out.items():
+        if key in ("rows", "audio", "drift"):
+            continue
+        tk = time.perf_counter()
+        _noop(df)
+        stage_times[key] = round(time.perf_counter() - tk, 3)
+    out["audio"].unpersist()
+    elapsed = time.perf_counter() - t0
+    return {
+        "n_rows": n,
+        "sec": round(elapsed, 3),
+        "clips_per_sec": round(n / elapsed, 1),
+        "stages": stage_times,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from jschon_spark.session import get_session
+
+    spark = get_session(cpus=cpus, app_name="jschon_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        _noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    clips: dict = {}
+    if CLIPS_ROWS > 0:
+        data_dir = ensure_clips(spark, CLIPS_ROWS)
+        clips = run_clips_pipeline(spark, data_dir)
+        timings["clips_validation"] = clips["sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "driver_queries_plus_clips_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "clips": clips,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,11 @@ from jschon_spark.compiler.context import (
     jtype_of,
 )
 from jschon_spark.compiler.core import CompileError, CompiledSchema, Compiler, compile_schema
+from jschon_spark.compiler.spark_schema import (
+    SchemaDerivationError,
+    spark_schema_for,
+    validate_json_column,
+)
 
 __all__ = [
     "Compiled",
@@ -21,4 +26,7 @@ __all__ = [
     "CompiledSchema",
     "Compiler",
     "compile_schema",
+    "SchemaDerivationError",
+    "spark_schema_for",
+    "validate_json_column",
 ]
