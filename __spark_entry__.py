@@ -255,6 +255,77 @@ def q_events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(_t(spark, sf_dir, "events"), "value", 50.0)
 
 
+# jschon applicator semantics (allOf/not/if-then/oneOf,
+# reference jschon/vocabulary/applicator.py:28-116) over customer
+CUSTOMER_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "c_acctbal": {"type": "number", "minimum": -999.99, "maximum": 9999.99},
+        "c_mktsegment": {
+            "enum": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        },
+        "c_nationkey": {"type": "integer", "minimum": 0, "maximum": 24},
+    },
+    "not": {"properties": {"c_mktsegment": {"const": "MACHINERY"}}},
+    "if": {"properties": {"c_mktsegment": {"const": "BUILDING"}}},
+    "then": {"properties": {"c_acctbal": {"minimum": 0}}},
+    "oneOf": [
+        {"properties": {"c_acctbal": {"minimum": 1000}}},
+        {"properties": {"c_acctbal": {"maximum": 5000}}},
+    ],
+}
+
+
+def q_validate_customer_applicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jschon_spark.compiler import compile_schema
+
+    cust = _t(spark, sf_dir, "customer")
+    v = compile_schema(CUSTOMER_SCHEMA).validate(
+        cust, instance_columns=["c_acctbal", "c_mktsegment", "c_nationkey"]
+    )
+    return v.select("c_custkey", "valid")
+
+
+def q_validate_doc_words_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array keyword family (minItems/maxItems/uniqueItems/items,
+    reference jschon/vocabulary/validation.py:145-177 + applicator.py:163-187)
+    over the per-document word array."""
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.operators.text import words_col
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "words": {
+                "type": "array",
+                "minItems": 1,
+                "maxItems": 60,
+                "uniqueItems": True,
+                "items": {"type": "string", "pattern": "^[a-z]+$"},
+            }
+        },
+    }
+    docs = _t(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", words_col(F.lower(F.col("text"))).alias("words"))
+    v = compile_schema(schema).validate(arr, instance_columns=["words"])
+    return v.select("doc_id", "valid")
+
+
+def q_events_props_schema_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full compiled-schema validation of the dynamic JSON payload column
+    (schema-derived from_json typing, SURVEY §1.4 JSON-column row)."""
+    from jschon_spark.compiler import validate_json_column
+
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 100}},
+    }
+    ev = _t(spark, sf_dir, "events")
+    out = validate_json_column(ev, schema, "props")
+    return out.select("event_id", "valid", F.size("violations").alias("n_violations"))
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validate a JSON-string column: extract props.k, bound-check it
     (≙ schema over a dynamic JSON payload, SURVEY §1.4 JSON-column row)."""
@@ -293,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "events_value_bins": q_events_value_bins,
         "events_props_json": q_events_props_json,
+        "validate_customer_applicators": q_validate_customer_applicators,
+        "validate_doc_words_array": q_validate_doc_words_array,
+        "events_props_schema_valid": q_events_props_schema_valid,
     }
 
 
@@ -470,6 +544,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                    coalesce(CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 100, false) AS k_valid
             FROM events
+        """,
+        # mirrors jschon keyword semantics incl. null-gating: a missing
+        # (null) property passes its subschema, so `not` FAILS on null
+        "validate_customer_applicators": """
+            SELECT c_custkey,
+                   coalesce(c_acctbal IS NULL OR (c_acctbal >= -999.99 AND c_acctbal <= 9999.99), true)
+               AND coalesce(c_mktsegment IS NULL OR c_mktsegment IN
+                     ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'), true)
+               AND coalesce(c_nationkey IS NULL OR (c_nationkey >= 0 AND c_nationkey <= 24), true)
+               AND NOT (c_mktsegment IS NULL OR c_mktsegment = 'MACHINERY')
+               AND (CASE WHEN (c_mktsegment IS NULL OR c_mktsegment = 'BUILDING')
+                         THEN (c_acctbal IS NULL OR c_acctbal >= 0) ELSE true END)
+               AND ((CASE WHEN (c_acctbal IS NULL OR c_acctbal >= 1000) THEN 1 ELSE 0 END
+                   + CASE WHEN (c_acctbal IS NULL OR c_acctbal <= 5000) THEN 1 ELSE 0 END) = 1)
+                   AS valid
+            FROM customer
+        """,
+        "validate_doc_words_array": f"""
+            SELECT doc_id,
+                   len(ws) >= 1 AND len(ws) <= 60
+                   AND len(list_distinct(ws)) = len(ws)
+                   AND len(list_filter(ws, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS valid
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                  FROM documents)
+        """,
+        "events_props_schema_valid": """
+            WITH p AS (
+              SELECT event_id, props,
+                     CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+              FROM events
+            )
+            SELECT event_id,
+                   CASE
+                     WHEN props IS NULL THEN false  -- null instance fails `type: object`
+                     WHEN NOT json_valid(props) THEN false
+                     ELSE k IS NOT NULL AND k >= 0 AND k <= 100
+                   END AS valid,
+                   CASE
+                     WHEN props IS NULL THEN 1
+                     WHEN NOT json_valid(props) THEN 1
+                     WHEN k IS NULL THEN 1
+                     WHEN k < 0 OR k > 100 THEN 1
+                     ELSE 0
+                   END AS n_violations
+            FROM p
         """,
     }
 
