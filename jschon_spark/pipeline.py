@@ -107,3 +107,37 @@ def run_validation(
         out["drift"] = tc.drift_check(meta, baseline)
 
     return out
+
+
+def run_resumable(
+    spark: SparkSession,
+    clips_path: str,
+    manifest_path: str,
+    run_id: Optional[str] = None,
+    schema: Optional[dict] = None,
+    partition_col: str = "part_id",
+) -> dict:
+    """Checkpointed, partition-granular validation (north rule: resume
+    from a manifest keyed by the Iceberg-style partition).
+
+    1. anti-join the table's partitions against the manifest,
+    2. validate ONLY pending partitions — the ``part_id`` filter prunes
+       parquet directories, so completed partitions are never rescanned,
+    3. append one manifest row per finished partition (lineage = run_id
+       + source path, metrics = flag counts).
+
+    Crash-and-rerun resumes where the previous run stopped; an empty
+    pending set is a no-op."""
+    from jschon_spark import manifest as mf
+
+    clips = spark.read.parquet(clips_path)
+    all_parts = clips.select(partition_col).distinct()
+    pending = mf.pending_partitions(spark, manifest_path, all_parts)
+    parts = sorted(r[0] for r in pending.collect())
+    if not parts:
+        return {"run_id": run_id, "processed_partitions": []}
+    run_id = run_id or mf.new_run_id()
+    subset = clips.where(F.col(partition_col).isin(parts))
+    flags = flag_summary(validate_clips_rows(subset, schema), partition_col)
+    mf.append_results(spark, manifest_path, flags, run_id=run_id, source_path=clips_path)
+    return {"run_id": run_id, "processed_partitions": parts}
