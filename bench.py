@@ -49,30 +49,42 @@ def ensure_clips(spark, n_rows: int) -> str:
 
 def run_clips_pipeline(spark, data_dir: str) -> dict:
     """Full north-rule pipeline: metadata keywords, audio invariant,
-    uniqueness, referential, drift — everything forced via noop sinks."""
+    uniqueness, referential, drift — everything forced via noop sinks.
+
+    One warmup pass first: python-worker spawn + module imports + JVM
+    JIT + page cache are one-time costs that amortize to zero at the
+    10^12-row design point but dominate a 100k-row run on this host
+    (measured 121s cold -> 4.4s steady-state for the audio stage at
+    local[32]). The reported number is the steady-state pass."""
     from jschon_spark.fixtures import baseline_snapshot
     from jschon_spark.pipeline import run_validation
 
     clips = spark.read.parquet(f"{data_dir}/clips.parquet")
     transcripts = spark.read.parquet(f"{data_dir}/transcripts.parquet")
     n = clips.count()
-    t0 = time.perf_counter()
-    out = run_validation(
-        spark, clips, transcripts=transcripts, baseline=baseline_snapshot(), audio=True
-    )
-    stage_times = {}
-    for key, df in out.items():
-        if key in ("rows", "audio", "drift"):
-            continue
-        tk = time.perf_counter()
-        _noop(df)
-        stage_times[key] = round(time.perf_counter() - tk, 3)
-    out["audio"].unpersist()
-    elapsed = time.perf_counter() - t0
+
+    def one_pass(collect_stage_times: bool):
+        t0 = time.perf_counter()
+        out = run_validation(
+            spark, clips, transcripts=transcripts, baseline=baseline_snapshot(), audio=True
+        )
+        stage_times = {}
+        for key, df in out.items():
+            if key in ("rows", "audio", "drift"):
+                continue
+            tk = time.perf_counter()
+            _noop(df)
+            stage_times[key] = round(time.perf_counter() - tk, 3)
+        out["audio"].unpersist()
+        return time.perf_counter() - t0, stage_times
+
+    warmup_sec, _ = one_pass(False)
+    elapsed, stage_times = one_pass(True)
     return {
         "n_rows": n,
         "sec": round(elapsed, 3),
         "clips_per_sec": round(n / elapsed, 1),
+        "warmup_sec": round(warmup_sec, 3),
         "stages": stage_times,
     }
 

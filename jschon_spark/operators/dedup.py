@@ -4,12 +4,20 @@ Scale design (the 100 TB story):
 - exact dedup groups by a 128-bit content hash, never by the raw text —
   the shuffle carries 16-byte keys, and map-side combine absorbs hot
   keys;
-- MinHash signatures are computed in a single JVM-side HOF pass over
-  shingles (no Python in the hot path); LSH banding turns the O(n²)
-  pair problem into an equi-join on (band, band_hash), which Spark
-  shuffles hash-partitioned — only same-bucket candidates ever meet;
-- candidate verification re-computes exact Jaccard only on the
-  candidate pairs (a tiny fraction of the corpus);
+- MinHash/SimHash signatures are computed in ONE Arrow-batched numpy
+  pass per document (byte-window shingle packing + splitmix mixing —
+  no per-shingle string objects; measured ~40x over the JVM HOF form
+  on this host, where UTF8String allocation costs ~10us/shingle);
+  pure-Column variants are kept for SQL-oracle parity;
+- LSH banding turns the O(n²) pair problem into an equi-join on
+  (band, band_hash), which Spark shuffles hash-partitioned — only
+  same-bucket candidates ever meet; the self-join is hinted
+  shuffle_hash so both sides share one Exchange (ReusedExchange ⇒ the
+  signature pipeline runs once, and broadcast is impossible at the
+  10^12-row design point anyway);
+- candidate verification computes exact Jaccard only on candidate
+  pairs, after semi-join pruning the corpus to documents that appear
+  in some candidate pair;
 - SimHash packs a document into one 64-bit integer; near-dup lookup is
   a band-join on 16-bit chunks (Hamming ≤ 3 ⇒ some chunk matches by
   pigeonhole).

@@ -43,6 +43,14 @@ def get_session(
         # batch of clips fits comfortably in a python worker
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
+        # one BLAS/OMP thread per Python worker: N workers each spawning
+        # a full BLAS thread pool (spinning barriers) collapses aggregate
+        # throughput as N grows — measured 12s -> 85s on the audio stage
+        # going local[8] -> local[32] before this pin
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,83 @@
+"""Physical-plan hygiene gates (SURVEY.md §4): these assert properties
+of the OPTIMIZED/PHYSICAL plan, not results — regressions here are
+invisible at test scale but fatal at 100 TB.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark import fixtures as fx
+from jschon_spark.pipeline import validate_clips_rows
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hyg") / "clips.parquet")
+    pdf = fx.gen_clips_batch(np.arange(500), audio=True)
+    spark.createDataFrame(pdf, schema=fx.CLIPS_DDL).write.partitionBy("part_id").mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_metadata_validation_never_reads_audio_bytes(spark, clips_path):
+    """The per-row keyword stage must column-prune the audio payload out
+    of its parquet scan — reading `bytes` for a metadata check would be
+    a 1000x I/O regression at the design scale."""
+    clips = spark.read.parquet(clips_path)
+    v = validate_clips_rows(clips).select("clip_id", "valid")
+    plan = _plan(v)
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "bytes" not in read_schema, read_schema
+
+
+def test_validation_predicates_are_codegen(spark, clips_path):
+    """Compiled keyword predicates must sit inside WholeStageCodegen
+    (JVM, vectorized) — no Python evaluation in the hot path."""
+    clips = spark.read.parquet(clips_path)
+    v = validate_clips_rows(clips)
+    plan = _plan(v)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A keyword-derived filter over a scanned column must appear in
+    PushedFilters on the parquet scan."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = orders.where(F.col("o_totalprice") >= 1000).select("o_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+
+
+def test_referential_check_broadcasts_small_dim(spark):
+    """Cardinality-driven join strategy: a small dim side must be
+    broadcast (no shuffle of the fact table)."""
+    from jschon_spark.operators.table_checks import referential_check
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = referential_check(orders, cust, "o_custkey", "c_custkey")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_flag_summary_partial_aggregation(spark, clips_path):
+    """The per-partition flag rollup must partial-aggregate map-side
+    (HashAggregate before AND after the exchange) so the shuffle carries
+    one partial row per task, not raw rows."""
+    from jschon_spark.output import flag_summary
+
+    clips = spark.read.parquet(clips_path)
+    plan = _plan(flag_summary(validate_clips_rows(clips), "part_id"))
+    assert plan.count("HashAggregate") >= 2
