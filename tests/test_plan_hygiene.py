@@ -45,7 +45,8 @@ def test_validation_predicates_are_codegen(spark, clips_path):
     clips = spark.read.parquet(clips_path)
     v = validate_clips_rows(clips)
     plan = _plan(v)
-    assert "WholeStageCodegen" in plan
+    # `*(n)` is the WholeStageCodegen marker in the compact plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
