@@ -843,17 +843,26 @@ class Compiler:
 
     # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --
 
-    def _coverage_sources(self, schema: dict) -> list[tuple[Any, Any]]:
-        """(guard_schema, subschema) pairs whose annotations can cover
-        properties/items at this node: self + in-place applicators."""
-        out: list[tuple[Any, Any]] = [(None, schema)]
+    def _coverage_sources(self, schema: dict) -> list[tuple[Any, bool, Any]]:
+        """(guard_schema, negate_guard, subschema) triples whose
+        annotations can cover properties/items at this node: self + all
+        in-place applicators. A branch contributes coverage only when
+        its guard holds at runtime: anyOf/oneOf/allOf branches guard on
+        the branch itself succeeding; `then` guards on `if` succeeding;
+        `else` guards on `if` FAILING (negate=True) — mirroring which
+        Results carry annotations in jschon (jsonschema.py:515-524,
+        applicator.py:97-116)."""
+        out: list[tuple[Any, bool, Any]] = [(None, False, schema)]
         for kw in ("allOf", "anyOf", "oneOf"):
             for sub in schema.get(kw) or []:
                 if isinstance(sub, dict) or sub in (True, False):
-                    out.append((sub, sub))
-        for kw in ("if", "then", "else"):
-            if kw in schema:
-                out.append((schema[kw] if kw != "if" else schema["if"], schema[kw]))
+                    out.append((sub, False, sub))
+        if "if" in schema:
+            out.append((schema["if"], False, schema["if"]))
+            if "then" in schema:
+                out.append((schema["if"], False, schema["then"]))
+            if "else" in schema:
+                out.append((schema["if"], True, schema["else"]))
         if "$ref" in schema:
             target, _ = self.resolve_ref(schema["$ref"])
             if isinstance(target, dict):
@@ -888,7 +897,7 @@ class Compiler:
         success is runtime (Column); coverage within a branch is static.
         Mirrors collect_annotations (jschon/jsonschema.py:515-524)."""
         covered = F.lit(False)
-        for guard, src in self._coverage_sources(schema):
+        for guard, negate, src in self._coverage_sources(schema):
             if not isinstance(src, dict):
                 continue
             static_cover = False
@@ -910,6 +919,8 @@ class Compiler:
             else:
                 gctx = _replace(ctx, depth=ctx.depth + 1)
                 cond = self.apply(guard, gctx).valid
+                if negate:
+                    cond = ~cond
             covered = covered | cond
         return covered
 
@@ -920,7 +931,7 @@ class Compiler:
         # prefixItems cover indices < len
         max_prefix = 0
         all_covered_conds: list[Column] = []
-        for guard, src in self._coverage_sources(schema):
+        for guard, negate, src in self._coverage_sources(schema):
             if not isinstance(src, dict):
                 continue
             covers_all = "items" in src or "contains" in src or "unevaluatedItems" in src and src is not schema
@@ -932,6 +943,8 @@ class Compiler:
             else:
                 gctx = _replace(ctx, depth=ctx.depth + 1)
                 cond = self.apply(guard, gctx).valid
+                if negate:
+                    cond = ~cond
             if covers_all:
                 all_covered_conds.append(cond)
             else:

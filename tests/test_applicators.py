@@ -182,6 +182,49 @@ UNEVALUATED_CASES = [
         {"a": 6},
         True,
     ),
+    # then-branch coverage is guarded by the IF condition, not by the
+    # then-subschema's own validity (applicator.py:97-105 + jsonschema.py:515-524)
+    (
+        {
+            "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+            "then": {"properties": {"extra": {}}},
+            "properties": {"kind": {}},
+            "unevaluatedProperties": False,
+        },
+        {"kind": "a", "extra": "x"},
+        True,
+    ),
+    (
+        {
+            "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+            "then": {"properties": {"extra": {}}},
+            "properties": {"kind": {}},
+            "unevaluatedProperties": False,
+        },
+        {"kind": "b", "extra": "x"},  # if fails → then coverage OFF
+        False,
+    ),
+    # else-branch coverage is guarded by the IF condition FAILING
+    (
+        {
+            "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+            "else": {"properties": {"alt": {}}},
+            "properties": {"kind": {}},
+            "unevaluatedProperties": False,
+        },
+        {"kind": "b", "alt": "x"},
+        True,
+    ),
+    (
+        {
+            "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+            "else": {"properties": {"alt": {}}},
+            "properties": {"kind": {}},
+            "unevaluatedProperties": False,
+        },
+        {"kind": "a", "alt": "x"},  # if passes → else coverage OFF
+        False,
+    ),
     ({"prefixItems": [{}], "unevaluatedItems": False}, [1], True),
     ({"prefixItems": [{}], "unevaluatedItems": False}, [1, 2], False),
     ({"items": {}, "unevaluatedItems": False}, [1, 2], True),
