@@ -48,6 +48,55 @@ def flag_summary(
     )
 
 
+def detailed_output(
+    df: DataFrame,
+    id_cols: list[str],
+    violations_col: str = "violations",
+    max_rows: int = 100,
+) -> list[dict]:
+    """jschon ``detailed`` output for a SAMPLE of failing rows: the flat
+    `basic` violation rows re-nested into the pruned hierarchy keyed by
+    keyword location (reference jschon/output.py:73-103). Tree-shaped
+    and driver-side by design — at table scale the flat violations
+    DataFrame is the product; this is the human-debugging view, so it
+    is capped at ``max_rows`` documents."""
+    rows = (
+        df.where(F.size(violations_col) > 0)
+        .select(*id_cols, F.col(violations_col).alias("_viols"))
+        .limit(max_rows)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        root: dict = {
+            "valid": False,
+            "instanceLocation": "",
+            "keywordLocation": "",
+            "errors": [],
+        }
+        index: dict[str, dict] = {"": root}
+        for v in sorted(r["_viols"], key=lambda v: v["keyword_path"]):
+            segs = [s for s in v["keyword_path"].split("/") if s]
+            parent = root
+            prefix = ""
+            # attach under the deepest existing ancestor node
+            for s in segs[:-1]:
+                prefix = f"{prefix}/{s}"
+                if prefix in index:
+                    parent = index[prefix]
+            node = {
+                "valid": False,
+                "instanceLocation": v["instance_path"],
+                "keywordLocation": v["keyword_path"],
+                "error": v["error"],
+            }
+            index[v["keyword_path"]] = node
+            parent.setdefault("errors", []).append(node)
+        ident = {c: r[c] for c in id_cols}
+        out.append({**ident, "result": root})
+    return out
+
+
 def violation_histogram(df: DataFrame, violations_col: str = "violations") -> DataFrame:
     """Counts by (keyword, keyword_path) — a quick profile of what
     failed across the table."""

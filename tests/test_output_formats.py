@@ -1,0 +1,73 @@
+"""Output formatter parity: flag / basic / detailed / histogram shapes
+(reference jschon/output.py:39-103)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.compiler import compile_schema
+from jschon_spark.output import basic_output, detailed_output, flag_summary, violation_histogram
+
+SCHEMA = {
+    "type": "object",
+    "required": ["name"],
+    "properties": {
+        "name": {"type": "string", "minLength": 2},
+        "age": {"type": "integer", "minimum": 0},
+        "tags": {"type": "array", "items": {"pattern": "^[a-z]+$"}, "uniqueItems": True},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def validated(spark):
+    pdf = pd.DataFrame(
+        {
+            "rid": [1, 2, 3, 4],
+            "part": [0, 0, 1, 1],
+            "name": ["ok", "x", None, "fine"],
+            "age": [3, -1, 5, 7],
+            "tags": [["a", "b"], ["a", "a"], ["UP"], []],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="rid long, part int, name string, age long, tags array<string>"
+    )
+    return compile_schema(SCHEMA).validate(df, instance_columns=["name", "age", "tags"])
+
+
+def test_flag_rollup(validated):
+    flag = flag_summary(validated, "part").toPandas().set_index("part")
+    assert not flag.loc[0, "partition_valid"]  # rows 2 fails
+    assert not flag.loc[1, "partition_valid"]  # row 3 fails
+    assert int(flag["n_rows"].sum()) == 4
+    assert int(flag["n_valid"].sum()) == 2  # rows 1 and 4
+
+
+def test_basic_rows(validated):
+    rows = basic_output(validated, ["rid"]).toPandas()
+    by_rid = rows.groupby("rid")["keyword"].apply(set).to_dict()
+    assert by_rid[2] == {"minLength", "minimum", "uniqueItems"}
+    assert by_rid[3] == {"required", "pattern"}
+    assert 1 not in by_rid and 4 not in by_rid
+    # pointer paths are RFC 6901 instance locations
+    paths = set(rows[rows.rid == 3]["instance_path"])
+    assert "/tags/0" in paths
+
+
+def test_detailed_sampled(validated):
+    docs = detailed_output(validated, ["rid"], max_rows=10)
+    assert {d["rid"] for d in docs} == {2, 3}
+    d2 = next(d for d in docs if d["rid"] == 2)
+    assert d2["result"]["valid"] is False
+    kw_locs = {e["keywordLocation"] for e in d2["result"]["errors"]}
+    assert "/properties/name/minLength" in kw_locs
+    # every error node carries instance + keyword locations
+    for e in d2["result"]["errors"]:
+        assert e["keywordLocation"].startswith("/")
+
+
+def test_histogram(validated):
+    h = violation_histogram(validated).toPandas().set_index("keyword")
+    assert int(h.loc["uniqueItems", "n_violations"]) == 1
+    assert int(h.loc["required", "n_violations"]) == 1
