@@ -8,6 +8,13 @@ from jschon_spark.compiler.context import (
     jtype_of,
 )
 from jschon_spark.compiler.core import CompileError, CompiledSchema, Compiler, compile_schema
+from jschon_spark.compiler.catalog import SchemaCatalog
+from jschon_spark.compiler.pointer import (
+    PointerError,
+    json_pointer_get,
+    pointer_get,
+    relative_pointer,
+)
 from jschon_spark.compiler.spark_schema import (
     SchemaDerivationError,
     spark_schema_for,
@@ -29,4 +36,9 @@ __all__ = [
     "SchemaDerivationError",
     "spark_schema_for",
     "validate_json_column",
+    "SchemaCatalog",
+    "PointerError",
+    "json_pointer_get",
+    "pointer_get",
+    "relative_pointer",
 ]

@@ -1,0 +1,75 @@
+"""URI-keyed multi-document schema catalog.
+
+≙ the reference's ``Catalog`` (jschon/catalog/__init__.py:70-391): a
+registry of schema documents keyed by canonical URI plus URI-prefix
+sources that lazily load documents from local directories
+(``LocalSource``, catalog/__init__.py:26-46 — no network in the target
+environment, so there is deliberately no RemoteSource). Compiled
+schemas are cached per URI, mirroring ``Catalog.get_schema``'s cache
+(catalog/__init__.py:313-368): compile once, validate many.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+from urllib.parse import urldefrag
+
+
+class SchemaCatalog:
+    def __init__(self) -> None:
+        self._docs: dict[str, Any] = {}
+        self._sources: list[tuple[str, str, str]] = []  # (uri_prefix, dir, suffix)
+        self._compiled: dict[str, Any] = {}
+
+    def add_schema(self, doc: Any, uri: Optional[str] = None) -> str:
+        """Register a schema document under ``uri`` (default: its $id)."""
+        uri = uri or (doc.get("$id") if isinstance(doc, dict) else None)
+        if not uri:
+            raise ValueError("schema document needs a $id or an explicit uri")
+        key = urldefrag(uri).url
+        self._docs[key] = doc
+        return key
+
+    def add_directory_source(self, uri_prefix: str, directory: str, suffix: str = ".json") -> None:
+        """Map a URI prefix to a local directory: ``{prefix}foo`` loads
+        ``{directory}/foo{suffix}`` on first reference (longest-prefix
+        match order, ≙ add_uri_source/LocalSource)."""
+        self._sources.append((uri_prefix, directory, suffix))
+        self._sources.sort(key=lambda s: -len(s[0]))
+
+    def lookup(self, uri: str) -> Optional[Any]:
+        """Resolve a canonical (fragmentless) URI to a document, loading
+        from a directory source on miss."""
+        key = urldefrag(uri).url
+        if key in self._docs:
+            return self._docs[key]
+        for prefix, directory, suffix in self._sources:
+            if key.startswith(prefix):
+                rel = key[len(prefix):]
+                path = os.path.join(directory, rel + suffix)
+                if os.path.exists(path):
+                    with open(path) as f:
+                        doc = json.load(f)
+                    self._docs[key] = doc
+                    return doc
+        return None
+
+    def compile(self, uri_or_doc: Any, **kw):
+        """Compile a registered URI (cached) or an ad-hoc document with
+        this catalog resolving its external $refs."""
+        from jschon_spark.compiler.core import CompileError, CompiledSchema
+
+        if isinstance(uri_or_doc, str):
+            key = urldefrag(uri_or_doc).url
+            cache_key = (key, tuple(sorted(kw.items())))
+            if cache_key in self._compiled:
+                return self._compiled[cache_key]
+            doc = self.lookup(key)
+            if doc is None:
+                raise CompileError(f"unknown schema uri {uri_or_doc!r}")
+            compiled = CompiledSchema(doc, catalog=self, **kw)
+            self._compiled[cache_key] = compiled
+            return compiled
+        return CompiledSchema(uri_or_doc, catalog=self, **kw)

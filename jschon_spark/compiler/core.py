@@ -52,6 +52,7 @@ class CompileError(Exception):
 # dependency graph is fixed in 2020-12.
 _ORDER = [
     "$ref",
+    "$dynamicRef",
     "type",
     "enum",
     "const",
@@ -130,6 +131,7 @@ class Compiler:
         assert_formats: bool = False,
         format_validators: Optional[dict[str, Callable[[Ctx], Column]]] = None,
         max_depth: int = _MAX_DEPTH,
+        catalog: Optional[Any] = None,
     ):
         self.root = root
         self.assert_formats = assert_formats
@@ -139,6 +141,9 @@ class Compiler:
         self.max_depth = max_depth
         # URI → (schema_node, canonical spath); ≙ Catalog schema cache
         self.registry: dict[str, tuple[Any, str]] = {}
+        # $dynamicAnchor name → [(node, spath)] in document (outermost-first) order
+        self.dynamic_anchors: dict[str, list[tuple[Any, str]]] = {}
+        self.catalog = catalog  # SchemaCatalog for cross-document $ref
         self.base_uri = ""
         if isinstance(root, dict):
             self.base_uri = urldefrag(root.get("$id", "")).url
@@ -154,6 +159,8 @@ class Compiler:
             for akw in ("$anchor", "$dynamicAnchor"):
                 if isinstance(node.get(akw), str):
                     self.registry[urldefrag(base).url + "#" + node[akw]] = (node, spath)
+            if isinstance(node.get("$dynamicAnchor"), str):
+                self.dynamic_anchors.setdefault(node["$dynamicAnchor"], []).append((node, spath))
             for k, v in node.items():
                 if k in ("enum", "const", "default", "examples"):
                     continue
@@ -176,6 +183,17 @@ class Compiler:
                 raise CompileError(f"$ref pointer {pointer!r} does not resolve")
         return node
 
+    def _load_external(self, uri: str) -> None:
+        """Pull an external document from the catalog into this
+        compiler's registry (≙ Catalog.get_schema loading + caching,
+        jschon/catalog/__init__.py:313-368)."""
+        if self.catalog is None:
+            return
+        doc = self.catalog.lookup(uri)
+        if doc is not None:
+            self.registry.setdefault(uri, (doc, ""))
+            self._index(doc, uri, "")
+
     def resolve_ref(self, ref: str) -> tuple[Any, str]:
         """$ref → (target schema node, canonical spath). Compile-time
         inlining replaces jschon's two-phase resolve (jschon/vocabulary/
@@ -183,10 +201,14 @@ class Compiler:
         uri, frag = urldefrag(urljoin(self.base_uri, ref))
         if frag and not frag.startswith("/"):
             key = uri + "#" + frag
+            if key not in self.registry and uri and uri != self.base_uri:
+                self._load_external(uri)
             if key in self.registry:
                 return self.registry[key]
             raise CompileError(f"unresolvable $anchor reference {ref!r}")
         if uri and uri != self.base_uri:
+            if uri not in self.registry:
+                self._load_external(uri)
             if uri in self.registry:
                 doc, spath = self.registry[uri]
                 if frag:
@@ -828,6 +850,29 @@ class Compiler:
 
     def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
         target, spath = self.resolve_ref(value)
+        rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
+        return self.apply(target, rctx)
+
+    def _k_dynamicRef(self, value, schema, ctx: Ctx, results) -> Compiled:
+        """$dynamicRef: resolves like $ref, then rebinds to the OUTERMOST
+        $dynamicAnchor of the same name in dynamic scope
+        (jschon/vocabulary/core.py:121-169). With a static schema tree
+        and a single anchor carrier the dynamic-scope lattice collapses
+        — the rebind target is static and inlines like $ref (SURVEY
+        §2.3). Multiple carriers would require the runtime scope stack:
+        explicit CompileError rather than silently wrong results."""
+        _, frag = urldefrag(urljoin(self.base_uri, value))
+        cands = self.dynamic_anchors.get(frag, []) if frag else []
+        if not cands:
+            # no dynamic anchor of that name → plain $ref behavior
+            return self._k_ref(value, schema, ctx, results)
+        if len(cands) > 1:
+            raise CompileError(
+                f"$dynamicRef {value!r}: {len(cands)} $dynamicAnchor carriers — "
+                "dynamic-scope rebinding is not static; split the schema or "
+                "inline the intended target"
+            )
+        target, spath = cands[0]
         rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
         return self.apply(target, rctx)
 

@@ -1,0 +1,164 @@
+"""Multi-document catalog, $dynamicRef static lattice, and JSON Pointer
+utilities (reference Catalog: jschon/catalog/__init__.py:70-391,
+$dynamicRef: jschon/vocabulary/core.py:121-169, JSONPointer:
+jschon/jsonpointer.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jschon_spark.compiler import (
+    CompileError,
+    PointerError,
+    SchemaCatalog,
+    json_pointer_get,
+    pointer_get,
+    relative_pointer,
+)
+from jschon_spark.testing import check_case
+
+
+# -- cross-document $ref ----------------------------------------------------
+
+
+def test_cross_document_ref(spark):
+    cat = SchemaCatalog()
+    cat.add_schema({"$id": "https://ex.dev/defs", "$defs": {"pos": {"minimum": 0}}})
+    main = {
+        "$id": "https://ex.dev/main",
+        "properties": {"x": {"$ref": "https://ex.dev/defs#/$defs/pos"}},
+    }
+    compiled = cat.compile(main)
+    df = spark.createDataFrame([Row(x=5), Row(x=-5)], "x long")
+    out = compiled.validate(df, instance_columns=["x"]).select("x", "valid").collect()
+    got = {r.x: r.valid for r in out}
+    assert got == {5: True, -5: False}
+
+
+def test_cross_document_anchor_and_relative_uri(spark):
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {"$id": "https://ex.dev/lib", "$defs": {"s": {"$anchor": "short", "maxLength": 3}}}
+    )
+    main = {"$id": "https://ex.dev/main", "$ref": "lib#short"}
+    compiled = cat.compile(main)
+    df = spark.createDataFrame([Row(v="ab"), Row(v="abcd")], "v string")
+    from jschon_spark.compiler import Ctx
+
+    c = compiled.columns(T.StringType(), F.col("v"))
+    out = df.select(F.col("v"), c.valid.alias("ok")).collect()
+    assert {r.v: r.ok for r in out} == {"ab": True, "abcd": False}
+
+
+def test_directory_source(spark, tmp_path):
+    (tmp_path / "money.json").write_text(
+        json.dumps({"$id": "https://ex.dev/src/money", "type": "number", "minimum": 0})
+    )
+    cat = SchemaCatalog()
+    cat.add_directory_source("https://ex.dev/src/", str(tmp_path))
+    compiled = cat.compile("https://ex.dev/src/money")
+    assert compiled is cat.compile("https://ex.dev/src/money")  # cached
+    c = compiled.columns(T.DoubleType(), F.col("v"))
+    df = spark.createDataFrame([Row(v=1.0), Row(v=-1.0)], "v double")
+    out = {r.v: r.ok for r in df.select("v", c.valid.alias("ok")).collect()}
+    assert out == {1.0: True, -1.0: False}
+
+
+def test_unknown_uri_raises():
+    cat = SchemaCatalog()
+    with pytest.raises(CompileError):
+        cat.compile("https://nowhere.dev/missing")
+
+
+# -- $dynamicRef ------------------------------------------------------------
+
+
+def test_dynamic_ref_single_anchor(spark):
+    # classic recursive-list bookending with ONE dynamicAnchor carrier:
+    # statically resolvable (SURVEY §2.3)
+    schema = {
+        "$id": "https://ex.dev/tree",
+        "$dynamicAnchor": "node",
+        "properties": {
+            "v": {"type": "integer", "minimum": 0},
+            "child": {"$dynamicRef": "#node"},
+        },
+    }
+    check_case(spark, schema, {"v": 1, "child": {"v": 2, "child": None}}, True)
+    check_case(spark, schema, {"v": 1, "child": {"v": -2, "child": None}}, False)
+
+
+def test_dynamic_ref_without_anchor_is_plain_ref(spark):
+    schema = {
+        "$defs": {"pos": {"$anchor": "pos", "minimum": 0}},
+        "$dynamicRef": "#pos",  # no $dynamicAnchor anywhere → $ref semantics
+    }
+    check_case(spark, schema, 3, True)
+    check_case(spark, schema, -3, False)
+
+
+def test_dynamic_ref_multiple_carriers_refuses():
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.compiler.context import Ctx
+
+    schema = {
+        "$defs": {
+            "a": {"$dynamicAnchor": "meta", "type": "integer"},
+            "b": {"$dynamicAnchor": "meta", "type": "string"},
+        },
+        "$dynamicRef": "#meta",
+    }
+    with pytest.raises(CompileError, match="dynamic-scope"):
+        compile_schema(schema).columns(T.LongType(), F.lit(1))
+
+
+# -- JSON Pointer -----------------------------------------------------------
+
+
+def test_pointer_get_typed(spark):
+    dtype = T.StructType(
+        [
+            T.StructField("a", T.StructType([T.StructField("b~/x", T.LongType())])),
+            T.StructField("xs", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(a=Row(**{"b~/x": 7}), xs=["p", "q"], m={"k": 9})], dtype
+    )
+    col, dt = pointer_get(F.struct(*[F.col(f.name).alias(f.name) for f in dtype.fields]), dtype, "/a/b~0~1x")
+    assert dt == T.LongType()
+    assert df.select(col.alias("v")).collect()[0].v == 7
+    col, _ = pointer_get(F.struct(F.col("xs").alias("xs")), T.StructType([dtype["xs"]]), "/xs/1")
+    assert df.select(col.alias("v")).collect()[0].v == "q"
+    col, _ = pointer_get(F.struct(F.col("m").alias("m")), T.StructType([dtype["m"]]), "/m/k")
+    assert df.select(col.alias("v")).collect()[0].v == 9
+    with pytest.raises(PointerError):
+        pointer_get(F.col("a"), dtype, "/nope")
+
+
+def test_json_pointer_get_string_col(spark):
+    df = spark.createDataFrame([Row(j='{"a": {"b": [10, 20]}}')], "j string")
+    v = df.select(json_pointer_get(F.col("j"), "/a/b/1").alias("v")).collect()[0].v
+    assert v == "20"
+
+
+def test_relative_pointer_arithmetic():
+    # reference jschon/jsonpointer.py:358-392 example semantics
+    base = "/foo/1"
+    assert relative_pointer(base, "0") == "/foo/1"
+    assert relative_pointer(base, "1") == "/foo"
+    assert relative_pointer(base, "2") == ""
+    assert relative_pointer(base, "0/bar") == "/foo/1/bar"
+    assert relative_pointer(base, "1/baz") == "/foo/baz"
+    assert relative_pointer(base, "0-1") == "/foo/0"
+    assert relative_pointer(base, "0+1") == "/foo/2"
+    assert relative_pointer(base, "0#") == "1"
+    assert relative_pointer(base, "1#") == "foo"
+    with pytest.raises(PointerError):
+        relative_pointer(base, "3")
+    with pytest.raises(PointerError):
+        relative_pointer(base, "/no-up-count")
