@@ -12,9 +12,21 @@ the driver-side compiler (≙ jschon's schema compilation,
 reference jschon/jsonschema.py:110-119, re-imagined as Column builders).
 """
 
-from jschon_spark.compiler import CompileError, compile_schema
+from jschon_spark.compiler import (
+    CompileError,
+    SchemaCatalog,
+    compile_schema,
+    validate_json_column,
+)
 from jschon_spark.session import get_session
 
 __version__ = "0.1.0"
 
-__all__ = ["compile_schema", "CompileError", "get_session", "__version__"]
+__all__ = [
+    "compile_schema",
+    "CompileError",
+    "SchemaCatalog",
+    "validate_json_column",
+    "get_session",
+    "__version__",
+]

@@ -1020,13 +1020,36 @@ def _fmt_regex(pattern: str) -> Callable[[Ctx], Column]:
 
 _BUILTIN_FORMATS: dict[str, Callable[[Ctx], Column]] = {
     "json-pointer": _fmt_regex(_JSON_POINTER_RE),
+    "relative-json-pointer": _fmt_regex(r"^(0|[1-9][0-9]*)([+-](0|[1-9][0-9]*))?(#|(/([^/~]|~[01])*)*)$"),
     "date": lambda ctx: F.try_to_timestamp(ctx.col, F.lit("yyyy-MM-dd")).isNotNull(),
     "date-time": lambda ctx: F.try_to_timestamp(
         F.regexp_replace(ctx.col, r"[Zz]$", "+00:00"), F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
     ).isNotNull(),
+    "time": _fmt_regex(
+        r"^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+    ),
+    "duration": _fmt_regex(
+        r"^P(([0-9]+Y)?([0-9]+M)?([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?|[0-9]+W)$"
+    ),
     "ipv4": _fmt_regex(r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
+    # pragmatic RFC 4291 subset: full/:: -compressed hex groups, no zones
+    "ipv6": _fmt_regex(
+        r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,7}:|"
+        r"([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}|"
+        r"([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}|"
+        r"([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})|"
+        r":((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+    ),
+    "hostname": _fmt_regex(
+        r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+        r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+    ),
+    "uri": _fmt_regex(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"),
+    "uri-reference": _fmt_regex(r"^[^\s]*$"),
     "uuid": _fmt_regex(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
     "email": _fmt_regex(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    # "regex" (is-this-a-valid-pattern) is not expressible as a Column
+    # predicate — left annotate-only like every unknown format
 }
 
 
