@@ -224,6 +224,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, query, k=10, round_digits=4)
 
 
+def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-probe hyperplane-LSH ANN (scale path; brute force is the
+    # recall oracle — on THESE uniformly random synthetic embeddings the
+    # neighbor structure is weak, so probe radius trades scan fraction
+    # for recall; real clustered embeddings recall far better) —
+    # rows-only check
+    from jschon_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    return ann_topk_lsh(emb, query, k=10, n_planes=10, max_probe_hamming=3)
+
+
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH hyperplanes — rows-only check
     from jschon_spark.operators.similarity import embedding_near_duplicates
@@ -359,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,
