@@ -148,8 +148,12 @@ def _estimated_rows(df: DataFrame) -> Optional[int]:
     """Cheap cardinality estimate from the optimized plan statistics
     (parquet row-count metadata — no job)."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        return int(plan.stats().rowCount().getOrElse(lambda: None) or plan.stats().sizeInBytes() // 64)
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        # fall back to a size-based estimate (~64 B/row for key columns)
+        return int(stats.sizeInBytes()) // 64
     except Exception:
         return None
 
