@@ -688,18 +688,33 @@ class Compiler:
             )
         return combine(parts) if parts else None
 
-    def _per_element(self, ctx: Ctx, sub: Any, spath_suffix: str, start: int = 0) -> tuple[Column, Column]:
+    def _per_element(
+        self,
+        ctx: Ctx,
+        sub: Any,
+        spath_suffix: str,
+        start: int = 0,
+        skip_fn: Optional[Callable[[Column, Column], Column]] = None,
+    ) -> tuple[Column, Column]:
         """(valid, viols) of ``sub`` applied to elements [start:] —
-        single HOF pass building struct(ok, v) per element."""
+        single HOF pass building struct(ok, v) per element.
+
+        ``skip_fn(x, i)`` — optional per-element gate: elements for which
+        it returns true pass vacuously (used by unevaluatedItems to skip
+        elements covered by sibling annotations)."""
 
         def mk(x: Column, i: Column) -> Column:
             cctx = ctx.element(x, i)
             cctx = _replace(cctx, spath=ctx.spath + spath_suffix)
             c = self.apply(sub, cctx)
             body = F.struct(c.valid.alias("ok"), c.viols.alias("v"))
-            if start > 0:
+            gate: Optional[Column] = (i >= start) if start > 0 else None
+            if skip_fn is not None:
+                not_skipped = ~F.coalesce(skip_fn(x, i), F.lit(False))
+                gate = not_skipped if gate is None else gate & not_skipped
+            if gate is not None:
                 return F.when(
-                    i >= start, body
+                    gate, body
                 ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v")))
             return body
 
@@ -888,31 +903,62 @@ class Compiler:
 
     # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --
 
-    def _coverage_sources(self, schema: dict) -> list[tuple[Any, bool, Any]]:
-        """(guard_schema, negate_guard, subschema) triples whose
-        annotations can cover properties/items at this node: self + all
-        in-place applicators. A branch contributes coverage only when
-        its guard holds at runtime: anyOf/oneOf/allOf branches guard on
-        the branch itself succeeding; `then` guards on `if` succeeding;
-        `else` guards on `if` FAILING (negate=True) — mirroring which
-        Results carry annotations in jschon (jsonschema.py:515-524,
-        applicator.py:97-116)."""
-        out: list[tuple[Any, bool, Any]] = [(None, False, schema)]
+    def _coverage_sources(
+        self, schema: dict, _seen: Optional[set[int]] = None
+    ) -> list[tuple[list[tuple[Any, bool]], Any]]:
+        """(guards, subschema) pairs whose annotations can cover
+        properties/items at this node: self + all in-place applicators.
+        ``guards`` is a conjunction of (guard_schema, negate) pairs that
+        must ALL hold at runtime for the source's annotations to be
+        collected — mirroring jschon's rule that annotations flow only
+        from *valid* results (jsonschema.py:515-524, applicator.py:97-116):
+        anyOf/oneOf/allOf branches guard on the branch itself succeeding;
+        `then` guards on `if` AND `then` succeeding; `else` on `if`
+        failing (negate) AND `else` succeeding."""
+        if _seen is None:
+            _seen = set()
+        if id(schema) in _seen:
+            return []
+        _seen.add(id(schema))
+        out: list[tuple[list[tuple[Any, bool]], Any]] = [([], schema)]
         for kw in ("allOf", "anyOf", "oneOf"):
             for sub in schema.get(kw) or []:
                 if isinstance(sub, dict) or sub in (True, False):
-                    out.append((sub, False, sub))
+                    out.append(([(sub, False)], sub))
         if "if" in schema:
-            out.append((schema["if"], False, schema["if"]))
+            out.append(([(schema["if"], False)], schema["if"]))
             if "then" in schema:
-                out.append((schema["if"], False, schema["then"]))
+                out.append(([(schema["if"], False), (schema["then"], False)], schema["then"]))
             if "else" in schema:
-                out.append((schema["if"], True, schema["else"]))
-        if "$ref" in schema:
-            target, _ = self.resolve_ref(schema["$ref"])
-            if isinstance(target, dict):
-                out.extend(self._coverage_sources(target))
+                out.append(([(schema["if"], True), (schema["else"], False)], schema["else"]))
+        for refkw in ("$ref", "$dynamicRef"):
+            if refkw in schema:
+                target = self._resolve_source_ref(refkw, schema[refkw])
+                if isinstance(target, dict):
+                    out.extend(self._coverage_sources(target, _seen))
         return out
+
+    def _resolve_source_ref(self, refkw: str, value: str) -> Any:
+        """Resolve a $ref/$dynamicRef for annotation-coverage purposes
+        (same targets _k_ref/_k_dynamicRef would inline)."""
+        if refkw == "$dynamicRef":
+            _, frag = urldefrag(urljoin(self.base_uri, value))
+            cands = self.dynamic_anchors.get(frag, []) if frag else []
+            if len(cands) == 1:
+                return cands[0][0]
+            if len(cands) > 1:
+                return None  # multi-carrier handled by _k_dynamicRef's error
+        target, _ = self.resolve_ref(value)
+        return target
+
+    def _guard_cond(self, ctx: Ctx, guards: list[tuple[Any, bool]]) -> Column:
+        """Runtime conjunction of a coverage source's guards."""
+        cond = F.lit(True)
+        for guard, negate in guards:
+            gctx = _replace(ctx, depth=ctx.depth + 1)
+            g = self.apply(guard, gctx).valid
+            cond = cond & (~g if negate else g)
+        return cond
 
     def _k_unevaluatedProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.StructType):
@@ -942,7 +988,7 @@ class Compiler:
         success is runtime (Column); coverage within a branch is static.
         Mirrors collect_annotations (jschon/jsonschema.py:515-524)."""
         covered = F.lit(False)
-        for guard, negate, src in self._coverage_sources(schema):
+        for guards, src in self._coverage_sources(schema):
             if not isinstance(src, dict):
                 continue
             static_cover = False
@@ -957,47 +1003,54 @@ class Compiler:
                 pats = [re.compile(p) for p in (src.get("patternProperties") or {})]
                 if name not in known and not any(p.search(name) for p in pats):
                     static_cover = True
+            if not static_cover and "unevaluatedProperties" in src and src is not schema:
+                static_cover = True
             if not static_cover:
                 continue
-            if guard is None:
-                cond = F.lit(True)
-            else:
-                gctx = _replace(ctx, depth=ctx.depth + 1)
-                cond = self.apply(guard, gctx).valid
-                if negate:
-                    cond = ~cond
-            covered = covered | cond
+            covered = covered | self._guard_cond(ctx, guards)
         return covered
 
     def _k_unevaluatedItems(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
+        """Per-element annotation coverage (jschon/vocabulary/
+        applicator.py:190-232): ``items``/nested ``unevaluatedItems``
+        cover every element, ``prefixItems`` covers indices < len, and
+        ``contains`` covers ONLY the elements its subschema matches
+        (applicator.py:235-250) — each gated on its source's runtime
+        guard (branch/if-then-else validity)."""
         if not isinstance(ctx.dtype, T.ArrayType):
             return None
-        # static coverage: items/contains anywhere in scope cover everything;
-        # prefixItems cover indices < len
-        max_prefix = 0
-        all_covered_conds: list[Column] = []
-        for guard, negate, src in self._coverage_sources(schema):
+        all_covered = F.lit(False)  # whole-array coverage, hoisted out of the HOF
+        partial: list[tuple[Column, int, Any]] = []  # (guard_cond, n_prefix, contains_sub)
+        for guards, src in self._coverage_sources(schema):
             if not isinstance(src, dict):
                 continue
-            covers_all = "items" in src or "contains" in src or "unevaluatedItems" in src and src is not schema
+            covers_all = "items" in src or ("unevaluatedItems" in src and src is not schema)
             n_prefix = len(src.get("prefixItems") or [])
-            if not covers_all and n_prefix == 0:
+            contains_sub = src["contains"] if "contains" in src else None
+            if not covers_all and n_prefix == 0 and contains_sub is None:
                 continue
-            if guard is None:
-                cond = F.lit(True)
-            else:
-                gctx = _replace(ctx, depth=ctx.depth + 1)
-                cond = self.apply(guard, gctx).valid
-                if negate:
-                    cond = ~cond
+            cond = self._guard_cond(ctx, guards)
             if covers_all:
-                all_covered_conds.append(cond)
+                all_covered = all_covered | cond
             else:
-                max_prefix = max(max_prefix, n_prefix)  # approximation: unconditional prefix cover
-        all_covered = F.lit(False)
-        for c in all_covered_conds:
-            all_covered = all_covered | c
-        valid_elems, viols_elems = self._per_element(ctx, value, "/unevaluatedItems", start=max_prefix)
+                partial.append((cond, n_prefix, contains_sub))
+
+        def skip_fn(x: Column, i: Column) -> Column:
+            cov = F.lit(False)
+            for cond, n_prefix, contains_sub in partial:
+                here = F.lit(False)
+                if n_prefix > 0:
+                    here = here | (i < F.lit(n_prefix))
+                if contains_sub is not None:
+                    ectx = ctx.element(x, i)
+                    ectx = _replace(ectx, spath=ctx.spath + "/contains")
+                    here = here | F.coalesce(self.apply(contains_sub, ectx).valid, F.lit(False))
+                cov = cov | (cond & here)
+            return cov
+
+        valid_elems, viols_elems = self._per_element(
+            ctx, value, "/unevaluatedItems", skip_fn=skip_fn if partial else None
+        )
         applies = ctx.col.isNotNull() & ~all_covered
         return Compiled(
             F.when(applies, valid_elems).otherwise(F.lit(True)),

@@ -182,8 +182,9 @@ UNEVALUATED_CASES = [
         {"a": 6},
         True,
     ),
-    # then-branch coverage is guarded by the IF condition, not by the
-    # then-subschema's own validity (applicator.py:97-105 + jsonschema.py:515-524)
+    # then-branch coverage is guarded by the IF condition AND the then
+    # subschema itself validating (annotations flow only from valid
+    # results: applicator.py:97-105 + jsonschema.py:515-524)
     (
         {
             "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
@@ -229,6 +230,70 @@ UNEVALUATED_CASES = [
     ({"prefixItems": [{}], "unevaluatedItems": False}, [1, 2], False),
     ({"items": {}, "unevaluatedItems": False}, [1, 2], True),
     ({"unevaluatedItems": {"minimum": 0}}, [1, -2], False),
+    # contains covers ONLY the matched indices (applicator.py:235-250):
+    # "a" is evaluated, "b" is not → unevaluatedItems:false fails
+    ({"contains": {"const": "a"}, "unevaluatedItems": False}, ["a", "b"], False),
+    ({"contains": {"const": "a"}, "unevaluatedItems": False}, ["a", "a"], True),
+    (
+        {"contains": {"const": "a"}, "unevaluatedItems": {"const": "b"}},
+        ["a", "b", "a"],
+        True,
+    ),
+    (
+        {"contains": {"const": "a"}, "unevaluatedItems": {"const": "b"}},
+        ["a", "c"],
+        False,
+    ),
+    # prefixItems coverage inside a branch is gated on the branch guard:
+    # the if fails on ["b"], so its prefixItems annotation is NOT collected
+    (
+        {"if": {"prefixItems": [{"const": "a"}]}, "unevaluatedItems": False},
+        ["b"],
+        False,
+    ),
+    (
+        {"if": {"prefixItems": [{"const": "a"}]}, "unevaluatedItems": False},
+        ["a"],
+        True,
+    ),
+    # then-branch prefix coverage follows the if outcome
+    (
+        {
+            "prefixItems": [{}],
+            "if": {"prefixItems": [{"const": "a"}]},
+            "then": {"prefixItems": [{}, {}]},
+            "unevaluatedItems": False,
+        },
+        ["a", "x"],
+        True,
+    ),
+    (
+        {
+            "prefixItems": [{}],
+            "if": {"prefixItems": [{"const": "a"}]},
+            "then": {"prefixItems": [{}, {}]},
+            "unevaluatedItems": False,
+        },
+        ["b", "x"],
+        False,
+    ),
+    # anyOf branch contains-coverage only from the succeeding branch
+    (
+        {
+            "anyOf": [{"contains": {"const": "a"}}, {"contains": {"const": "z"}}],
+            "unevaluatedItems": False,
+        },
+        ["a"],
+        True,
+    ),
+    (
+        {
+            "anyOf": [{"contains": {"const": "a"}}, {"minItems": 1}],
+            "unevaluatedItems": False,
+        },
+        ["q"],  # first branch fails; second covers nothing
+        False,
+    ),
 ]
 
 
