@@ -246,14 +246,24 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic fake extractor over binary payloads — rows-only
+    # deterministic fake extractor over binary payloads — rows-only.
+    # The features array is serialized to a stable string (the driver's
+    # canonicalizer sorts scalar columns; raw array<float> breaks it).
     from jschon_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_features(docs)
+    feats = extract_features(docs)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_sha1",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.round(x.cast("double"), 5).cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +410,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_flag": f"""
             SELECT o_orderstatus,
                    count(*) AS n_rows,
-                   sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
+                   CAST(sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN {_ORDERS_VALID_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
             FROM orders GROUP BY o_orderstatus
         """,
         "validate_orders_violations": """
@@ -427,7 +437,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_quantity)::double, 6) AS max_qty,
                    round(min(l_extendedprice)::double, 6) AS min_price,
                    round(max(l_extendedprice)::double, 6) AS max_price,
-                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_null_returnflag
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_returnflag
             FROM lineitem
         """,
         "distinct_counts": """
