@@ -92,7 +92,7 @@ def brute_force_topk_pandas(
 # -- random hyperplane LSH ---------------------------------------------------
 
 
-def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+def hyperplanes_np(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (counter-hash normals) —
     same planes on every executor/run without shipping state."""
     idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
@@ -100,7 +100,36 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]
     # Box-Muller for gaussian-ish normals
     u2 = (_splitmix64(idx ^ np.uint64(0xDEADBEEF)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     g = np.sqrt(-2.0 * np.log(np.clip(u, 1e-12, 1))) * np.cos(2 * np.pi * u2)
-    return g.reshape(n_planes, dim).tolist()
+    return g.reshape(n_planes, dim)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    return hyperplanes_np(dim, n_planes, seed).tolist()
+
+
+def banded_signature_udf(bands: int, bits_per_band: int, seed: int = 7):
+    """Arrow-batched banded hyperplane signatures: one matmul per batch
+    computes all ``bands * bits_per_band`` sign bits, packed into one
+    long per band. The dim is taken from the batch itself — no
+    driver-side dim sniffing — and the planes are regenerated
+    deterministically per worker (counter-hash, no state shipped)."""
+    n_planes = bands * bits_per_band
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        planes = hyperplanes_np(m.shape[1], n_planes, seed)
+        bits = (m @ planes.T) >= 0  # (batch, n_planes)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        per_band = [
+            bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights for b in range(bands)
+        ]
+        vals = np.stack(per_band, axis=1)  # (batch, bands)
+        return pd.Series(list(vals))
+
+    return sigs
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -127,11 +156,13 @@ def ann_topk_lsh(
     n_planes: int = 12,
     max_probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose LSH bucket is within
-    ``max_probe_hamming`` bits of the query's bucket (multi-probe).
-    The bucket filter is a cheap long-valued predicate pushed ahead of
-    the expensive cosine; at scale the table would be written bucketed
-    by signature so the probe prunes files."""
+    """Approximate top-k over an UNINDEXED DataFrame: score only rows
+    whose LSH bucket is within ``max_probe_hamming`` bits of the
+    query's bucket (multi-probe). The bucket filter is a cheap
+    long-valued predicate pushed ahead of the expensive cosine — but it
+    still scans every row to compute the signature. The scale path is
+    ``write_ann_index`` + ``ann_topk_indexed``, where the signature is
+    materialized as a partition column and the probe prunes files."""
     dim = len(list(query))
     planes = hyperplanes(dim, n_planes)
     qv = list(query)
@@ -152,28 +183,165 @@ def ann_topk_lsh(
 
 def embedding_near_duplicates(
     df: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join +
-    exact cosine verification of same-bucket candidates only."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = int(first[0]["d"]) if first else 0
-    planes = hyperplanes(dim, n_planes)
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH
+    (OR-amplification, same pigeonhole pattern as dedup.simhash):
+    a pair is a candidate if ANY of the ``bands`` per-band signatures
+    collide. At the defaults (8 bands x 8 bits), P(candidate) at
+    cos >= 0.9 is 1-(1-0.856^8)^8 ~ 0.93 vs ~0.28 for the old single
+    12-bit signature. Candidates are verified with exact cosine; only
+    candidate rows' vectors are shuffled (band join carries ids+longs).
+
+    At 100 TB: the band join shuffles (id, band_id, long) — 20 bytes a
+    row — and the full-vector shuffle is proportional to the candidate
+    set. Raise ``bits_per_band`` to keep per-bucket row counts bounded
+    as the corpus grows (recall is then restored by adding bands)."""
     vec = F.col(vec_col).cast("array<double>")
-    sigs = df.select(F.col(id_col), vec.alias("v"), lsh_signature(vec, planes).alias("sig"))
-    l, r = sigs.alias("l"), sigs.alias("r")
-    return (
+    sig_udf = banded_signature_udf(bands, bits_per_band, seed)
+    sigs = df.select(F.col(id_col), sig_udf(vec).alias("bsig"))
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode("bsig").alias("band_id", "bucket")
+    )
+    # shuffle_hash self-join → identical Exchanges → signature pipeline
+    # computed once (ReusedExchange); broadcast would recompute per side
+    l = buckets.hint("shuffle_hash").alias("l")
+    r = buckets.hint("shuffle_hash").alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.sig") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), vec.alias("v"))
+    a = vecs.join(cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "semi").select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = vecs.join(cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "semi").select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# -- materialized ANN index (bucketed layout, file-pruned probes) ------------
+
+
+def flat_signature_udf(n_planes: int, seed: int = 7):
+    """Arrow-batched single-long hyperplane signature (bit i = sign of
+    dot(vec, plane_i)); one matmul per batch."""
+
+    @pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vecs.to_numpy())
+        planes = hyperplanes_np(m.shape[1], n_planes, seed)
+        bits = (m @ planes.T) >= 0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def query_signature(query: Sequence[float], n_planes: int, seed: int = 7) -> int:
+    qv = np.asarray(list(query), dtype=np.float64)
+    planes = hyperplanes_np(len(qv), n_planes, seed)
+    bits = (planes @ qv) >= 0
+    return int(bits @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+
+def probe_signatures(q_sig: int, n_planes: int, max_hamming: int) -> list[int]:
+    """All signatures within Hamming distance ``max_hamming`` of the
+    query's — the multi-probe bucket list, enumerated driver-side
+    (sum of C(n_planes, h) values, e.g. 176 for 10 planes, radius 3)."""
+    from itertools import combinations
+
+    out = []
+    for h in range(max_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            s = q_sig
+            for b in flips:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> None:
+    """Materialize the LSH signature as a PARTITION column: one
+    directory per bucket, so a probe reads only matching files
+    (PartitionFilters in the scan — no full-table signature pass per
+    query). ``repartition("sig")`` keeps it to ~1 file per bucket.
+
+    At 100 TB this is the Iceberg table's hidden-partitioning /
+    bucket-transform layout; parquet partitionBy gives the same
+    pruning semantics in this sandbox."""
+    import json as _json
+    import os
+
+    sig = flat_signature_udf(n_planes, seed)
+    (
+        df.withColumn("sig", sig(F.col(vec_col).cast("array<double>")))
+        .repartition("sig")
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        _json.dump({"n_planes": n_planes, "seed": seed, "vec_col": vec_col, "id_col": id_col}, f)
+
+
+def read_ann_meta(path: str) -> dict:
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        return _json.load(f)
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """Multi-probe ANN over a materialized index: enumerate the probe
+    buckets driver-side, then ``sig IN (...)`` — a partition-column
+    predicate, so the scan lists only the matching bucket directories.
+    Exact cosine + top-k run over the pruned fraction
+    (~sum_h C(n,h)/2^n of the table; 17% for 10 planes, radius 3)."""
+    meta = read_ann_meta(path)
+    n_planes, seed = meta["n_planes"], meta["seed"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q_sig = query_signature(query, n_planes, seed)
+    probes = probe_signatures(q_sig, n_planes, max_probe_hamming)
+    df = spark.read.parquet(path).where(F.col("sig").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(F.col(id_col), F.round(cosine(vec, q), 6).alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)

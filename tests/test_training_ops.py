@@ -129,6 +129,53 @@ def test_embedding_near_duplicates(spark):
     assert (0, 20) in pairs
 
 
+def test_embedding_near_dup_recall(spark):
+    """Banded LSH must find >= 0.9 of the pairs brute force finds at the
+    threshold (the old single-signature scheme recalled ~28%)."""
+    rng = np.random.default_rng(5)
+    n_base, dim = 60, 16
+    base = rng.normal(size=(n_base, dim))
+    dups = base[:30] + rng.normal(size=(30, dim)) * 0.22
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    norms = np.linalg.norm(vecs.astype(np.float64), axis=1)
+    sims = (vecs.astype(np.float64) @ vecs.astype(np.float64).T) / np.outer(norms, norms)
+    truth = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if round(sims[i, j], 6) >= 0.9
+    }
+    assert len(truth) >= 20  # the planting actually produced near-dups
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    found = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(df, threshold=0.9).collect()
+    }
+    assert not found - truth  # exact verification: no false positives
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_ann_indexed_prunes_and_recalls(spark, tmp_path):
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "ann_index")
+    similarity.write_ann_index(df, path, n_planes=8)
+    query = (vecs[11] + rng.normal(size=16) * 0.01).tolist()
+    out = similarity.ann_topk_indexed(spark, path, query, k=5, max_probe_hamming=3)
+    # the probe is a partition-column predicate → file pruning, and the
+    # scan must NOT read the full 2^8 bucket space
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    got = [r.vec_id for r in out.collect()]
+    assert 11 in got  # true NN survives the probe
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, query, k=1).collect()]
+    assert exact[0] == 11
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [("m1", b"\x00\x01payload"), ("m2", b""), ("m1b", b"\x00\x01payload")]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
