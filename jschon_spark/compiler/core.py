@@ -44,7 +44,16 @@ from jschon_spark.compiler.context import (
 
 
 class CompileError(Exception):
-    """Schema cannot be compiled to Spark expressions."""
+    """Schema cannot be compiled to Spark expressions.
+
+    ``violations`` (when set) lists metaschema violations as structured
+    (pointer-path, keyword, message) records — ≙ the JSONSchemaError
+    jschon raises from its metaschema self-check
+    (jschon/jsonschema.py:187-189)."""
+
+    def __init__(self, msg: str, violations: Optional[list] = None):
+        super().__init__(msg)
+        self.violations = violations or []
 
 
 # Keyword evaluation order ≙ jschon's depends_on toposort
@@ -132,7 +141,29 @@ class Compiler:
         format_validators: Optional[dict[str, Callable[[Ctx], Column]]] = None,
         max_depth: int = _MAX_DEPTH,
         catalog: Optional[Any] = None,
+        validate_schema: bool = True,
     ):
+        from jschon_spark.compiler.legacy import rewrite_legacy
+        from jschon_spark.compiler.metaschema import check_schema_document
+
+        if isinstance(root, dict):
+            # normalize 2019-09/draft-07 forms first (tuple items etc.),
+            # then metaschema-check the 2020-12 document — mirroring the
+            # reference's validate-before-use (jschon/jsonschema.py:187-189,
+            # catalog self-check jschon/catalog/__init__.py:233-237).
+            # NB: JSON-pointer $refs into rewritten positions
+            # (e.g. "#/items/0" for tuple items) must use the 2020-12
+            # spelling ("#/prefixItems/0").
+            root = rewrite_legacy(root)
+        self.validate_schema = validate_schema
+        if validate_schema:
+            viols = check_schema_document(root)
+            if viols:
+                lines = "\n".join(f"  {v.path or '/'}: {v.message}" for v in viols)
+                raise CompileError(
+                    f"schema failed metaschema validation ({len(viols)} violation(s)):\n{lines}",
+                    violations=viols,
+                )
         self.root = root
         self.assert_formats = assert_formats
         self.format_validators = dict(_BUILTIN_FORMATS)
@@ -191,6 +222,19 @@ class Compiler:
             return
         doc = self.catalog.lookup(uri)
         if doc is not None:
+            from jschon_spark.compiler.legacy import rewrite_legacy
+            from jschon_spark.compiler.metaschema import check_schema_document
+
+            if isinstance(doc, dict):
+                doc = rewrite_legacy(doc)
+            if self.validate_schema:
+                viols = check_schema_document(doc)
+                if viols:
+                    lines = "\n".join(f"  {v.path or '/'}: {v.message}" for v in viols)
+                    raise CompileError(
+                        f"external schema {uri!r} failed metaschema validation:\n{lines}",
+                        violations=viols,
+                    )
             self.registry.setdefault(uri, (doc, ""))
             self._index(doc, uri, "")
 
@@ -876,9 +920,15 @@ class Compiler:
         — the rebind target is static and inlines like $ref (SURVEY
         §2.3). Multiple carriers would require the runtime scope stack:
         explicit CompileError rather than silently wrong results."""
+        from jschon_spark.compiler.legacy import _RECURSIVE_NAME
+
         _, frag = urldefrag(urljoin(self.base_uri, value))
         cands = self.dynamic_anchors.get(frag, []) if frag else []
         if not cands:
+            if frag == _RECURSIVE_NAME:
+                # rewritten $recursiveRef:"#" with no $recursiveAnchor
+                # carrier anywhere → plain self-reference (legacy.py:15-52)
+                return self._k_ref("#", schema, ctx, results)
             # no dynamic anchor of that name → plain $ref behavior
             return self._k_ref(value, schema, ctx, results)
         if len(cands) > 1:
@@ -1114,8 +1164,10 @@ class CompiledSchema:
     """
 
     def __init__(self, schema: Any, assert_formats: bool = False, **kw):
-        self.schema = schema
         self.compiler = Compiler(schema, assert_formats=assert_formats, **kw)
+        # the compiler's root is the legacy-normalized document — use it
+        # so tuple-form items etc. compile in their 2020-12 spelling
+        self.schema = self.compiler.root
 
     def apply(self, ctx: Ctx) -> Compiled:
         return self.compiler.apply(self.schema, ctx)

@@ -1,0 +1,83 @@
+"""Legacy-dialect (2019-09 / draft-07) schema rewriting.
+
+The reference supports older dialects via separate keyword classes
+(jschon/vocabulary/legacy.py:15-151: tuple-form ``items``,
+``additionalItems``, ``$recursiveRef``/``$recursiveAnchor``). Real-world
+schema corpora are full of these, so instead of a parallel keyword
+registry we normalize them into their exact 2020-12 equivalents at
+compile time (the mapping is the one the 2020-12 changelog defines):
+
+- ``items: [s1, s2]``            → ``prefixItems: [s1, s2]``
+- ``additionalItems: s`` (with tuple items) → ``items: s``
+- ``dependencies``               → split into ``dependentRequired`` /
+                                   ``dependentSchemas`` (draft-07)
+- ``$recursiveAnchor: true``     → ``$dynamicAnchor: "__recursive__"``
+- ``$recursiveRef: "#"``         → ``$dynamicRef: "#__recursive__"``
+
+The rewrite is semantics-preserving for 2020-12 documents (which cannot
+legally contain any of these forms), so it is applied unconditionally.
+Recursion is SHAPE-AWARE — it descends only into known subschema
+positions, so a property literally named "items" or "dependencies" is
+never rewritten.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_RECURSIVE_NAME = "__recursive__"
+
+_SUB = {
+    "additionalProperties",
+    "contains",
+    "not",
+    "if",
+    "then",
+    "else",
+    "propertyNames",
+    "unevaluatedItems",
+    "unevaluatedProperties",
+    "contentSchema",
+}
+_SUB_ARRAY = {"prefixItems", "allOf", "anyOf", "oneOf"}
+_SUB_OBJECT = {"properties", "patternProperties", "dependentSchemas", "$defs", "definitions"}
+
+
+def rewrite_legacy(schema: Any) -> Any:
+    """Recursively normalized copy of ``schema`` (input not mutated)."""
+    if not isinstance(schema, dict):
+        return schema
+
+    out: dict[str, Any] = {}
+    for k, v in schema.items():
+        if k == "items":
+            if isinstance(v, list):
+                out["prefixItems"] = [rewrite_legacy(s) for s in v]
+            else:
+                out["items"] = rewrite_legacy(v)
+        elif k == "additionalItems":
+            if isinstance(schema.get("items"), list):
+                out["items"] = rewrite_legacy(v)
+            # else: additionalItems is ignored without tuple items
+            # (reference legacy.py:113-121)
+        elif k == "dependencies" and isinstance(v, dict):
+            req = {n: d for n, d in v.items() if isinstance(d, list)}
+            schemas = {n: rewrite_legacy(d) for n, d in v.items() if not isinstance(d, list)}
+            if req:
+                out.setdefault("dependentRequired", {}).update(req)
+            if schemas:
+                out.setdefault("dependentSchemas", {}).update(schemas)
+        elif k == "$recursiveAnchor":
+            if v is True:
+                out["$dynamicAnchor"] = _RECURSIVE_NAME
+        elif k == "$recursiveRef":
+            out["$dynamicRef"] = "#" + _RECURSIVE_NAME if v == "#" else v
+        elif k in _SUB:
+            out[k] = rewrite_legacy(v)
+        elif k in _SUB_ARRAY and isinstance(v, list):
+            out[k] = [rewrite_legacy(s) for s in v]
+        elif k in _SUB_OBJECT and isinstance(v, dict):
+            out[k] = {n: rewrite_legacy(s) for n, s in v.items()}
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,187 @@
+"""Metaschema validation of input schema documents.
+
+jschon validates every schema against its metaschema before use
+(jschon/jsonschema.py:187-189 ``validate()``; catalog self-check at
+jschon/catalog/__init__.py:233-237) and raises ``JSONSchemaError`` on
+garbage like ``{"minimum": "five"}``. This module re-expresses the
+2020-12 metaschema's per-keyword constraints as driver-side structural
+checks — the schema document is a small Python dict on the driver, so
+no Spark job is needed — and reports EVERY violation with its
+JSON-Pointer path, mirroring the ``basic`` output unit.
+
+The checks follow the 2020-12 vocabulary metaschemas
+(meta/validation, meta/applicator, meta/core), which jschon ships at
+jschon/catalog/json-schema-2020-12/.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from jschon_spark.compiler.context import escape_pointer
+
+_JSON_TYPES = {"null", "boolean", "object", "array", "number", "integer", "string"}
+
+_ANCHOR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9._-]*$")
+
+# keywords whose value is a single subschema
+_SUBSCHEMA_KWS = (
+    "additionalProperties",
+    "items",
+    "contains",
+    "not",
+    "if",
+    "then",
+    "else",
+    "propertyNames",
+    "unevaluatedItems",
+    "unevaluatedProperties",
+    "contentSchema",
+)
+# keywords whose value is a non-empty array of subschemas
+_SUBSCHEMA_ARRAY_KWS = ("prefixItems", "allOf", "anyOf", "oneOf")
+# keywords whose value is an object of subschemas
+_SUBSCHEMA_OBJECT_KWS = ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions")
+
+
+@dataclass(frozen=True)
+class SchemaViolation:
+    path: str  # JSON Pointer into the schema document
+    keyword: str
+    message: str
+
+    def __str__(self) -> str:  # pragma: no cover - repr convenience
+        return f"{self.path or '/'}: {self.message}"
+
+
+def _is_schema(v: Any) -> bool:
+    return isinstance(v, (bool, dict))
+
+
+def _is_number(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _is_nonneg_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool) and v >= 0
+
+
+def _valid_regex(v: Any) -> bool:
+    if not isinstance(v, str):
+        return False
+    try:
+        re.compile(v)
+        return True
+    except re.error:
+        return False
+
+
+def check_schema_document(schema: Any, path: str = "") -> list[SchemaViolation]:
+    """All metaschema violations in ``schema`` (empty list = valid)."""
+    out: list[SchemaViolation] = []
+    _walk(schema, path, out)
+    return out
+
+
+def _err(out: list[SchemaViolation], path: str, kw: str, msg: str) -> None:
+    out.append(SchemaViolation(path, kw, msg))
+
+
+def _walk(schema: Any, path: str, out: list[SchemaViolation]) -> None:
+    if isinstance(schema, bool):
+        return
+    if not isinstance(schema, dict):
+        _err(out, path, "", f"a schema must be a boolean or an object, got {type(schema).__name__}")
+        return
+
+    for kw, v in schema.items():
+        kp = f"{path}/{escape_pointer(kw)}"
+        if kw == "type":
+            vals = [v] if isinstance(v, str) else v
+            if not isinstance(vals, list) or not vals or not all(
+                isinstance(t, str) and t in _JSON_TYPES for t in vals
+            ) or len(set(vals)) != len(vals):
+                _err(out, kp, kw, f"'type' must be one of {sorted(_JSON_TYPES)} or a unique array thereof")
+        elif kw == "enum":
+            if not isinstance(v, list):
+                _err(out, kp, kw, "'enum' must be an array")
+        elif kw == "multipleOf":
+            if not _is_number(v) or v <= 0:
+                _err(out, kp, kw, "'multipleOf' must be a number > 0")
+        elif kw in ("maximum", "minimum", "exclusiveMaximum", "exclusiveMinimum"):
+            if not _is_number(v):
+                _err(out, kp, kw, f"{kw!r} must be a number, got {v!r}")
+        elif kw in (
+            "maxLength",
+            "minLength",
+            "maxItems",
+            "minItems",
+            "maxProperties",
+            "minProperties",
+            "maxContains",
+            "minContains",
+        ):
+            if not _is_nonneg_int(v):
+                _err(out, kp, kw, f"{kw!r} must be a non-negative integer, got {v!r}")
+        elif kw == "pattern":
+            if not _valid_regex(v):
+                _err(out, kp, kw, f"'pattern' must be a valid regular expression string, got {v!r}")
+        elif kw == "required":
+            if not isinstance(v, list) or not all(isinstance(s, str) for s in v) or len(set(v)) != len(v):
+                _err(out, kp, kw, "'required' must be an array of unique strings")
+        elif kw == "dependentRequired":
+            ok = isinstance(v, dict) and all(
+                isinstance(deps, list)
+                and all(isinstance(d, str) for d in deps)
+                and len(set(deps)) == len(deps)
+                for deps in v.values()
+            )
+            if not ok:
+                _err(out, kp, kw, "'dependentRequired' must map property names to arrays of unique strings")
+        elif kw == "uniqueItems":
+            if not isinstance(v, bool):
+                _err(out, kp, kw, "'uniqueItems' must be a boolean")
+        elif kw in _SUBSCHEMA_KWS:
+            if not _is_schema(v):
+                _err(out, kp, kw, f"{kw!r} must be a schema (boolean or object)")
+            else:
+                _walk(v, kp, out)
+        elif kw in _SUBSCHEMA_ARRAY_KWS:
+            if not isinstance(v, list) or not v:
+                _err(out, kp, kw, f"{kw!r} must be a non-empty array of schemas")
+            else:
+                for i, sub in enumerate(v):
+                    if not _is_schema(sub):
+                        _err(out, f"{kp}/{i}", kw, f"{kw!r}[{i}] must be a schema")
+                    else:
+                        _walk(sub, f"{kp}/{i}", out)
+        elif kw in _SUBSCHEMA_OBJECT_KWS:
+            if not isinstance(v, dict):
+                _err(out, kp, kw, f"{kw!r} must be an object of schemas")
+            else:
+                for name, sub in v.items():
+                    np_ = f"{kp}/{escape_pointer(name)}"
+                    if kw == "patternProperties" and not _valid_regex(name):
+                        _err(out, np_, kw, f"patternProperties key {name!r} must be a valid regex")
+                    if not _is_schema(sub):
+                        _err(out, np_, kw, f"{kw}[{name!r}] must be a schema")
+                    else:
+                        _walk(sub, np_, out)
+        elif kw in ("$ref", "$dynamicRef", "$schema", "$comment", "format", "title", "description", "$id"):
+            if not isinstance(v, str):
+                _err(out, kp, kw, f"{kw!r} must be a string")
+        elif kw in ("$anchor", "$dynamicAnchor"):
+            if not isinstance(v, str) or not _ANCHOR_RE.match(v):
+                _err(out, kp, kw, f"{kw!r} must be a string matching {_ANCHOR_RE.pattern}")
+        elif kw == "$vocabulary":
+            if not isinstance(v, dict) or not all(isinstance(b, bool) for b in v.values()):
+                _err(out, kp, kw, "'$vocabulary' must map URIs to booleans")
+        elif kw in ("deprecated", "readOnly", "writeOnly"):
+            if not isinstance(v, bool):
+                _err(out, kp, kw, f"{kw!r} must be a boolean")
+        elif kw == "examples":
+            if not isinstance(v, list):
+                _err(out, kp, kw, "'examples' must be an array")
+        # unknown keywords: annotations, accepted (2020-12 core behavior)

@@ -1,0 +1,129 @@
+"""Metaschema validation + legacy-dialect rewriting.
+
+≙ jschon's validate-before-use (jschon/jsonschema.py:187-189, catalog
+self-check jschon/catalog/__init__.py:233-237) and the 2019-09 keyword
+classes (jschon/vocabulary/legacy.py:15-151)."""
+
+import pytest
+
+from jschon_spark.compiler import compile_schema
+from jschon_spark.compiler.core import CompileError
+from jschon_spark.compiler.legacy import rewrite_legacy
+from jschon_spark.compiler.metaschema import check_schema_document
+from jschon_spark.testing import check_case
+
+BAD_SCHEMAS = [
+    ({"minimum": "five"}, "/minimum"),
+    ({"type": "integr"}, "/type"),
+    ({"type": ["integer", "integer"]}, "/type"),
+    ({"maxLength": -1}, "/maxLength"),
+    ({"maxLength": 2.5}, "/maxLength"),
+    ({"multipleOf": 0}, "/multipleOf"),
+    ({"pattern": "["}, "/pattern"),
+    ({"required": ["a", "a"]}, "/required"),
+    ({"required": "a"}, "/required"),
+    ({"uniqueItems": "yes"}, "/uniqueItems"),
+    ({"properties": {"a": 3}}, "/properties/a"),
+    ({"properties": {"a": {"minimum": "x"}}}, "/properties/a/minimum"),
+    ({"patternProperties": {"[": {}}}, "/patternProperties/["),
+    ({"allOf": []}, "/allOf"),
+    ({"allOf": [{"enum": 5}]}, "/allOf/0/enum"),
+    ({"prefixItems": [{}, "nope"]}, "/prefixItems/1"),
+    ({"dependentRequired": {"a": "b"}}, "/dependentRequired"),
+    ({"$anchor": "9bad"}, "/$anchor"),
+    ({"$ref": 3}, "/$ref"),
+    ({"if": {"then": {"exclusiveMaximum": "x"}}}, "/if/then/exclusiveMaximum"),
+]
+
+
+@pytest.mark.parametrize("schema,path", BAD_SCHEMAS, ids=[p for _, p in BAD_SCHEMAS])
+def test_bad_schema_rejected(schema, path):
+    viols = check_schema_document(schema)
+    assert any(v.path == path for v in viols), viols
+    with pytest.raises(CompileError) as ei:
+        compile_schema(schema)
+    assert ei.value.violations
+    assert path in str(ei.value)
+
+
+def test_good_schemas_accepted():
+    for s in [
+        True,
+        False,
+        {},
+        {"type": ["integer", "string"], "minimum": 3, "pattern": "^a+$"},
+        {"properties": {"items": {"type": "array"}}, "unknownKeyword": 42},
+        {"$defs": {"n": {"type": "number"}}, "$ref": "#/$defs/n"},
+    ]:
+        assert check_schema_document(s) == []
+
+
+def test_validate_schema_opt_out():
+    # garbage compiles to *something* when validation is disabled — the
+    # opt-out exists for callers that pre-validate
+    from jschon_spark.compiler.core import Compiler
+
+    Compiler({"minimum": "five"}, validate_schema=False)
+
+
+# -- legacy rewriting --------------------------------------------------------
+
+
+def test_rewrite_tuple_items():
+    src = {"items": [{"type": "integer"}, {"type": "string"}], "additionalItems": False}
+    out = rewrite_legacy(src)
+    assert out == {
+        "prefixItems": [{"type": "integer"}, {"type": "string"}],
+        "items": False,
+    }
+    # additionalItems without tuple items is dropped (legacy.py:113-121)
+    assert rewrite_legacy({"items": {}, "additionalItems": False}) == {"items": {}}
+
+
+def test_rewrite_shape_aware():
+    # a property literally named "items"/"dependencies" is NOT rewritten
+    src = {
+        "properties": {
+            "items": {"items": [{"type": "integer"}]},
+            "dependencies": {"type": "object"},
+        }
+    }
+    out = rewrite_legacy(src)
+    assert set(out["properties"].keys()) == {"items", "dependencies"}
+    assert out["properties"]["items"] == {"prefixItems": [{"type": "integer"}]}
+    assert out["properties"]["dependencies"] == {"type": "object"}
+
+
+def test_rewrite_dependencies_split():
+    src = {"dependencies": {"a": ["b"], "c": {"required": ["d"]}}}
+    assert rewrite_legacy(src) == {
+        "dependentRequired": {"a": ["b"]},
+        "dependentSchemas": {"c": {"required": ["d"]}},
+    }
+
+
+def test_legacy_tuple_items_end_to_end(spark):
+    schema = {
+        "properties": {
+            "arr": {
+                "items": [{"type": "integer", "minimum": 0}, {"const": 5}],
+                "additionalItems": {"maximum": 10},
+            }
+        }
+    }
+    check_case(spark, schema, {"arr": [1, 5, 7]}, True)
+    check_case(spark, schema, {"arr": [-1, 5]}, False)
+    check_case(spark, schema, {"arr": [1, 4]}, False)
+    check_case(spark, schema, {"arr": [1, 5, 11]}, False)
+
+
+def test_legacy_recursive_ref_no_carrier(spark):
+    # $recursiveRef:"#" with no $recursiveAnchor ≙ $ref:"#"
+    schema = {
+        "properties": {
+            "v": {"type": "integer"},
+            "child": {"$recursiveRef": "#"},
+        }
+    }
+    check_case(spark, schema, {"v": 1, "child": {"v": 2, "child": None}}, True)
+    check_case(spark, schema, {"v": 1, "child": {"v": 2.5, "child": None}}, False)
