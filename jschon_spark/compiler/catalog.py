@@ -48,7 +48,12 @@ class SchemaCatalog:
         for prefix, directory, suffix in self._sources:
             if key.startswith(prefix):
                 rel = key[len(prefix):]
-                path = os.path.join(directory, rel + suffix)
+                path = os.path.realpath(os.path.join(directory, rel + suffix))
+                # containment check: a URI remainder with '..' segments
+                # must not escape the mapped directory
+                root = os.path.realpath(directory)
+                if os.path.commonpath([root, path]) != root:
+                    continue
                 if os.path.exists(path):
                     with open(path) as f:
                         doc = json.load(f)
@@ -64,12 +69,17 @@ class SchemaCatalog:
         if isinstance(uri_or_doc, str):
             key = urldefrag(uri_or_doc).url
             cache_key = (key, tuple(sorted(kw.items())))
-            if cache_key in self._compiled:
+            try:
+                hash(cache_key)
+            except TypeError:
+                cache_key = None  # unhashable kwargs (e.g. dicts) → no cache
+            if cache_key is not None and cache_key in self._compiled:
                 return self._compiled[cache_key]
             doc = self.lookup(key)
             if doc is None:
                 raise CompileError(f"unknown schema uri {uri_or_doc!r}")
             compiled = CompiledSchema(doc, catalog=self, **kw)
-            self._compiled[cache_key] = compiled
+            if cache_key is not None:
+                self._compiled[cache_key] = compiled
             return compiled
         return CompiledSchema(uri_or_doc, catalog=self, **kw)

@@ -55,6 +55,10 @@ class Ctx:
     path   -- Column<string>: JSON-Pointer instance location
     spath  -- static string: schema-relative keyword location prefix
     depth  -- compile recursion depth guard (for $ref cycles)
+    scope  -- outermost-first canonical URIs of the schema RESOURCES
+              entered on this compile path — the static image of
+              jschon's dynamic scope (jschon/jsonschema.py:226-241),
+              consulted by $dynamicRef rebinding
     """
 
     col: Column
@@ -62,6 +66,7 @@ class Ctx:
     path: Column
     spath: str = ""
     depth: int = 0
+    scope: tuple = ()
 
     def child(self, col: Column, dtype: T.DataType, path: Column, spath_suffix: str) -> "Ctx":
         return replace(

@@ -174,10 +174,18 @@ class Compiler:
         self.registry: dict[str, tuple[Any, str]] = {}
         # $dynamicAnchor name → [(node, spath)] in document (outermost-first) order
         self.dynamic_anchors: dict[str, list[tuple[Any, str]]] = {}
+        # id(node) → canonical URI of the schema RESOURCE the node roots
+        # (nodes carrying $id, plus document roots) — lets apply() push
+        # the compile-time dynamic scope (jschon/jsonschema.py:226-241)
+        self.resource_uri: dict[int, str] = {}
+        # (resource URI, anchor name) → (node, spath) for $dynamicAnchor
+        # carriers, keyed by their enclosing resource
+        self.dynamic_in_resource: dict[tuple[str, str], tuple[Any, str]] = {}
         self.catalog = catalog  # SchemaCatalog for cross-document $ref
         self.base_uri = ""
         if isinstance(root, dict):
             self.base_uri = urldefrag(root.get("$id", "")).url
+            self.resource_uri[id(root)] = self.base_uri
             self._index(root, self.base_uri, "")
 
     # -- reference registry ------------------------------------------------
@@ -187,11 +195,15 @@ class Compiler:
             if isinstance(node.get("$id"), str):
                 base = urljoin(base, node["$id"])
                 self.registry[urldefrag(base).url] = (node, spath)
+                self.resource_uri[id(node)] = urldefrag(base).url
             for akw in ("$anchor", "$dynamicAnchor"):
                 if isinstance(node.get(akw), str):
                     self.registry[urldefrag(base).url + "#" + node[akw]] = (node, spath)
             if isinstance(node.get("$dynamicAnchor"), str):
                 self.dynamic_anchors.setdefault(node["$dynamicAnchor"], []).append((node, spath))
+                self.dynamic_in_resource.setdefault(
+                    (urldefrag(base).url, node["$dynamicAnchor"]), (node, spath)
+                )
             for k, v in node.items():
                 if k in ("enum", "const", "default", "examples"):
                     continue
@@ -236,6 +248,7 @@ class Compiler:
                         violations=viols,
                     )
             self.registry.setdefault(uri, (doc, ""))
+            self.resource_uri.setdefault(id(doc), uri)
             self._index(doc, uri, "")
 
     def resolve_ref(self, ref: str) -> tuple[Any, str]:
@@ -275,6 +288,10 @@ class Compiler:
             raise CompileError(
                 f"schema recursion exceeds max depth {self.max_depth} at {ctx.spath!r}"
             )
+        if isinstance(schema, dict):
+            uri = self.resource_uri.get(id(schema))
+            if uri is not None and (not ctx.scope or ctx.scope[-1] != uri):
+                ctx = _replace(ctx, scope=ctx.scope + (uri,))
         if schema is True or schema == {}:
             return Compiled.passed()
         if schema is False:
@@ -913,13 +930,13 @@ class Compiler:
         return self.apply(target, rctx)
 
     def _k_dynamicRef(self, value, schema, ctx: Ctx, results) -> Compiled:
-        """$dynamicRef: resolves like $ref, then rebinds to the OUTERMOST
-        $dynamicAnchor of the same name in dynamic scope
-        (jschon/vocabulary/core.py:121-169). With a static schema tree
-        and a single anchor carrier the dynamic-scope lattice collapses
-        — the rebind target is static and inlines like $ref (SURVEY
-        §2.3). Multiple carriers would require the runtime scope stack:
-        explicit CompileError rather than silently wrong results."""
+        """$dynamicRef: resolves like $ref, then rebinds to the
+        $dynamicAnchor of the same name in the OUTERMOST resource of the
+        dynamic scope (jschon/vocabulary/core.py:121-169). Because refs
+        are inlined, the compile path IS the evaluation path, so
+        ``ctx.scope`` (resources entered, outermost first) is the exact
+        static image of jschon's runtime scope stack — multi-carrier
+        cases (e.g. strict-tree extending tree) rebind correctly."""
         from jschon_spark.compiler.legacy import _RECURSIVE_NAME
 
         _, frag = urldefrag(urljoin(self.base_uri, value))
@@ -931,13 +948,12 @@ class Compiler:
                 return self._k_ref("#", schema, ctx, results)
             # no dynamic anchor of that name → plain $ref behavior
             return self._k_ref(value, schema, ctx, results)
-        if len(cands) > 1:
-            raise CompileError(
-                f"$dynamicRef {value!r}: {len(cands)} $dynamicAnchor carriers — "
-                "dynamic-scope rebinding is not static; split the schema or "
-                "inline the intended target"
-            )
-        target, spath = cands[0]
+        target, spath = cands[0]  # document-order fallback
+        for uri in ctx.scope:  # outermost resource wins
+            hit = self.dynamic_in_resource.get((uri, frag))
+            if hit is not None:
+                target, spath = hit
+                break
         rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
         return self.apply(target, rctx)
 
@@ -954,7 +970,7 @@ class Compiler:
     # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --
 
     def _coverage_sources(
-        self, schema: dict, _seen: Optional[set[int]] = None
+        self, schema: dict, scope: tuple = (), _seen: Optional[set[int]] = None
     ) -> list[tuple[list[tuple[Any, bool]], Any]]:
         """(guards, subschema) pairs whose annotations can cover
         properties/items at this node: self + all in-place applicators.
@@ -983,21 +999,23 @@ class Compiler:
                 out.append(([(schema["if"], True), (schema["else"], False)], schema["else"]))
         for refkw in ("$ref", "$dynamicRef"):
             if refkw in schema:
-                target = self._resolve_source_ref(refkw, schema[refkw])
+                target = self._resolve_source_ref(refkw, schema[refkw], scope)
                 if isinstance(target, dict):
-                    out.extend(self._coverage_sources(target, _seen))
+                    out.extend(self._coverage_sources(target, scope, _seen))
         return out
 
-    def _resolve_source_ref(self, refkw: str, value: str) -> Any:
+    def _resolve_source_ref(self, refkw: str, value: str, scope: tuple = ()) -> Any:
         """Resolve a $ref/$dynamicRef for annotation-coverage purposes
         (same targets _k_ref/_k_dynamicRef would inline)."""
         if refkw == "$dynamicRef":
             _, frag = urldefrag(urljoin(self.base_uri, value))
             cands = self.dynamic_anchors.get(frag, []) if frag else []
-            if len(cands) == 1:
+            if cands:
+                for uri in scope:  # outermost resource wins
+                    hit = self.dynamic_in_resource.get((uri, frag))
+                    if hit is not None:
+                        return hit[0]
                 return cands[0][0]
-            if len(cands) > 1:
-                return None  # multi-carrier handled by _k_dynamicRef's error
         target, _ = self.resolve_ref(value)
         return target
 
@@ -1038,7 +1056,7 @@ class Compiler:
         success is runtime (Column); coverage within a branch is static.
         Mirrors collect_annotations (jschon/jsonschema.py:515-524)."""
         covered = F.lit(False)
-        for guards, src in self._coverage_sources(schema):
+        for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
             static_cover = False
@@ -1071,7 +1089,7 @@ class Compiler:
             return None
         all_covered = F.lit(False)  # whole-array coverage, hoisted out of the HOF
         partial: list[tuple[Column, int, Any]] = []  # (guard_cond, n_prefix, contains_sub)
-        for guards, src in self._coverage_sources(schema):
+        for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
             covers_all = "items" in src or ("unevaluatedItems" in src and src is not schema)

@@ -146,14 +146,24 @@ def spark_schema_for(schema: Any, _root: Any = None, _depth: int = 0) -> T.DataT
     if jtype in _PRIMITIVES:
         return _PRIMITIVES[jtype]
     if jtype == "array":
+        # Spark arrays are homogeneous: EVERY contributing subschema
+        # (each prefixItems entry, plus items) must agree on one element
+        # type — a heterogeneous tuple schema would silently null out
+        # mismatched elements under from_json, so it must raise instead.
+        elem_types: list[T.DataType] = []
         items = schema.get("items")
         if isinstance(items, (dict, bool)) and items is not True:
-            return T.ArrayType(spark_schema_for(items, root, _depth + 1))
-        prefix = schema.get("prefixItems")
-        if prefix:
-            elem = spark_schema_for(prefix[0], root, _depth + 1)
-            return T.ArrayType(elem)
-        raise SchemaDerivationError("array schema without typed items")
+            elem_types.append(spark_schema_for(items, root, _depth + 1))
+        for i, sub in enumerate(schema.get("prefixItems") or []):
+            elem_types.append(spark_schema_for(sub, root, _depth + 1))
+        if not elem_types:
+            raise SchemaDerivationError("array schema without typed items")
+        if any(t != elem_types[0] for t in elem_types[1:]):
+            raise SchemaDerivationError(
+                f"heterogeneous array element types not representable: "
+                f"{[str(t) for t in elem_types]}"
+            )
+        return T.ArrayType(elem_types[0])
     if jtype == "object":
         props = schema.get("properties")
         if props:
@@ -208,9 +218,7 @@ def validate_json_column(
         parsed = F.from_json(F.col(json_col), dtype)
         parse_failed_extra = F.lit(False)
     compiled = compile_schema(schema, assert_formats=assert_formats)
-    c = compiled.compiler.apply(
-        schema, Ctx(col=parsed, dtype=dtype, path=F.lit(""), spath="")
-    )
+    c = compiled.apply(Ctx(col=parsed, dtype=dtype, path=F.lit(""), spath=""))
     parse_failed = (F.col(json_col).isNotNull() & parsed.isNull()) | parse_failed_extra
     parse_viol = F.when(
         parse_failed,

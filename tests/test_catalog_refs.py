@@ -100,10 +100,10 @@ def test_dynamic_ref_without_anchor_is_plain_ref(spark):
     check_case(spark, schema, -3, False)
 
 
-def test_dynamic_ref_multiple_carriers_refuses():
-    from jschon_spark.compiler import compile_schema
-    from jschon_spark.compiler.context import Ctx
-
+def test_dynamic_ref_same_resource_first_carrier_wins(spark):
+    # two carriers in ONE resource: the first in document order is the
+    # resource's registration (jschon registers base#name once;
+    # jschon/catalog/__init__.py:175-189)
     schema = {
         "$defs": {
             "a": {"$dynamicAnchor": "meta", "type": "integer"},
@@ -111,8 +111,82 @@ def test_dynamic_ref_multiple_carriers_refuses():
         },
         "$dynamicRef": "#meta",
     }
-    with pytest.raises(CompileError, match="dynamic-scope"):
-        compile_schema(schema).columns(T.LongType(), F.lit(1))
+    check_case(spark, schema, 1, True)
+    check_case(spark, schema, "x", False)
+
+
+def _eval_with_catalog(spark, compiled, data):
+    from pyspark.sql import Row
+
+    from jschon_spark.testing import _to_row, infer_spark_type
+
+    dtype = infer_spark_type(data)
+    df = spark.createDataFrame(
+        [Row(value=_to_row(data, dtype))], T.StructType([T.StructField("value", dtype, True)])
+    )
+    c = compiled.columns(dtype, F.col("value"))
+    return bool(df.select(c.valid.alias("v")).collect()[0].v)
+
+
+def test_dynamic_ref_strict_tree_multi_carrier(spark):
+    """The canonical multi-carrier case (reference jschon/vocabulary/
+    core.py:121-169; JSON-Schema-Test-Suite dynamicRef strict-tree):
+    strict-tree extends tree via a second $dynamicAnchor 'node'; the
+    $dynamicRef inside tree must rebind to the OUTERMOST carrier, so
+    extra properties on CHILD nodes are rejected under strict-tree but
+    accepted under plain tree."""
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/tree",
+            "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {
+                "data": True,
+                "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+            },
+        }
+    )
+    strict = {
+        "$id": "https://ex.dev/strict-tree",
+        "$dynamicAnchor": "node",
+        "$ref": "tree",
+        "unevaluatedProperties": False,
+    }
+    compiled_strict = cat.compile(strict)
+    good = {"data": 1, "children": [{"data": 2, "children": None}]}
+    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": None}]}
+    assert _eval_with_catalog(spark, compiled_strict, good) is True
+    assert _eval_with_catalog(spark, compiled_strict, bad_child) is False
+    # plain tree has no unevaluatedProperties → same instance passes
+    compiled_tree = cat.compile("https://ex.dev/tree")
+    assert _eval_with_catalog(spark, compiled_tree, bad_child) is True
+
+
+def test_recursive_ref_multi_carrier(spark):
+    # 2019-09 spelling of the same pattern: $recursiveAnchor/$recursiveRef
+    # rewrite to __recursive__ dynamic anchors and follow the same scope
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/rtree",
+            "$recursiveAnchor": True,
+            "type": "object",
+            "properties": {
+                "data": True,
+                "children": {"type": "array", "items": {"$recursiveRef": "#"}},
+            },
+        }
+    )
+    strict = {
+        "$id": "https://ex.dev/rstrict",
+        "$recursiveAnchor": True,
+        "$ref": "rtree",
+        "unevaluatedProperties": False,
+    }
+    compiled = cat.compile(strict)
+    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": None}]}
+    assert _eval_with_catalog(spark, compiled, bad_child) is False
 
 
 # -- JSON Pointer -----------------------------------------------------------

@@ -122,3 +122,53 @@ def test_validate_json_column_instance_paths(spark):
     assert v["instance_path"] == "/k"
     assert v["keyword"] == "minimum"
     assert "/properties/k/minimum" in v["keyword_path"]
+
+
+def test_heterogeneous_prefix_items_raises():
+    # ADVICE: prefixItems [integer, string] must raise, not silently
+    # derive ArrayType(Long) and null out the string elements
+    import pytest
+
+    from jschon_spark.compiler.spark_schema import SchemaDerivationError, spark_schema_for
+
+    with pytest.raises(SchemaDerivationError, match="heterogeneous"):
+        spark_schema_for(
+            {"type": "array", "prefixItems": [{"type": "integer"}, {"type": "string"}]}
+        )
+    with pytest.raises(SchemaDerivationError, match="heterogeneous"):
+        spark_schema_for(
+            {"type": "array", "items": {"type": "number"}, "prefixItems": [{"type": "string"}]}
+        )
+    # agreeing entries still derive
+    import pyspark.sql.types as T
+
+    assert spark_schema_for(
+        {"type": "array", "prefixItems": [{"type": "integer"}, {"type": "integer"}]}
+    ) == T.ArrayType(T.LongType())
+
+
+def test_catalog_path_traversal_rejected(tmp_path):
+    import json as _json
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    inner = tmp_path / "schemas"
+    inner.mkdir()
+    (tmp_path / "secret.json").write_text(_json.dumps({"type": "integer"}))
+    cat = SchemaCatalog()
+    cat.add_directory_source("https://ex.dev/s/", str(inner))
+    assert cat.lookup("https://ex.dev/s/../secret") is None
+
+
+def test_catalog_unhashable_kwargs_skip_cache(tmp_path):
+    import json as _json
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    (tmp_path / "m.json").write_text(_json.dumps({"$id": "https://ex.dev/c/m", "type": "number"}))
+    cat = SchemaCatalog()
+    cat.add_directory_source("https://ex.dev/c/", str(tmp_path))
+    # dict-valued kwarg used to raise TypeError from the cache key
+    c1 = cat.compile("https://ex.dev/c/m", format_validators={})
+    c2 = cat.compile("https://ex.dev/c/m", format_validators={})
+    assert c1 is not c2  # uncached, but works
