@@ -67,6 +67,10 @@ class Ctx:
     spath: str = ""
     depth: int = 0
     scope: tuple = ()
+    # True once compilation enters a higher-order-function lambda: the
+    # node's columns reference lambda variables and cannot be selected
+    # at row scope (verbose tracing skips such subtrees)
+    no_trace: bool = False
 
     def child(self, col: Column, dtype: T.DataType, path: Column, spath_suffix: str) -> "Ctx":
         return replace(

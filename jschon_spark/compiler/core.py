@@ -182,6 +182,9 @@ class Compiler:
         # carriers, keyed by their enclosing resource
         self.dynamic_in_resource: dict[tuple[str, str], tuple[Any, str]] = {}
         self.catalog = catalog  # SchemaCatalog for cross-document $ref
+        # opt-in verbose trace: spath → (schema_node, path Column, Compiled)
+        # for every node applied at row scope (set to {} before apply)
+        self.trace: Optional[dict[str, tuple[Any, Column, Compiled]]] = None
         self.base_uri = ""
         if isinstance(root, dict):
             self.base_uri = urldefrag(root.get("$id", "")).url
@@ -316,7 +319,10 @@ class Compiler:
             results[kw] = out
             if kw not in ("if",):  # `if` never asserts (applicator.py:89-94)
                 parts.append(out)
-        return combine(parts)
+        node = combine(parts)
+        if self.trace is not None and not ctx.no_trace:
+            self.trace.setdefault(ctx.spath, (schema, ctx.path, node))
+        return node
 
     # -- validation keywords (jschon/vocabulary/validation.py) -------------
 
@@ -634,7 +640,7 @@ class Compiler:
                 F.concat(ctx.path, F.lit("/"), e.getField("key")),
                 spath_suffix,
             )
-            return self.apply(sub, cctx)
+            return self.apply(sub, _replace(cctx, no_trace=True))
 
         entries = F.map_entries(ctx.col)
         per_entry = F.transform(
@@ -710,7 +716,7 @@ class Compiler:
         if isinstance(ctx.dtype, T.MapType):
             def child(k: Column) -> Compiled:
                 cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), k), "/propertyNames")
-                return self.apply(value, cctx)
+                return self.apply(value, _replace(cctx, no_trace=True))
 
             keys = F.map_keys(ctx.col)
             valid = F.coalesce(F.forall(keys, lambda k: child(k).valid), F.lit(True))
@@ -766,7 +772,7 @@ class Compiler:
 
         def mk(x: Column, i: Column) -> Column:
             cctx = ctx.element(x, i)
-            cctx = _replace(cctx, spath=ctx.spath + spath_suffix)
+            cctx = _replace(cctx, spath=ctx.spath + spath_suffix, no_trace=True)
             c = self.apply(sub, cctx)
             body = F.struct(c.valid.alias("ok"), c.viols.alias("v"))
             gate: Optional[Column] = (i >= start) if start > 0 else None
@@ -802,7 +808,7 @@ class Compiler:
 
         def pred(x: Column, i: Column) -> Column:
             cctx = ctx.element(x, i)
-            return self.apply(sub, cctx).valid
+            return self.apply(sub, _replace(cctx, no_trace=True)).valid
 
         return F.size(F.filter(ctx.col, lambda x, i: pred(x, i)))
 
@@ -1031,9 +1037,7 @@ class Compiler:
     def _k_unevaluatedProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.StructType):
             if isinstance(ctx.dtype, T.MapType):
-                raise CompileError(
-                    "unevaluatedProperties over open MapType columns is not supported in v0"
-                )
+                return self._unevaluated_props_map(value, schema, ctx)
             return None
         parts = []
         for f in ctx.dtype.fields:
@@ -1049,6 +1053,72 @@ class Compiler:
                 )
             )
         return combine(parts) if parts else None
+
+    def _unevaluated_props_map(self, value, schema: dict, ctx: Ctx) -> Compiled:
+        """unevaluatedProperties over an open MapType column: the key
+        set is dynamic, but each coverage source's key predicate is
+        static (property-name membership / pattern match /
+        additionalProperties covering the rest), so coverage is a
+        per-entry Column gated on the source's runtime guard — the map
+        analogue of applicator.py:333-365."""
+        sources: list[tuple[Column, list[str], list[str], bool]] = []
+        for guards, src in self._coverage_sources(schema, ctx.scope):
+            if not isinstance(src, dict):
+                continue
+            names = list((src.get("properties") or {}).keys())
+            pats = list((src.get("patternProperties") or {}).keys())
+            # additionalProperties evaluates every key the other two
+            # don't, so together the source covers ALL keys
+            covers_all = "additionalProperties" in src or (
+                "unevaluatedProperties" in src and src is not schema
+            )
+            if not names and not pats and not covers_all:
+                continue
+            sources.append((self._guard_cond(ctx, guards), names, pats, covers_all))
+
+        def covered_key(k: Column) -> Column:
+            cov = F.lit(False)
+            for cond, names, pats, covers_all in sources:
+                if covers_all:
+                    here: Column = F.lit(True)
+                else:
+                    here = F.lit(False)
+                    if names:
+                        here = here | k.isin(*names)
+                    for p in pats:
+                        here = here | k.rlike(p)
+                cov = cov | (cond & here)
+            return cov
+
+        vtype = ctx.dtype.valueType
+
+        def child(e: Column) -> Compiled:
+            cctx = ctx.child(
+                e.getField("value"),
+                vtype,
+                F.concat(ctx.path, F.lit("/"), e.getField("key")),
+                "/unevaluatedProperties",
+            )
+            return self.apply(value, _replace(cctx, no_trace=True))
+
+        pass_struct = F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))
+        per_entry = F.transform(
+            F.map_entries(ctx.col),
+            lambda e: F.when(
+                ~F.coalesce(covered_key(e.getField("key")), F.lit(False)),
+                F.struct(child(e).valid.alias("ok"), child(e).viols.alias("v")),
+            ).otherwise(pass_struct),
+        )
+        valid = F.coalesce(F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True))
+        viols = F.coalesce(
+            F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
+            empty_violations(),
+        )
+        applies = ctx.col.isNotNull()
+        return Compiled(
+            F.when(applies, valid).otherwise(F.lit(True)),
+            F.when(applies, viols).otherwise(empty_violations()),
+        )
 
     def _prop_covered(self, schema: dict, ctx: Ctx, name: str) -> Column:
         """Is property ``name`` annotated as evaluated by a sibling
@@ -1111,7 +1181,7 @@ class Compiler:
                     here = here | (i < F.lit(n_prefix))
                 if contains_sub is not None:
                     ectx = ctx.element(x, i)
-                    ectx = _replace(ectx, spath=ctx.spath + "/contains")
+                    ectx = _replace(ectx, spath=ctx.spath + "/contains", no_trace=True)
                     here = here | F.coalesce(self.apply(contains_sub, ectx).valid, F.lit(False))
                 cov = cov | (cond & here)
             return cov
@@ -1169,9 +1239,20 @@ _BUILTIN_FORMATS: dict[str, Callable[[Ctx], Column]] = {
     "uri-reference": _fmt_regex(r"^[^\s]*$"),
     "uuid": _fmt_regex(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
     "email": _fmt_regex(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
-    # "regex" (is-this-a-valid-pattern) is not expressible as a Column
-    # predicate — left annotate-only like every unknown format
+    # idn-email: same pragmatic shape check — the char classes are
+    # negated, so non-ASCII local parts/domains already pass
+    "idn-email": _fmt_regex(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    # iri / iri-reference: the scheme is ASCII, the rest admits
+    # non-ASCII (Java regex [^\s] is unicode-aware)
+    "iri": _fmt_regex(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"),
+    "iri-reference": _fmt_regex(r"^[^\s]*$"),
 }
+
+# Python-backed validators (Arrow-batched; see formats.py limitations)
+from jschon_spark.compiler.formats import is_idn_hostname, is_regex, python_format  # noqa: E402
+
+_BUILTIN_FORMATS["regex"] = python_format(is_regex)
+_BUILTIN_FORMATS["idn-hostname"] = python_format(is_idn_hostname)
 
 
 class CompiledSchema:

@@ -97,6 +97,96 @@ def detailed_output(
     return out
 
 
+_ANNOTATION_KEYS = (
+    "title",
+    "description",
+    "default",
+    "deprecated",
+    "readOnly",
+    "writeOnly",
+    "examples",
+    "format",
+)
+
+
+def verbose_output(
+    schema,
+    df: DataFrame,
+    instance_columns: list[str] | None = None,
+    id_cols: list[str] | None = None,
+    max_rows: int = 10,
+    **compile_kw,
+) -> list[dict]:
+    """jschon ``verbose`` output for a SAMPLE of documents: the FULL
+    result tree — every schema node with its validity, both locations,
+    and its annotation keywords — passing nodes included (reference
+    jschon/output.py:106-126; `detailed` prunes to failures, `verbose`
+    does not).
+
+    Implementation: the compiler re-runs with its trace enabled, which
+    records one (valid, instanceLocation) Column pair per schema node
+    applied at row scope; one Spark job selects them all for
+    ``max_rows`` sampled rows and the tree is nested driver-side by
+    keyword-location prefix. Subtrees compiled inside higher-order
+    function lambdas (array items, map entries) evaluate per-element
+    and cannot be selected at row scope — they are summarized by their
+    parent node. Driver-side and sampled by design: the flat
+    violations DataFrame is the at-scale product; this is the
+    human-debugging view.
+    """
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler.context import Ctx
+    from jschon_spark.compiler.core import Compiler
+
+    comp = Compiler(schema, **compile_kw)
+    comp.trace = {}
+    cols = instance_columns or [c for c in df.columns if c not in (id_cols or [])]
+    dtype = T.StructType([df.schema[c] for c in cols])
+    root_col = F.struct(*[F.col(c).alias(c) for c in cols])
+    comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+
+    entries = sorted(comp.trace.items())  # (spath, (schema_node, path, compiled))
+    sel_cols = list(id_cols or [])
+    for i, (_, (_, path_col, compiled)) in enumerate(entries):
+        sel_cols.append(compiled.valid.alias(f"__v{i}"))
+        sel_cols.append(path_col.alias(f"__p{i}"))
+    rows = df.select(*sel_cols).limit(max_rows).collect()
+
+    out = []
+    for r in rows:
+        index: dict[str, dict] = {}
+        roots: list[dict] = []
+        for i, (spath, (node_schema, _, _)) in enumerate(entries):
+            node: dict = {
+                "valid": bool(r[f"__v{i}"]),
+                "keywordLocation": spath or "",
+                "instanceLocation": r[f"__p{i}"] or "",
+            }
+            if isinstance(node_schema, dict):
+                ann = {k: node_schema[k] for k in _ANNOTATION_KEYS if k in node_schema}
+                if ann:
+                    node["annotations"] = ann
+            index[spath] = node
+            # deepest traced ancestor by keyword-location prefix
+            parent = None
+            segs = [s for s in spath.split("/") if s != ""]
+            prefix = ""
+            for s in segs[:-1]:
+                prefix = f"{prefix}/{s}"
+                if prefix in index:
+                    parent = index[prefix]
+            if spath and "" in index:
+                parent = parent or index[""]
+            if parent is not None and parent is not node:
+                parent.setdefault("results", []).append(node)
+            else:
+                roots.append(node)
+        ident = {c: r[c] for c in id_cols or []}
+        out.append({**ident, "result": roots[0] if roots else {}})
+    return out
+
+
 def violation_histogram(df: DataFrame, violations_col: str = "violations") -> DataFrame:
     """Counts by (keyword, keyword_path) — a quick profile of what
     failed across the table."""

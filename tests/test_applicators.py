@@ -337,3 +337,51 @@ def test_ref_cycle_raises(spark):
 
     with _pytest.raises(CompileError):
         evaluate_instance(spark, {"$ref": "#"}, 1)
+
+
+def test_unevaluated_properties_maptype(spark):
+    """unevaluatedProperties over open MapType columns (dynamic key
+    set): coverage by properties/patternProperties/additionalProperties
+    per entry — applicator.py:333-365's map analogue."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import compile_schema
+
+    dtype = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame(
+        [
+            Row(m={"a": 1, "b": 2}),
+            Row(m={"a": 1, "x_extra": 3}),
+            Row(m={"zz": 9}),
+            Row(m=None),
+        ],
+        T.StructType([T.StructField("m", dtype, True)]),
+    )
+
+    def run(schema):
+        c = compile_schema(schema).columns(dtype, F.col("m"))
+        rows = df.select(F.col("m"), c.valid.alias("ok")).collect()
+        return [r.ok for r in rows]
+
+    # properties covers a/b; anything else is unevaluated
+    s1 = {"properties": {"a": {}, "b": {}}, "unevaluatedProperties": False}
+    assert run(s1) == [True, False, False, True]
+    # patternProperties coverage
+    s2 = {"properties": {"a": {}, "b": {}}, "patternProperties": {"^x_": {}}, "unevaluatedProperties": False}
+    assert run(s2) == [True, True, False, True]
+    # unevaluatedProperties with a subschema applies to uncovered entries
+    s3 = {"properties": {"a": {}}, "unevaluatedProperties": {"maximum": 2}}
+    assert run(s3) == [True, False, False, True]
+    # additionalProperties in an allOf branch covers everything
+    s4 = {"allOf": [{"additionalProperties": {}}], "unevaluatedProperties": False}
+    assert run(s4) == [True, True, True, True]
+    # conditional coverage: the then-branch's patternProperties only
+    # cover when the if holds
+    s5 = {
+        "if": {"required": ["a"]},
+        "then": {"patternProperties": {"": {}}},
+        "unevaluatedProperties": False,
+    }
+    assert run(s5) == [True, True, False, True]

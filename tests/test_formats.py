@@ -46,3 +46,24 @@ def test_format_annotate_only_by_default(spark):
 
 def test_unknown_format_never_asserts(spark):
     check_case(spark, {"format": "made-up-format"}, "anything", True, assert_formats=True)
+
+
+def test_format_regex(spark):
+    # jschon format registry 'regex' (vocabulary/format.py:47-66)
+    check_case(spark, {"format": "regex"}, "^a[bc]+$", True, assert_formats=True)
+    check_case(spark, {"format": "regex"}, "[", False, assert_formats=True)
+    check_case(spark, {"format": "regex"}, "(unclosed", False, assert_formats=True)
+
+
+def test_format_idn_hostname(spark):
+    check_case(spark, {"format": "idn-hostname"}, "bücher.example", True, assert_formats=True)
+    check_case(spark, {"format": "idn-hostname"}, "example.com", True, assert_formats=True)
+    check_case(spark, {"format": "idn-hostname"}, "-bad-.example", False, assert_formats=True)
+    check_case(spark, {"format": "idn-hostname"}, "", False, assert_formats=True)
+
+
+def test_format_iri_family(spark):
+    check_case(spark, {"format": "iri"}, "https://bücher.example/päth", True, assert_formats=True)
+    check_case(spark, {"format": "iri"}, "not a uri", False, assert_formats=True)
+    check_case(spark, {"format": "idn-email"}, "dörte@sörensen.example", True, assert_formats=True)
+    check_case(spark, {"format": "idn-email"}, "no-at-sign", False, assert_formats=True)

@@ -71,3 +71,41 @@ def test_histogram(validated):
     h = violation_histogram(validated).toPandas().set_index("keyword")
     assert int(h.loc["uniqueItems", "n_violations"]) == 1
     assert int(h.loc["required", "n_violations"]) == 1
+
+
+def test_verbose_output(spark):
+    """Golden-shape test mirroring /root/reference/tests/test_output.py's
+    verbose fixtures: full result tree, passing nodes included, with
+    annotations and both locations per node."""
+    from pyspark.sql import Row
+
+    from jschon_spark.output import verbose_output
+
+    schema = {
+        "title": "doc",
+        "properties": {
+            "name": {"title": "the name", "type": "string", "minLength": 2},
+            "age": {"type": "integer", "minimum": 0},
+        },
+        "required": ["name"],
+    }
+    df = spark.createDataFrame(
+        [Row(id=1, name="ok", age=3), Row(id=2, name="x", age=-1)],
+        "id long, name string, age long",
+    )
+    out = verbose_output(schema, df, instance_columns=["name", "age"], id_cols=["id"], max_rows=10)
+    assert len(out) == 2
+    by_id = {o["id"]: o["result"] for o in out}
+    root1, root2 = by_id[1], by_id[2]
+    # root node: annotations surface, validity per document
+    assert root1["valid"] is True and root2["valid"] is False
+    assert root1["annotations"] == {"title": "doc"}
+    assert root1["keywordLocation"] == "" and root1["instanceLocation"] == ""
+    # child nodes present INCLUDING passing ones (verbose, not detailed)
+    kids1 = {n["keywordLocation"]: n for n in root1["results"]}
+    assert "/properties/name" in kids1 and kids1["/properties/name"]["valid"] is True
+    assert kids1["/properties/name"]["annotations"] == {"title": "the name"}
+    assert kids1["/properties/name"]["instanceLocation"] == "/name"
+    kids2 = {n["keywordLocation"]: n for n in by_id[2]["results"]}
+    assert kids2["/properties/name"]["valid"] is False  # minLength 2
+    assert kids2["/properties/age"]["valid"] is False  # minimum 0
