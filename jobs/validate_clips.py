@@ -13,10 +13,15 @@ via --py-files):
 Local smoke: spark-submit --master "local[4]" --py-files jschon_spark.zip ...
 
 Behavior: partitions already recorded in the manifest are skipped
-(anti-join; the part_id filter prunes parquet directories), each
-completed partition appends one manifest row with lineage + metrics,
-and violations / flag / audio results land under --out as parquet.
-Rerunning after a crash resumes exactly where the previous run stopped.
+(anti-join; the part_id filter prunes parquet directories), violations /
+flag / audio results land under --out as parquet tagged with this run's
+run_id, and ONLY THEN does each completed partition append its manifest
+row (lineage + metrics) — the manifest append is the commit point.
+Writes are therefore at-least-once: a crash between the output writes
+and the manifest append leaves orphan output rows whose run_id never
+reached the manifest, and the rerun reprocesses those partitions under
+a new run_id. Read results through `manifest.read_committed` (semi-join
+on (part_id, run_id)) for exactly-once visibility.
 """
 
 from __future__ import annotations
@@ -50,14 +55,16 @@ def main(argv=None) -> int:
     clips = spark.read.parquet(args.clips)
 
     if args.manifest:
+        from jschon_spark.pipeline import select_pending
+
         all_parts = clips.select(args.partition_col).distinct()
         pending = mf.pending_partitions(spark, args.manifest, all_parts)
-        parts = sorted(r[0] for r in pending.collect())
-        if not parts:
+        clips, parts, n_pending = select_pending(clips, pending, args.partition_col)
+        if n_pending == 0:
             print("validate_clips: manifest complete, nothing to do")
             return 0
-        clips = clips.where(F.col(args.partition_col).isin(parts))
-        print(f"validate_clips: processing {len(parts)} pending partitions: {parts}")
+        print(f"validate_clips: processing {n_pending} pending partitions"
+              + (f": {parts}" if parts and len(parts) <= 50 else ""))
 
     transcripts = spark.read.parquet(args.transcripts) if args.transcripts else None
     run_id = args.run_id or mf.new_run_id()
@@ -70,18 +77,25 @@ def main(argv=None) -> int:
         partition_col=args.partition_col,
     )
 
-    out["violations"].write.mode("append").parquet(f"{args.out}/violations")
-    out["flag"].write.mode("append").parquet(f"{args.out}/flag")
-    out["stats"].write.mode("append").parquet(f"{args.out}/column_stats")
-    out["duplicates"].write.mode("append").parquet(f"{args.out}/duplicate_clip_ids")
+    # every output row carries the run_id; rows become visible to
+    # committed readers only after the manifest append below
+    def _write(df, name):
+        df.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(f"{args.out}/{name}")
+
+    _write(out["violations"], "violations")
+    _write(out["flag"], "flag")
+    _write(out["stats"], "column_stats")
+    _write(out["duplicates"], "duplicate_clip_ids")
     if not args.no_audio:
-        out["audio_violations"].write.mode("append").parquet(f"{args.out}/audio_violations")
-        out["audio_flag"].write.mode("append").parquet(f"{args.out}/audio_flag")
+        _write(out["audio_violations"], "audio_violations")
+        _write(out["audio_flag"], "audio_flag")
         out["audio"].unpersist()
     if transcripts is not None:
-        out["missing_transcripts"].write.mode("append").parquet(f"{args.out}/missing_transcripts")
+        _write(out["missing_transcripts"], "missing_transcripts")
 
     if args.manifest:
+        # COMMIT: one manifest row per completed partition, after all
+        # output appends succeeded
         mf.append_results(spark, args.manifest, out["flag"], run_id=run_id, source_path=args.clips)
     print(f"validate_clips: run {run_id} complete")
     return 0

@@ -68,3 +68,23 @@ def append_results(
 
 def new_run_id() -> str:
     return f"run-{int(time.time() * 1000):x}"
+
+
+def read_committed(
+    spark: SparkSession,
+    manifest_path: str,
+    outputs: DataFrame,
+    partition_col: str = "part_id",
+) -> DataFrame:
+    """Filter an output table down to COMMITTED rows.
+
+    Output parquet is append-only and written BEFORE the manifest row
+    (see append_results callers), so a crash mid-run leaves orphan
+    output rows tagged with a run_id that never reached the manifest.
+    The manifest append is the commit point: semi-joining outputs on
+    (partition, run_id) against it makes exactly-once reads out of
+    at-least-once writes — the Iceberg-snapshot pattern in miniature.
+    The manifest is one row per partition, so the join side broadcasts.
+    """
+    committed = read_manifest(spark, manifest_path).select(partition_col, "run_id").distinct()
+    return outputs.join(F.broadcast(committed), [partition_col, "run_id"], "semi")

@@ -127,17 +127,46 @@ def run_resumable(
        + source path, metrics = flag counts).
 
     Crash-and-rerun resumes where the previous run stopped; an empty
-    pending set is a no-op."""
+    pending set is a no-op.
+
+    Semantics: output/manifest appends are at-least-once, but the
+    manifest row is the COMMIT — readers use ``manifest.read_committed``
+    to see exactly-once results (orphan rows from a crashed run carry a
+    run_id the manifest never recorded)."""
     from jschon_spark import manifest as mf
 
     clips = spark.read.parquet(clips_path)
     all_parts = clips.select(partition_col).distinct()
     pending = mf.pending_partitions(spark, manifest_path, all_parts)
-    parts = sorted(r[0] for r in pending.collect())
-    if not parts:
-        return {"run_id": run_id, "processed_partitions": []}
+    subset, parts, n_pending = select_pending(clips, pending, partition_col)
+    if n_pending == 0:
+        return {"run_id": run_id, "n_partitions": 0, "processed_partitions": []}
     run_id = run_id or mf.new_run_id()
-    subset = clips.where(F.col(partition_col).isin(parts))
     flags = flag_summary(validate_clips_rows(subset, schema), partition_col)
     mf.append_results(spark, manifest_path, flags, run_id=run_id, source_path=clips_path)
-    return {"run_id": run_id, "processed_partitions": parts}
+    return {"run_id": run_id, "n_partitions": n_pending, "processed_partitions": parts}
+
+
+# below this many pending partitions the literal IN-list is planned as a
+# static partition filter (directory pruning at plan time); above it the
+# list would bloat the plan, so a broadcast semi-join (runtime DPP) is
+# used instead and the partition ids are not collected to the driver
+MAX_INLINE_PARTITIONS = 10_000
+
+
+def select_pending(
+    clips: DataFrame, pending: DataFrame, partition_col: str = "part_id"
+) -> tuple[DataFrame, Optional[list], int]:
+    """(pending-only clips, partition list or None, pending count).
+
+    Small frontiers inline as an ``isin`` partition filter — statically
+    pruned directories. Large frontiers (1e5 partitions at 10^12 rows)
+    stay distributed: broadcast semi-join, pruned at runtime by dynamic
+    partition pruning, nothing collected."""
+    n = pending.count()
+    if n == 0:
+        return clips.where(F.lit(False)), [], 0
+    if n <= MAX_INLINE_PARTITIONS:
+        parts = sorted(r[0] for r in pending.collect())
+        return clips.where(F.col(partition_col).isin(parts)), parts, n
+    return clips.join(F.broadcast(pending), partition_col, "semi"), None, n

@@ -57,3 +57,50 @@ def test_pending_scan_prunes_partitions(spark, clips_path, tmp_path):
     assert "PartitionFilters" in plan
     # the pruned scan reads 2/16 of the files
     assert subset.select("part_id").distinct().count() == 2
+
+
+def test_read_committed_hides_orphan_rows(spark, clips_path, tmp_path):
+    """Crash between output append and manifest append: the orphan
+    output rows carry a run_id the manifest never recorded, and
+    read_committed makes them invisible (exactly-once reads over
+    at-least-once writes)."""
+    manifest_path = str(tmp_path / "manifest")
+    out_path = str(tmp_path / "out_flag")
+    from jschon_spark.output import flag_summary
+    from jschon_spark.pipeline import validate_clips_rows
+
+    clips = spark.read.parquet(clips_path)
+    flags = flag_summary(validate_clips_rows(clips.where("part_id < 4")), "part_id")
+
+    # committed run: outputs first, then the manifest commit
+    flags.withColumn("run_id", F.lit("r-ok")).write.mode("append").parquet(out_path)
+    mf.append_results(spark, manifest_path, flags, run_id="r-ok", source_path=clips_path)
+    # crashed run: outputs appended for the same partitions, no commit
+    flags.withColumn("run_id", F.lit("r-dead")).write.mode("append").parquet(out_path)
+
+    raw = spark.read.parquet(out_path)
+    assert raw.count() == 8  # both runs' rows are physically present
+    committed = mf.read_committed(spark, manifest_path, raw)
+    got = committed.select("part_id", "run_id").collect()
+    assert len(got) == 4
+    assert {r.run_id for r in got} == {"r-ok"}
+    assert sorted(r.part_id for r in got) == [0, 1, 2, 3]
+
+
+def test_select_pending_large_frontier_stays_distributed(spark, clips_path):
+    """Above MAX_INLINE_PARTITIONS the frontier is not collected: the
+    subset is a broadcast semi-join, not a literal IN list."""
+    import jschon_spark.pipeline as pl
+
+    clips = spark.read.parquet(clips_path)
+    pending = clips.select("part_id").distinct().where("part_id >= 8")
+    old = pl.MAX_INLINE_PARTITIONS
+    try:
+        pl.MAX_INLINE_PARTITIONS = 2  # force the large-frontier path
+        subset, parts, n = pl.select_pending(clips, pending)
+    finally:
+        pl.MAX_INLINE_PARTITIONS = old
+    assert n == 8 and parts is None
+    assert subset.select("part_id").distinct().count() == 8
+    plan = subset._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "dynamicpruning" in plan
