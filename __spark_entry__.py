@@ -256,12 +256,15 @@ def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jschon_spark.operators.similarity import ann_topk_indexed, write_ann_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # 8 planes → 256 bucket dirs: right-sized for the sf0.1 table (10k
+    # rows); at 10^12 rows the same layout uses 16+ planes so each
+    # bucket stays file-sized and the probe fraction shrinks
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "_p8"
     path = f"/tmp/jschon_spark_ann_{tag}"
     if not os.path.exists(os.path.join(path, "_ann_meta.json")):
-        write_ann_index(_t(spark, sf_dir, "embeddings"), path, n_planes=10)
+        write_ann_index(_t(spark, sf_dir, "embeddings"), path, n_planes=8)
     query = _t(spark, sf_dir, "embeddings").where("vec_id = 0").select("embedding").collect()[0][0]
-    return ann_topk_indexed(spark, path, query, k=10, max_probe_hamming=3)
+    return ann_topk_indexed(spark, path, query, k=10, max_probe_hamming=2)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

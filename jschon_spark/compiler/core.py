@@ -156,6 +156,27 @@ class Compiler:
             # spelling ("#/prefixItems/0").
             root = rewrite_legacy(root)
         self.validate_schema = validate_schema
+        if validate_schema and isinstance(root, dict) and isinstance(root.get("$schema"), str):
+            # dialect selection ≙ jschon's metaschema lookup
+            # (jschon/jsonschema.py:117-129 + catalog): the supported
+            # dialects all normalize to 2020-12 via the legacy rewrite;
+            # an unrecognized dialect URI is an error, not a silent
+            # assumption — unless the catalog can actually resolve it
+            # (a custom metaschema registered by the caller)
+            uri = root["$schema"].rstrip("#")
+            known = (
+                "https://json-schema.org/draft/2020-12/schema",
+                "https://json-schema.org/draft/2019-09/schema",
+                "http://json-schema.org/draft-07/schema",
+                "http://json-schema.org/draft-06/schema",
+                "http://json-schema.org/draft-04/schema",
+            )
+            resolvable = catalog is not None and catalog.lookup(uri) is not None
+            if uri not in known and not resolvable:
+                raise CompileError(
+                    f"unrecognized dialect {root['$schema']!r}; supported: {list(known)} "
+                    "(or register the metaschema document in the catalog)"
+                )
         if validate_schema:
             viols = check_schema_document(root)
             if viols:

@@ -127,3 +127,21 @@ def test_legacy_recursive_ref_no_carrier(spark):
     }
     check_case(spark, schema, {"v": 1, "child": {"v": 2, "child": None}}, True)
     check_case(spark, schema, {"v": 1, "child": {"v": 2.5, "child": None}}, False)
+
+
+def test_schema_dialect_selection(spark):
+    # known dialect URIs compile (all normalize to 2020-12)
+    for uri in [
+        "https://json-schema.org/draft/2020-12/schema",
+        "https://json-schema.org/draft/2019-09/schema",
+        "http://json-schema.org/draft-07/schema#",
+    ]:
+        compile_schema({"$schema": uri, "type": "integer"})
+    with pytest.raises(CompileError, match="dialect"):
+        compile_schema({"$schema": "https://example.com/my-dialect", "type": "integer"})
+    # ...unless the catalog can resolve the custom metaschema
+    from jschon_spark.compiler import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema({"$id": "https://example.com/my-dialect", "type": "object"})
+    cat.compile({"$schema": "https://example.com/my-dialect", "type": "integer"})
