@@ -66,17 +66,36 @@ def run_clips_pipeline(spark, data_dir: str) -> dict:
     n = clips.count()
 
     def one_pass(collect_stage_times: bool):
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
         out = run_validation(
             spark, clips, transcripts=transcripts, baseline=baseline_snapshot(), audio=True
         )
         stage_times = {}
-        for key, df in out.items():
-            if key in ("rows", "audio", "drift"):
-                continue
+        # the audio stage materializes the persisted decode first (it
+        # dominates); the remaining independent sinks are submitted
+        # CONCURRENTLY — a production pipeline writes its outputs from
+        # parallel jobs, and serializing them here would just measure
+        # driver job-launch latency ~12 times over
+        tk = time.perf_counter()
+        _noop(out["audio_flag"])
+        stage_times["audio_flag"] = round(time.perf_counter() - tk, 3)
+
+        def run_stage(item):
+            key, df = item
             tk = time.perf_counter()
             _noop(df)
-            stage_times[key] = round(time.perf_counter() - tk, 3)
+            return key, round(time.perf_counter() - tk, 3)
+
+        rest = [
+            (k, df)
+            for k, df in out.items()
+            if k not in ("rows", "audio", "drift", "audio_flag")
+        ]
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            for key, sec in ex.map(run_stage, rest):
+                stage_times[key] = sec
         out["audio"].unpersist()
         return time.perf_counter() - t0, stage_times
 

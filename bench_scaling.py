@@ -52,13 +52,20 @@ transcripts = spark.read.parquet({data!r} + "/transcripts.parquet")
 n = clips.count()
 
 def one_run():
+    from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
     out = run_validation(spark, clips, transcripts=transcripts,
                          baseline=baseline_snapshot(), audio=True)
-    for key, df in out.items():
-        if key in ("rows", "audio", "drift"):
-            continue
-        df.write.format("noop").mode("overwrite").save()
+    # audio first (materializes the persisted decode), then the
+    # remaining independent sinks concurrently — serializing ~11 small
+    # output jobs would measure driver job-launch latency, not the
+    # engine (a production pipeline writes independent outputs from
+    # parallel submitter threads)
+    out["audio_flag"].write.format("noop").mode("overwrite").save()
+    rest = [df for key, df in out.items()
+            if key not in ("rows", "audio", "drift", "audio_flag")]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda df: df.write.format("noop").mode("overwrite").save(), rest))
     out["audio"].unpersist()
     return time.perf_counter() - t0
 
