@@ -117,17 +117,21 @@ def banded_signature_udf(bands: int, bits_per_band: int, seed: int = 7):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sigs(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        planes = hyperplanes_np(m.shape[1], n_planes, seed)
-        bits = (m @ planes.T) >= 0  # (batch, n_planes)
-        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
-        per_band = [
-            bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights for b in range(bands)
-        ]
-        vals = np.stack(per_band, axis=1)  # (batch, bands)
-        return pd.Series(list(vals))
+        mask = vecs.notna().to_numpy()
+        out = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            m = np.stack(vecs[mask].to_numpy())  # (n_valid, dim)
+            planes = hyperplanes_np(m.shape[1], n_planes, seed)
+            bits = (m @ planes.T) >= 0  # (n_valid, n_planes)
+            weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+            per_band = [
+                bits[:, b * bits_per_band : (b + 1) * bits_per_band] @ weights
+                for b in range(bands)
+            ]
+            vals = np.stack(per_band, axis=1)  # (n_valid, bands)
+            for j, i in enumerate(np.flatnonzero(mask)):
+                out[i] = vals[j]
+        return pd.Series(out)
 
     return sigs
 
@@ -205,8 +209,13 @@ def embedding_near_duplicates(
     vec = F.col(vec_col).cast("array<double>")
     sig_udf = banded_signature_udf(bands, bits_per_band, seed)
     sigs = df.select(F.col(id_col), sig_udf(vec).alias("bsig"))
+    # posexplode_OUTER: plain posexplode injects an implicit
+    # `size(bsig) > 0` filter that predicate-pushdown moves BELOW the
+    # projection, evaluating the signature UDF a second time per row;
+    # the outer variant has no such filter (null signatures yield null
+    # buckets, which the equi-join drops anyway)
     buckets = sigs.select(
-        F.col(id_col), F.posexplode("bsig").alias("band_id", "bucket")
+        F.col(id_col), F.posexplode_outer("bsig").alias("band_id", "bucket")
     )
     # shuffle_hash self-join → identical Exchanges → signature pipeline
     # computed once (ReusedExchange); broadcast would recompute per side
@@ -222,13 +231,16 @@ def embedding_near_duplicates(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+    # verification joins the candidate PAIRS back to the raw vectors:
+    # the inner join is itself the pruning (vectors shuffle only for
+    # candidate ids), and cand appears once in the plan — a semi-join
+    # prepass would re-derive the whole band pipeline per side, which
+    # only pays off when the join input is an expensive recomputation
+    # (cf. dedup.minhash_near_duplicates' shingle arrays); here it is a
+    # plain column scan
     vecs = df.select(F.col(id_col), vec.alias("v"))
-    a = vecs.join(cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "semi").select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("v_a")
-    )
-    b = vecs.join(cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "semi").select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("v_b")
-    )
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

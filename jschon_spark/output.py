@@ -97,6 +97,48 @@ def detailed_output(
     return out
 
 
+def hierarchical_output(
+    df: DataFrame,
+    id_cols: list[str],
+    violations_col: str = "violations",
+    max_rows: int = 100,
+) -> list[dict]:
+    """jschon ``hierarchical`` output for a SAMPLE of failing rows: the
+    flat violation rows re-nested by INSTANCE location (reference
+    jschon/output.py:129-165 — `detailed` nests by keyword location,
+    `hierarchical` by instance location). Driver-side and sampled by
+    design, like detailed_output."""
+    rows = (
+        df.where(F.size(violations_col) > 0)
+        .select(*id_cols, F.col(violations_col).alias("_viols"))
+        .limit(max_rows)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        root: dict = {"valid": False, "instanceLocation": "", "errors": [], "children": []}
+        index: dict[str, dict] = {"": root}
+
+        def node_at(ipath: str) -> dict:
+            if ipath in index:
+                return index[ipath]
+            parent_path = ipath.rsplit("/", 1)[0] if "/" in ipath else ""
+            parent = node_at(parent_path)
+            node = {"valid": False, "instanceLocation": ipath, "errors": [], "children": []}
+            parent["children"].append(node)
+            index[ipath] = node
+            return node
+
+        for v in sorted(r["_viols"], key=lambda v: (v["instance_path"], v["keyword_path"])):
+            node = node_at(v["instance_path"] or "")
+            node["errors"].append(
+                {"keywordLocation": v["keyword_path"], "keyword": v["keyword"], "error": v["error"]}
+            )
+        ident = {c: r[c] for c in id_cols}
+        out.append({**ident, "result": root})
+    return out
+
+
 _ANNOTATION_KEYS = (
     "title",
     "description",

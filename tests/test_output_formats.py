@@ -109,3 +109,34 @@ def test_verbose_output(spark):
     kids2 = {n["keywordLocation"]: n for n in by_id[2]["results"]}
     assert kids2["/properties/name"]["valid"] is False  # minLength 2
     assert kids2["/properties/age"]["valid"] is False  # minimum 0
+
+
+def test_hierarchical_output(spark):
+    """Nesting by INSTANCE location (reference jschon/output.py:129-165)."""
+    from pyspark.sql import Row
+
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.output import hierarchical_output
+
+    schema = {
+        "properties": {
+            "a": {"properties": {"b": {"type": "integer"}, "c": {"minimum": 0}}},
+            "d": {"type": "string"},
+        }
+    }
+    df = spark.createDataFrame(
+        [Row(id=1, a=Row(b="x", c=-1), d=5)],
+        "id long, a struct<b string, c long>, d long",
+    )
+    v = compile_schema(schema).validate(df, instance_columns=["a", "d"])
+    out = hierarchical_output(v, ["id"])
+    assert len(out) == 1
+    root = out[0]["result"]
+    assert root["valid"] is False and root["instanceLocation"] == ""
+    kids = {n["instanceLocation"]: n for n in root["children"]}
+    assert set(kids) == {"/a", "/d"}
+    a_kids = {n["instanceLocation"]: n for n in kids["/a"]["children"]}
+    assert set(a_kids) == {"/a/b", "/a/c"}
+    assert a_kids["/a/b"]["errors"][0]["keyword"] == "type"
+    assert a_kids["/a/c"]["errors"][0]["keyword"] == "minimum"
+    assert kids["/d"]["errors"][0]["keyword"] == "type"

@@ -82,3 +82,25 @@ def test_flag_summary_partial_aggregation(spark, clips_path):
     clips = spark.read.parquet(clips_path)
     plan = _plan(flag_summary(validate_clips_rows(clips), "part_id"))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_embedding_band_join_plan_shape(spark):
+    """The banded LSH candidate pipeline must appear ONCE in the plan
+    (one band self-join; the verify joins reuse the candidate pairs
+    rather than re-deriving them), the signature UDF must run exactly
+    once per join side (posexplode_outer avoids the implicit
+    size()>0 filter that double-evaluates it), and nothing may
+    degenerate to a cartesian product."""
+    import numpy as np
+    import pandas as pd
+
+    from jschon_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)}))
+    out = embedding_near_duplicates(df, threshold=0.9)
+    plan = _plan(out)
+    assert plan.count("ShuffledHashJoin") == 1, plan[:3000]
+    assert plan.count("ArrowEvalPython") == 2, plan[:3000]
+    assert "CartesianProduct" not in plan
