@@ -125,6 +125,63 @@ _ANNOTATION_ONLY = {
 
 _MAX_DEPTH = 48
 
+# 2020-12 vocabulary URIs → the keywords they contribute (reference:
+# vocabulary registration in jschon/catalog/_2020_12.py via
+# create_catalog; keyword classes declare their vocabulary module).
+# 2019-09 URIs map to the same behavior classes.
+_VOCAB_KEYWORDS: dict[str, frozenset] = {}
+
+
+def _reg_vocab(kws: set, *uris: str) -> None:
+    for u in uris:
+        _VOCAB_KEYWORDS[u] = frozenset(kws)
+
+
+_reg_vocab(
+    {"$id", "$schema", "$ref", "$anchor", "$dynamicRef", "$dynamicAnchor", "$vocabulary", "$comment", "$defs"},
+    "https://json-schema.org/draft/2020-12/vocab/core",
+    "https://json-schema.org/draft/2019-09/vocab/core",
+)
+_reg_vocab(
+    {
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else", "dependentSchemas",
+        "prefixItems", "items", "contains", "properties", "patternProperties",
+        "additionalProperties", "propertyNames",
+    },
+    "https://json-schema.org/draft/2020-12/vocab/applicator",
+    "https://json-schema.org/draft/2019-09/vocab/applicator",
+)
+_reg_vocab(
+    {"unevaluatedItems", "unevaluatedProperties"},
+    "https://json-schema.org/draft/2020-12/vocab/unevaluated",
+)
+_reg_vocab(
+    {
+        "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum", "minimum",
+        "exclusiveMinimum", "maxLength", "minLength", "pattern", "maxItems", "minItems",
+        "uniqueItems", "maxContains", "minContains", "maxProperties", "minProperties",
+        "required", "dependentRequired",
+    },
+    "https://json-schema.org/draft/2020-12/vocab/validation",
+    "https://json-schema.org/draft/2019-09/vocab/validation",
+)
+_reg_vocab(
+    {"title", "description", "default", "deprecated", "readOnly", "writeOnly", "examples"},
+    "https://json-schema.org/draft/2020-12/vocab/meta-data",
+    "https://json-schema.org/draft/2019-09/vocab/meta-data",
+)
+_reg_vocab(
+    {"format"},
+    "https://json-schema.org/draft/2020-12/vocab/format-annotation",
+    "https://json-schema.org/draft/2020-12/vocab/format-assertion",
+    "https://json-schema.org/draft/2019-09/vocab/format",
+)
+_reg_vocab(
+    {"contentEncoding", "contentMediaType", "contentSchema"},
+    "https://json-schema.org/draft/2020-12/vocab/content",
+    "https://json-schema.org/draft/2019-09/vocab/content",
+)
+
 
 def _true(c: Column | bool) -> Column:
     return F.lit(c) if isinstance(c, bool) else c
@@ -171,12 +228,36 @@ class Compiler:
                 "http://json-schema.org/draft-06/schema",
                 "http://json-schema.org/draft-04/schema",
             )
-            resolvable = catalog is not None and catalog.lookup(uri) is not None
-            if uri not in known and not resolvable:
+            meta_doc = catalog.lookup(uri) if catalog is not None else None
+            if uri not in known and meta_doc is None:
                 raise CompileError(
                     f"unrecognized dialect {root['$schema']!r}; supported: {list(known)} "
                     "(or register the metaschema document in the catalog)"
                 )
+            # $vocabulary-driven keyword registry (≙ jschon's
+            # Metaschema.kwclasses, jschon/vocabulary/__init__.py:40-101):
+            # a custom metaschema's $vocabulary decides WHICH keywords
+            # assert; keywords outside the enabled set are annotations.
+            # An unknown vocabulary marked required (true) must refuse
+            # to process (2020-12 §8.1.2).
+            if isinstance(meta_doc, dict) and isinstance(meta_doc.get("$vocabulary"), dict):
+                enabled: set = set()
+                for vuri, req in meta_doc["$vocabulary"].items():
+                    kws = _VOCAB_KEYWORDS.get(vuri.rstrip("#"))
+                    if kws is None:
+                        if req is True:
+                            raise CompileError(
+                                f"metaschema {uri!r} requires unknown vocabulary {vuri!r}"
+                            )
+                        continue
+                    enabled |= kws
+                    if vuri.rstrip("#") == "https://json-schema.org/draft/2020-12/vocab/format-assertion":
+                        assert_formats = True  # the dialect itself asserts formats
+                self.enabled_keywords: Optional[frozenset] = frozenset(enabled)
+            else:
+                self.enabled_keywords = None
+        else:
+            self.enabled_keywords = None
         if validate_schema:
             viols = check_schema_document(root)
             if viols:
@@ -331,6 +412,8 @@ class Compiler:
         for kw in _ORDER:
             if kw not in schema:
                 continue
+            if self.enabled_keywords is not None and kw not in self.enabled_keywords:
+                continue  # outside the dialect's vocabularies → annotation
             handler = getattr(self, "_k_" + kw.lstrip("$").replace("-", "_"), None)
             if handler is None:
                 continue

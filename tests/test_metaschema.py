@@ -145,3 +145,53 @@ def test_schema_dialect_selection(spark):
     cat = SchemaCatalog()
     cat.add_schema({"$id": "https://example.com/my-dialect", "type": "object"})
     cat.compile({"$schema": "https://example.com/my-dialect", "type": "integer"})
+
+
+def test_vocabulary_driven_keyword_registry(spark):
+    """A custom metaschema's \$vocabulary decides which keywords assert
+    (≙ jschon Metaschema.kwclasses, jschon/vocabulary/__init__.py:40-101):
+    without the validation vocabulary, `minimum` is a mere annotation;
+    an unknown REQUIRED vocabulary refuses to process (2020-12 §8.1.2);
+    the format-assertion vocabulary turns format into an assertion."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/meta/no-validation",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+            },
+        }
+    )
+    compiled = cat.compile({"$schema": "https://ex.dev/meta/no-validation", "minimum": 5})
+    df = spark.range(1).select(F.lit(1).alias("v"))
+    c = compiled.columns(T.IntegerType(), F.col("v"))
+    assert df.select(c.valid.alias("ok")).collect()[0].ok is True  # minimum ignored
+
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/meta/exotic",
+            "$vocabulary": {"https://ex.dev/vocab/quantum": True},
+        }
+    )
+    with pytest.raises(CompileError, match="unknown vocabulary"):
+        cat.compile({"$schema": "https://ex.dev/meta/exotic", "type": "integer"})
+
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/meta/strict-format",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation": True,
+                "https://json-schema.org/draft/2020-12/vocab/format-assertion": True,
+            },
+        }
+    )
+    compiled = cat.compile({"$schema": "https://ex.dev/meta/strict-format", "format": "ipv4"})
+    c = compiled.columns(T.StringType(), F.lit("999.1.1.1"))
+    assert df.select(c.valid.alias("ok")).collect()[0].ok is False  # format asserts
