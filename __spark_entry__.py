@@ -267,6 +267,22 @@ def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_indexed(spark, path, query, k=10, max_probe_hamming=2)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: k-means centroids on a sample, table partitioned by
+    # nearest-centroid list, nprobe-pruned scan — rows-only check
+    import hashlib
+    import os
+
+    from jschon_spark.operators.similarity import ivf_topk, write_ivf_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/jschon_spark_ivf_{tag}"
+    if not os.path.exists(os.path.join(path, "_ivf_meta.json")):
+        write_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_lists=32)
+    query = _t(spark, sf_dir, "embeddings").where("vec_id = 0").select("embedding").collect()[0][0]
+    return ivf_topk(spark, path, query, k=10, nprobe=8)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic fake extractor over binary payloads — rows-only.
     # The features array is serialized to a stable string (the driver's
@@ -407,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_ann_indexed": q_embedding_ann_indexed,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,
         "events_value_bins": q_events_value_bins,
