@@ -1080,38 +1080,70 @@ class Compiler:
     # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --
 
     def _coverage_sources(
-        self, schema: dict, scope: tuple = (), _seen: Optional[set[int]] = None
+        self,
+        schema: dict,
+        scope: tuple = (),
+        _seen: Optional[set[int]] = None,
+        _guards: tuple = (),
     ) -> list[tuple[list[tuple[Any, bool]], Any]]:
         """(guards, subschema) pairs whose annotations can cover
-        properties/items at this node: self + all in-place applicators.
-        ``guards`` is a conjunction of (guard_schema, negate) pairs that
-        must ALL hold at runtime for the source's annotations to be
-        collected — mirroring jschon's rule that annotations flow only
-        from *valid* results (jsonschema.py:515-524, applicator.py:97-116):
-        anyOf/oneOf/allOf branches guard on the branch itself succeeding;
-        `then` guards on `if` AND `then` succeeding; `else` on `if`
-        failing (negate) AND `else` succeeding."""
+        properties/items at this node: self + all in-place applicators,
+        RECURSIVELY (annotations bubble up through nested combinators —
+        an allOf inside an allOf still contributes). ``guards`` is a
+        conjunction of (guard_schema, negate) pairs that must ALL hold
+        at runtime for the source's annotations to be collected —
+        mirroring jschon's rule that annotations flow only from *valid*
+        results (jsonschema.py:515-524, applicator.py:97-116):
+        anyOf/oneOf/allOf branches guard on the branch itself
+        succeeding; `then` guards on `if` AND `then` succeeding; `else`
+        on `if` failing (negate) AND `else` succeeding;
+        dependentSchemas[name] guards on the property being present
+        (encoded as a {"required": [name]} guard schema) AND the
+        subschema succeeding. `not` never contributes. The _seen stack
+        guards $ref cycles without blocking re-visits via different
+        branches."""
         if _seen is None:
             _seen = set()
-        if id(schema) in _seen:
+        if not isinstance(schema, dict) or id(schema) in _seen:
             return []
         _seen.add(id(schema))
-        out: list[tuple[list[tuple[Any, bool]], Any]] = [([], schema)]
-        for kw in ("allOf", "anyOf", "oneOf"):
-            for sub in schema.get(kw) or []:
-                if isinstance(sub, dict) or sub in (True, False):
-                    out.append(([(sub, False)], sub))
-        if "if" in schema:
-            out.append(([(schema["if"], False)], schema["if"]))
-            if "then" in schema:
-                out.append(([(schema["if"], False), (schema["then"], False)], schema["then"]))
-            if "else" in schema:
-                out.append(([(schema["if"], True), (schema["else"], False)], schema["else"]))
-        for refkw in ("$ref", "$dynamicRef"):
-            if refkw in schema:
-                target = self._resolve_source_ref(refkw, schema[refkw], scope)
-                if isinstance(target, dict):
-                    out.extend(self._coverage_sources(target, scope, _seen))
+        try:
+            out: list[tuple[list[tuple[Any, bool]], Any]] = [(list(_guards), schema)]
+            for kw in ("allOf", "anyOf", "oneOf"):
+                for sub in schema.get(kw) or []:
+                    out.extend(
+                        self._coverage_sources(sub, scope, _seen, _guards + ((sub, False),))
+                    )
+            if "if" in schema:
+                if_s = schema["if"]
+                out.extend(self._coverage_sources(if_s, scope, _seen, _guards + ((if_s, False),)))
+                if "then" in schema:
+                    out.extend(
+                        self._coverage_sources(
+                            schema["then"], scope, _seen,
+                            _guards + ((if_s, False), (schema["then"], False)),
+                        )
+                    )
+                if "else" in schema:
+                    out.extend(
+                        self._coverage_sources(
+                            schema["else"], scope, _seen,
+                            _guards + ((if_s, True), (schema["else"], False)),
+                        )
+                    )
+            for name, sub in (schema.get("dependentSchemas") or {}).items():
+                out.extend(
+                    self._coverage_sources(
+                        sub, scope, _seen,
+                        _guards + (({"required": [name]}, False), (sub, False)),
+                    )
+                )
+            for refkw in ("$ref", "$dynamicRef"):
+                if refkw in schema:
+                    target = self._resolve_source_ref(refkw, schema[refkw], scope)
+                    out.extend(self._coverage_sources(target, scope, _seen, _guards))
+        finally:
+            _seen.discard(id(schema))
         return out
 
     def _resolve_source_ref(self, refkw: str, value: str, scope: tuple = ()) -> Any:

@@ -385,3 +385,92 @@ def test_unevaluated_properties_maptype(spark):
         "unevaluatedProperties": False,
     }
     assert run(s5) == [True, True, False, True]
+
+
+# nested/recursive annotation flow — suite-parity hard cases
+NESTED_COVERAGE_CASES = [
+    # annotations bubble up through nested combinators
+    (
+        {"allOf": [{"allOf": [{"prefixItems": [True]}]}], "unevaluatedItems": False},
+        [1],
+        True,
+    ),
+    (
+        {"allOf": [{"allOf": [{"prefixItems": [True]}]}], "unevaluatedItems": False},
+        [1, 2],
+        False,
+    ),
+    (
+        {
+            "anyOf": [{"allOf": [{"properties": {"a": {}}}]}],
+            "unevaluatedProperties": False,
+        },
+        {"a": 1},
+        True,
+    ),
+    # a sibling branch's unevaluatedItems cannot see its cousins
+    (
+        {"allOf": [{"prefixItems": [True]}, {"unevaluatedItems": False}]},
+        [1],
+        False,
+    ),
+    # `not` never contributes annotations
+    (
+        {"not": {"not": {"prefixItems": [True]}}, "unevaluatedItems": False},
+        [1],
+        False,
+    ),
+    # dependentSchemas contributes coverage when the trigger is present
+    (
+        {
+            "properties": {"foo": True},
+            "dependentSchemas": {"foo": {"properties": {"bar": True}}},
+            "unevaluatedProperties": False,
+        },
+        {"foo": 1, "bar": 2},
+        True,
+    ),
+    (
+        {
+            "properties": {"foo": True},
+            "dependentSchemas": {"foo": {"properties": {"bar": True}}},
+            "unevaluatedProperties": False,
+        },
+        {"bar": 2},  # trigger absent → bar uncovered
+        False,
+    ),
+    # if nested inside allOf: coverage follows both guards
+    (
+        {
+            "allOf": [
+                {
+                    "if": {"prefixItems": [{"const": "a"}]},
+                    "then": {"prefixItems": [True, True]},
+                }
+            ],
+            "prefixItems": [True],
+            "unevaluatedItems": False,
+        },
+        ["a", "x"],
+        True,
+    ),
+    (
+        {
+            "allOf": [
+                {
+                    "if": {"prefixItems": [{"const": "a"}]},
+                    "then": {"prefixItems": [True, True]},
+                }
+            ],
+            "prefixItems": [True],
+            "unevaluatedItems": False,
+        },
+        ["b", "x"],
+        False,
+    ),
+]
+
+
+def test_nested_coverage(spark):
+    for schema, data, valid in NESTED_COVERAGE_CASES:
+        check_case(spark, schema, data, valid)
