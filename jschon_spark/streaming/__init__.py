@@ -47,3 +47,63 @@ def windowed_flag_summary(
         )
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_rows", "n_valid", "n_invalid", "window_valid")
     )
+
+
+def running_flag_state(
+    validated: DataFrame,
+    key_col: str = "part_id",
+    valid_col: str = "valid",
+) -> DataFrame:
+    """CUSTOM STATEFUL operator: cumulative per-partition pass/fail
+    counters maintained across micro-batches via
+    ``applyInPandasWithState`` — the streaming analogue of the batch
+    ``flag_summary`` where each trigger emits the RUNNING totals for
+    every partition it touched (state = two longs per partition, so
+    state size is bounded by partition count, not row count)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} int, n_rows long, n_valid long, n_invalid long, partition_valid boolean"
+    )
+    state_schema = "n_rows long, n_valid long"
+
+    def update(key, pdfs, state: GroupState):
+        rows = 0
+        valid = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            valid += int(pdf[valid_col].fillna(False).astype(bool).sum())
+        prev_rows, prev_valid = state.get if state.exists else (0, 0)
+        n_rows, n_valid = prev_rows + rows, prev_valid + valid
+        state.update((n_rows, n_valid))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n_rows],
+                "n_valid": [n_valid],
+                "n_invalid": [n_rows - n_valid],
+                "partition_valid": [n_valid == n_rows],
+            }
+        )
+
+    return validated.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash
+    within the watermark horizon passes, replays/duplicates are
+    dropped. Built on ``dropDuplicatesWithinWatermark`` (state expiry
+    handled by the engine — bounded state, no custom bookkeeping)."""
+    return (
+        stream_df.withColumn("content_hash", F.md5(F.col(content_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

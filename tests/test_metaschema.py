@@ -148,7 +148,7 @@ def test_schema_dialect_selection(spark):
 
 
 def test_vocabulary_driven_keyword_registry(spark):
-    """A custom metaschema's \$vocabulary decides which keywords assert
+    r"""A custom metaschema's $vocabulary decides which keywords assert
     (≙ jschon Metaschema.kwclasses, jschon/vocabulary/__init__.py:40-101):
     without the validation vocabulary, `minimum` is a mere annotation;
     an unknown REQUIRED vocabulary refuses to process (2020-12 §8.1.2);

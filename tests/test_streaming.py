@@ -94,3 +94,76 @@ def test_streaming_violations_rows(spark, stream_dir, tmp_path):
     finally:
         q.stop()
     assert sorted(out["keyword"].tolist()) == ["enum", "maximum"]
+
+
+def test_running_flag_state_accumulates(spark, tmp_path):
+    """applyInPandasWithState: totals must ACCUMULATE across
+    micro-batches (maxFilesPerTrigger=1 forces two batches)."""
+    from jschon_spark.streaming import running_flag_state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ddl = "part_id int, value double"
+    spark.createDataFrame([(0, 5.0), (0, -1.0), (1, 3.0)], ddl).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    spark.createDataFrame([(0, 7.0), (1, -2.0)], ddl).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*.parquet")
+    )
+    validated = validate_stream(
+        stream, compile_schema({"properties": {"value": {"minimum": 0}}}), instance_columns=["value"]
+    )
+    q = (
+        running_flag_state(validated)
+        .writeStream.format("memory")
+        .queryName("running_flag")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_flag"
+        ).toPandas()
+    finally:
+        q.stop()
+    # last emitted row per partition carries the cumulative totals
+    last = rows.groupby("part_id").last()
+    assert int(last.loc[0, "n_rows"]) == 3 and int(last.loc[0, "n_valid"]) == 2
+    assert int(last.loc[1, "n_rows"]) == 2 and int(last.loc[1, "n_valid"]) == 1
+    assert bool(last.loc[0, "partition_valid"]) is False
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from jschon_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ddl = "ts timestamp, doc_id long, text string"
+    rows = [
+        (dt.datetime(2026, 1, 1, 12, 0, 0), 0, "alpha"),
+        (dt.datetime(2026, 1, 1, 12, 0, 5), 1, "alpha"),  # duplicate content
+        (dt.datetime(2026, 1, 1, 12, 0, 9), 2, "beta"),
+    ]
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT doc_id FROM dedup_sink").toPandas()
+    finally:
+        q.stop()
+    kept = sorted(out["doc_id"].tolist())
+    assert len(kept) == 2 and 2 in kept
+    assert kept[0] in (0, 1)  # exactly one of the duplicate pair
