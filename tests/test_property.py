@@ -122,3 +122,66 @@ def test_items_bounds_oracle(spark, arrays, k):
     schema = {"items": {"maximum": 5}}
     got = batch_valid(spark, schema, arrays, T.ArrayType(T.LongType(), True))
     assert got == [all(x <= 5 for x in a) for a in arrays]
+
+
+# -- round-2 components: driver-side, no Spark session needed ---------------
+
+json_values = st.recursive(
+    st.none() | st.booleans() | st.integers(-100, 100) | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values)
+def test_legacy_rewrite_idempotent(doc):
+    """rewrite_legacy is idempotent, and its output never contains a
+    legacy spelling in a schema position."""
+    from jschon_spark.compiler.legacy import rewrite_legacy
+
+    once = rewrite_legacy(doc)
+    assert rewrite_legacy(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values)
+def test_metaschema_checker_total(doc):
+    """check_schema_document never raises on arbitrary JSON input — it
+    reports violations, it doesn't crash (the whole point: garbage in,
+    structured error out)."""
+    from jschon_spark.compiler.metaschema import check_schema_document
+
+    viols = check_schema_document(doc)
+    for v in viols:
+        assert isinstance(v.path, str) and isinstance(v.message, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "op": st.sampled_from(["add", "remove", "replace", "test"]),
+                "path": st.sampled_from(["", "/a", "/a/b", "/b", "/xs/0", "/xs/-"]),
+            },
+            optional={"value": st.integers(-5, 5)},
+        ),
+        max_size=5,
+    )
+)
+def test_jsonpatch_total_and_pure(ops):
+    """apply_patch either succeeds or raises PatchError (never another
+    exception), and NEVER mutates its input document."""
+    import copy
+
+    from jschon_spark.jsonpatch import PatchError, apply_patch
+
+    doc = {"a": {"b": 1}, "xs": [1, 2]}
+    snapshot = copy.deepcopy(doc)
+    try:
+        apply_patch(doc, ops)
+    except PatchError:
+        pass
+    assert doc == snapshot
