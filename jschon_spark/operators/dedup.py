@@ -257,17 +257,16 @@ def minhash_near_duplicates(
         F.col(id_col),
         shingle_hash_udf(shingle_size)(F.col(text_col)).alias("shingle_hs"),
     )
-    # persist the two SMALL intermediates that the plan would otherwise
-    # re-derive (signatures: n_perm longs/doc; candidate id pairs) —
-    # without this the candidate pipeline appears three times (once for
-    # the verify join, once per semi-join side) and the minhash UDF
-    # runs six times over the corpus. The big intermediate (shingle
-    # arrays) is deliberately NOT persisted: at 10^12 rows it is
-    # corpus-sized, and recomputing it map-side twice beats caching it.
+    # NB: the candidate pipeline appears three times in the static plan
+    # (verify join + both semi-join sides), but the shuffle_hash hint
+    # makes the three band-join Exchanges canonically identical, so AQE
+    # computes the shuffle once and ReusedExchange serves the rest —
+    # measured equivalent to (and cold-path faster than) persisting the
+    # intermediates, without holding executor storage across queries.
     sigs = df.select(
         F.col(id_col), minhash_udf(n_perm, shingle_size)(F.col(text_col)).alias("minhash")
-    ).persist()
-    cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands).persist()
+    )
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
     ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
     ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
     a = hs.join(ids_a, id_col, "semi").select(
