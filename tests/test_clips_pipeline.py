@@ -132,3 +132,52 @@ def test_manifest_resume(spark, clips_df, tmp_path):
     pending1 = mf.pending_partitions(spark, path, all_parts)
     assert pending1.count() == fx.N_PARTS - 8
     assert set(r.part_id for r in pending1.collect()) == set(range(8, 16))
+
+
+def test_audio_adversarial_payloads(spark):
+    """Malformed payloads must produce decode violations, never crash
+    the job (the reference raises at load; at table scale every bad row
+    is a violation row — SURVEY §1.4)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from jschon_spark.audio import with_audio_invariant
+    from jschon_spark.fixtures import clip_seed, synth_pcm
+
+    def wav_bytes(samples, sr, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    good = synth_pcm(clip_seed("clip-aa"), 16000, 1600)  # 100 ms @ 16 kHz
+    stereo = np.repeat(good, 2)
+    rows = [
+        ("clip-aa", good.tobytes(), 16000, 100, "pcm_s16le"),  # pristine
+        ("clip-ab", None, 16000, 100, "pcm_s16le"),  # null payload
+        ("clip-ac", good.tobytes()[:-1], 16000, 100, "pcm_s16le"),  # odd length
+        ("clip-ad", good.tobytes(), 16000, 100, "flac"),  # undecodable codec
+        ("clip-ae", b"RIFFgarbage", 16000, 100, "wav"),  # corrupt header
+        ("clip-af", wav_bytes(stereo, 16000, nch=2), 16000, 100, "wav"),  # stereo
+        ("clip-ag", wav_bytes(good, 8000), 16000, 100, "wav"),  # header sr mismatch
+        ("clip-ah", b"", 16000, 100, "pcm_s16le"),  # empty → 0 frames
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], 0) for r in rows],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, part_id int",
+    )
+    out = {r.clip_id: r for r in with_audio_invariant(df).collect()}
+    assert out["clip-aa"].audio_valid is True
+    for cid in ("clip-ab", "clip-ac", "clip-ad", "clip-ae", "clip-af", "clip-ag", "clip-ah"):
+        assert out[cid].audio_valid is False, cid
+        kws = {v.keyword for v in out[cid].audio_violations}
+        assert kws, cid
+    # decode failures vs frame-count failures are distinguished
+    assert {v.keyword for v in out["clip-ae"].audio_violations} == {"decode"}
+    assert {v.keyword for v in out["clip-ah"].audio_violations} == {"frames"}
