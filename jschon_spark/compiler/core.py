@@ -1162,10 +1162,12 @@ class Compiler:
         return target
 
     def _guard_cond(self, ctx: Ctx, guards: list[tuple[Any, bool]]) -> Column:
-        """Runtime conjunction of a coverage source's guards."""
+        """Runtime conjunction of a coverage source's guards. Guard
+        re-applications keep the parent's spath, so they must not claim
+        its verbose-trace slot (no_trace)."""
         cond = F.lit(True)
         for guard, negate in guards:
-            gctx = _replace(ctx, depth=ctx.depth + 1)
+            gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
             g = self.apply(guard, gctx).valid
             cond = cond & (~g if negate else g)
         return cond

@@ -140,3 +140,24 @@ def test_hierarchical_output(spark):
     assert a_kids["/a/b"]["errors"][0]["keyword"] == "type"
     assert a_kids["/a/c"]["errors"][0]["keyword"] == "minimum"
     assert kids["/d"]["errors"][0]["keyword"] == "type"
+
+
+def test_verbose_output_with_unevaluated(spark):
+    """Coverage-guard re-applications must not hijack trace slots: the
+    root node's verbose validity is the ROOT's, not a guard's."""
+    from pyspark.sql import Row
+
+    from jschon_spark.output import verbose_output
+
+    schema = {
+        "properties": {"a": {"type": "integer"}},
+        "if": {"required": ["a"]},
+        "then": {"properties": {"b": {}}},
+        "unevaluatedProperties": False,
+    }
+    df = spark.createDataFrame([Row(id=1, a=1, b=2), Row(id=2, a=None, b=2)],
+                               "id long, a long, b long")
+    out = verbose_output(schema, df, instance_columns=["a", "b"], id_cols=["id"])
+    by_id = {o["id"]: o["result"] for o in out}
+    assert by_id[1]["valid"] is True   # if holds → then covers b
+    assert by_id[2]["valid"] is False  # a absent → b unevaluated
