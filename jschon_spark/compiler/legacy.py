@@ -48,6 +48,15 @@ def rewrite_legacy(schema: Any) -> Any:
     if not isinstance(schema, dict):
         return schema
 
+    # draft-04 boolean exclusive bounds: {"maximum": M,
+    # "exclusiveMaximum": true} means value < M — rewrite to the
+    # numeric 2020-12 form before the keyword loop
+    schema = dict(schema)
+    for bound, excl in (("maximum", "exclusiveMaximum"), ("minimum", "exclusiveMinimum")):
+        if isinstance(schema.get(excl), bool):
+            if schema.pop(excl) and bound in schema:
+                schema[excl] = schema.pop(bound)
+
     out: dict[str, Any] = {}
     for k, v in schema.items():
         if k == "items":

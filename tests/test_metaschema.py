@@ -195,3 +195,12 @@ def test_vocabulary_driven_keyword_registry(spark):
     compiled = cat.compile({"$schema": "https://ex.dev/meta/strict-format", "format": "ipv4"})
     c = compiled.columns(T.StringType(), F.lit("999.1.1.1"))
     assert df.select(c.valid.alias("ok")).collect()[0].ok is False  # format asserts
+
+
+def test_draft04_exclusive_booleans(spark):
+    # draft-04 boolean modifier form (reference supports via dialects)
+    assert rewrite_legacy({"maximum": 10, "exclusiveMaximum": True}) == {"exclusiveMaximum": 10}
+    assert rewrite_legacy({"maximum": 10, "exclusiveMaximum": False}) == {"maximum": 10}
+    assert rewrite_legacy({"minimum": 0, "exclusiveMinimum": True}) == {"exclusiveMinimum": 0}
+    check_case(spark, {"maximum": 10, "exclusiveMaximum": True}, 10, False)
+    check_case(spark, {"maximum": 10, "exclusiveMaximum": False}, 10, True)
