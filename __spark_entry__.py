@@ -179,6 +179,18 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality gate -> language gate ->
+    exact-dedup keep-first, one declarative plan (SQL-expressible)."""
+    from jschon_spark.operators.text import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_documents(docs, min_quality=0.3, langs=("en",))
+    return out.select(
+        "doc_id", "lang_pred", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
 def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.dedup import exact_duplicates
 
@@ -415,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -559,6 +572,55 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "doc_curation": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len({_WORDS_SQL}) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(list_intersect({_WORDS_SQL}, {_STOP_EN})) AS n_stop
+              FROM documents
+            ), qs AS (
+              SELECT doc_id,
+                   round(
+                     least(n_words / 50.0, 1.0) * 0.3
+                     + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+                     + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                     + least(n_stop / 5.0, 1.0) * 0.2,
+                   6) AS quality_score
+              FROM q
+            ), w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     len(list_intersect(ws, {_STOP_EN})) AS he,
+                     len(list_intersect(ws, {_STOP_FR})) AS hf,
+                     len(list_intersect(ws, {_STOP_DE})) AS hd,
+                     len(list_intersect(ws, {_STOP_ES})) AS hs
+              FROM w
+            ), ls AS (
+              SELECT doc_id,
+                   CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+                        WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+                        WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+                        WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+                        ELSE 'es' END AS lang_pred
+              FROM h
+            ), kept AS (
+              SELECT d.doc_id, ls.lang_pred, qs.quality_score, md5(d.text) AS content_hash
+              FROM documents d
+              JOIN qs USING (doc_id) JOIN ls USING (doc_id)
+              WHERE qs.quality_score >= 0.3 AND ls.lang_pred = 'en'
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT doc_id, lang_pred, round(quality_score, 6) AS quality_score
+            FROM ranked WHERE rn = 1
         """,
         "doc_exact_dups": """
             SELECT md5(text) AS content_hash, count(*) AS n_docs,

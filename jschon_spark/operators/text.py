@@ -116,3 +116,31 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    langs: tuple = ("en",),
+) -> DataFrame:
+    """Composed curation pipeline: quality gate → language gate →
+    exact-dedup keep-first. One declarative plan: the quality/lang
+    expressions are codegen'd map-side, and the dedup is a window
+    row_number over the content hash (deterministic keep = lowest id),
+    so the only shuffle is the hash-partitioned window — 16-byte keys,
+    map-side-combinable at any scale. Fully SQL-expressible (oracle:
+    driver query ``doc_curation``)."""
+    from pyspark.sql import Window
+
+    staged = with_quality_score(with_lang_id(df, text_col=text_col), text_col=text_col)
+    kept = staged.where(
+        (F.col("quality_score") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "lang_pred", "quality_score")
+    )

@@ -230,3 +230,14 @@ def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     exact = [r.vec_id for r in similarity.brute_force_topk(df, query, k=1).collect()]
     assert exact[0] == 123
     assert 123 in got
+
+
+def test_curate_documents(spark, docs):
+    out = text.curate_documents(docs, min_quality=0.0, langs=("en",))
+    rows = {r.doc_id for r in out.collect()}
+    # en docs only; exact dup (0,1) keeps the lower id
+    assert 0 in rows and 1 not in rows
+    assert 4 not in rows and 6 not in rows  # fr/de filtered
+    # the plan's only wide op is the window over the content hash
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
