@@ -279,6 +279,28 @@ def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_indexed(spark, path, query, k=10, max_probe_hamming=2)
 
 
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-measuring quality gate vs the brute-force oracle on the
+    # actual corpus — rows-only. recall@1 (is the true nearest
+    # neighbor found?) is the meaningful number on these UNIFORM
+    # random synthetic embeddings; overlap@10 is reported for context
+    # but ranking among cos~=0.3 noise points is not what ANN
+    # preserves (real clustered embeddings recall far better — see the
+    # planted-pair pytest asserting >=0.9)
+    from jschon_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    exact = [r.vec_id for r in brute_force_topk(emb, query, k=10).collect()]
+    approx = [r.vec_id for r in q_embedding_ann_indexed(spark, sf_dir).collect()]
+    overlap = len(set(exact) & set(approx))
+    rows = [
+        (1, int(exact[0] in approx), float(exact[0] in approx)),
+        (10, overlap, round(overlap / 10.0, 2)),
+    ]
+    return spark.createDataFrame(rows, "k int, n_overlap int, recall double")
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN: k-means centroids on a sample, table partitioned by
     # nearest-centroid list, nprobe-pruned scan — rows-only check
@@ -437,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_ann_indexed": q_embedding_ann_indexed,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ann_recall": q_embedding_ann_recall,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,
         "events_value_bins": q_events_value_bins,
