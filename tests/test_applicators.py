@@ -474,3 +474,73 @@ NESTED_COVERAGE_CASES = [
 def test_nested_coverage(spark):
     for schema, data, valid in NESTED_COVERAGE_CASES:
         check_case(spark, schema, data, valid)
+
+
+# hard keyword-interaction cases (suite-parity batch 2)
+INTERACTION_CASES = [
+    # contains + min/maxContains (validation.py:180-208)
+    ({"contains": {"minimum": 5}, "minContains": 2}, [5, 6, 1], True),
+    ({"contains": {"minimum": 5}, "minContains": 2}, [5, 1, 1], False),
+    ({"contains": {"minimum": 5}, "maxContains": 1}, [5, 6], False),
+    ({"contains": {"minimum": 5}, "maxContains": 2}, [5, 6], True),
+    ({"contains": {"minimum": 5}, "minContains": 0}, [1, 2], True),  # rescue
+    ({"contains": {"minimum": 5}, "minContains": 0, "maxContains": 1}, [5, 6], False),
+    # propertyNames interactions
+    ({"propertyNames": {"pattern": "^[a-z]+$", "maxLength": 2}}, {"ab": 1}, True),
+    ({"propertyNames": {"pattern": "^[a-z]+$", "maxLength": 2}}, {"abc": 1}, False),
+    ({"propertyNames": False}, {}, True),
+    ({"propertyNames": False}, {"a": 1}, False),
+    # propertyNames does NOT cover properties for unevaluatedProperties
+    ({"propertyNames": {"maxLength": 5}, "unevaluatedProperties": False}, {"ab": 1}, False),
+    # dependentRequired + dependentSchemas, same trigger
+    (
+        {
+            "dependentRequired": {"a": ["b"]},
+            "dependentSchemas": {"a": {"properties": {"b": {"type": "integer"}}}},
+        },
+        {"a": 1, "b": 2},
+        True,
+    ),
+    (
+        {
+            "dependentRequired": {"a": ["b"]},
+            "dependentSchemas": {"a": {"properties": {"b": {"type": "integer"}}}},
+        },
+        {"a": 1, "b": "x"},
+        False,
+    ),
+    # uniqueItems deep equality (json.py:277-289)
+    ({"uniqueItems": True}, [[1], [2]], True),
+    ({"uniqueItems": True}, [[1], [1]], False),
+    ({"uniqueItems": True}, [{"a": 1}, {"a": 2}], True),
+    ({"uniqueItems": True}, [{"a": 1}, {"a": 1}], False),
+    # items:false forbids any items beyond the prefix
+    ({"prefixItems": [{}], "items": False}, [1], True),
+    ({"prefixItems": [{}], "items": False}, [1, 2], False),
+    ({"items": False}, [], True),
+    # enum against typed columns: non-representable members fold away
+    ({"enum": [1, 2]}, 2, True),
+    ({"enum": [1, 2]}, 3, False),
+    ({"enum": ["x", "y"]}, "y", True),
+    # const object with absent-field semantics (closed struct model)
+    ({"properties": {"o": {"const": {"a": 1}}}}, {"o": {"a": 1}}, True),
+    ({"properties": {"o": {"const": {"a": 1}}}}, {"o": {"a": 2}}, False),
+    # pattern is a SEARCH, not a full match (validation.py:132-142)
+    ({"pattern": "a"}, "xax", True),
+    ({"pattern": "^a"}, "xa", False),
+    # oneOf with overlapping branches at boundaries
+    ({"oneOf": [{"maximum": 5}, {"minimum": 5}]}, 5, False),  # both
+    ({"oneOf": [{"maximum": 4}, {"minimum": 6}]}, 5, False),  # neither
+    ({"oneOf": [{"maximum": 4}, {"minimum": 5}]}, 5, True),
+    # allOf of disjoint type gates: non-matching type passes vacuously
+    ({"allOf": [{"type": "integer"}, {"minimum": 3}]}, 2, False),
+    ({"allOf": [{"maxLength": 1}, {"minimum": 3}]}, 5, True),
+    # nested not/anyOf
+    ({"not": {"anyOf": [{"minimum": 5}, {"multipleOf": 2}]}}, 3, True),
+    ({"not": {"anyOf": [{"minimum": 5}, {"multipleOf": 2}]}}, 4, False),
+]
+
+
+def test_keyword_interactions(spark):
+    for schema, data, valid in INTERACTION_CASES:
+        check_case(spark, schema, data, valid)
