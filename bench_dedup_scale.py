@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Near-dup dedup throughput at a 10x corpus (BASELINE.md evidence).
+
+Generates a deterministic 50k-document corpus JVM-side (hash-indexed
+words from a 5k-word vocabulary, so cross-document similarity is
+negligible) with 1,000 PLANTED near-duplicate pairs (doc 50k+1 copies
+its predecessor with the last word changed), then times the full
+MinHash-LSH and SimHash pipelines and reports recall of the planted
+pairs. Usage: python bench_dedup_scale.py [n_docs] — prints one JSON
+line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def gen_docs(spark, n_docs: int, words_per_doc: int = 120, vocab: int = 5000):
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # planted pairs: doc_id % 50 == 1 reuses doc_id-1's word stream,
+    # differing only in the final word
+    src = F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    is_variant = F.col("doc_id") % 50 == 1
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(src * 1000 + i.cast("long"))) % vocab).cast("string"),
+        ),
+    )
+    # variant: swap the last word for a doc-unique token
+    words = F.when(
+        is_variant,
+        F.concat(F.slice(words, 1, words_per_doc - 1), F.array(F.concat(F.lit("v"), F.col("doc_id").cast("string")))),
+    ).otherwise(words)
+    return base.select("doc_id", F.concat_ws(" ", words).alias("text"))
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    from pyspark.sql import functions as F
+
+    from jschon_spark.operators import dedup
+    from jschon_spark.session import get_session
+
+    spark = get_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = os.path.join(REPO, ".bench_data", f"docs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_docs(spark, n_docs).repartition(16).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    planted = n_docs // 50  # one pair per 50 docs
+
+    # warmup (python-worker spawn)
+    docs.select(dedup.minhash_udf(16, 5)(F.col("text")).alias("m")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    mh = dedup.minhash_near_duplicates(docs, threshold=0.8, n_perm=16, bands=4)
+    mh_pairs = mh.collect()
+    mh_sec = time.perf_counter() - t0
+    mh_planted = sum(1 for r in mh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
+
+    t0 = time.perf_counter()
+    sh = dedup.simhash_near_duplicates(dedup.with_simhash(docs), max_hamming=6)
+    sh_pairs = sh.collect()
+    sh_sec = time.perf_counter() - t0
+    sh_planted = sum(1 for r in sh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "near_dup_throughput_50k",
+                "n_docs": n_docs,
+                "planted_pairs": planted,
+                "minhash": {
+                    "sec": round(mh_sec, 2),
+                    "docs_per_sec": round(n_docs / mh_sec, 1),
+                    "pairs_found": len(mh_pairs),
+                    "planted_recall": round(mh_planted / planted, 3),
+                },
+                "simhash": {
+                    "sec": round(sh_sec, 2),
+                    "docs_per_sec": round(n_docs / sh_sec, 1),
+                    "pairs_found": len(sh_pairs),
+                    "planted_recall": round(sh_planted / planted, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
