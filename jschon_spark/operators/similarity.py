@@ -470,3 +470,26 @@ def ivf_topk(
     vec = F.col(meta["vec_col"]).cast("array<double>")
     scored = df.select(F.col(meta["id_col"]), F.round(cosine(vec, q), 6).alias("cosine_sim"))
     return scored.orderBy(F.desc("cosine_sim"), F.col(meta["id_col"])).limit(k)
+
+
+def auto_lsh_params(
+    n_rows: int, threshold: float = 0.9, target_recall: float = 0.9
+) -> tuple[int, int]:
+    """(bands, bits_per_band) sized for the corpus: pick bits so the
+    EXPECTED random-pair candidate count stays ~linear in n
+    (b * n^2 / 2^(bits+1) <= n), then bands for the recall target at
+    the cosine threshold (P(bit agree) = 1 - acos(t)/pi), iterating to
+    a joint fixed point. At 10k rows this lands near the 8x8 default;
+    at 10^9 rows it scales bits up so buckets stay file-sized instead
+    of letting the band join go quadratic."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    bands = 8
+    bits = 8
+    for _ in range(12):
+        bits = max(4, min(30, math.ceil(math.log2(max(2.0, n_rows * bands / 2.0)))))
+        pr = p**bits
+        if pr >= 1.0:
+            bands = 1
+            break
+        bands = max(1, min(64, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))))
+    return bands, bits

@@ -241,3 +241,20 @@ def test_curate_documents(spark, docs):
     # the plan's only wide op is the window over the content hash
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
+
+
+def test_auto_lsh_params_properties():
+    """bits grow with corpus size (bounded buckets); bands deliver the
+    recall target at the threshold; both within hard caps."""
+    import math
+
+    for n in (1_000, 50_000, 10**6, 10**9):
+        for t in (0.85, 0.9, 0.95):
+            bands, bits = similarity.auto_lsh_params(n, t)
+            assert 1 <= bands <= 64 and 4 <= bits <= 30
+            p = 1.0 - math.acos(t) / math.pi
+            recall = 1.0 - (1.0 - p**bits) ** bands
+            if bands < 64:  # cap not binding → target met
+                assert recall >= 0.9, (n, t, bands, bits, recall)
+    # monotone bucket sizing
+    assert similarity.auto_lsh_params(10**9, 0.9)[1] > similarity.auto_lsh_params(10**4, 0.9)[1]
