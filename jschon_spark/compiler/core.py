@@ -22,7 +22,7 @@ import json
 import re
 from dataclasses import replace as _replace
 from typing import Any, Callable, Optional
-from urllib.parse import urldefrag, urljoin
+from urllib.parse import unquote, urldefrag, urljoin
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -361,6 +361,9 @@ class Compiler:
         inlining replaces jschon's two-phase resolve (jschon/vocabulary/
         core.py:82-103); cycles hit the depth guard instead."""
         uri, frag = urldefrag(urljoin(self.base_uri, ref))
+        # RFC 6901 §6: a JSON-Pointer fragment travels percent-encoded
+        # in the URI (jschon/jsonpointer.py:229-254 uri_fragment round-trip)
+        frag = unquote(frag)
         if frag and not frag.startswith("/"):
             key = uri + "#" + frag
             if key not in self.registry and uri and uri != self.base_uri:

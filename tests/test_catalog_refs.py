@@ -236,3 +236,13 @@ def test_relative_pointer_arithmetic():
         relative_pointer(base, "3")
     with pytest.raises(PointerError):
         relative_pointer(base, "/no-up-count")
+
+
+def test_ref_percent_encoded_fragment(spark):
+    # RFC 6901 §6: pointer fragments are percent-encoded in URIs
+    schema = {
+        "$defs": {"my def": {"minimum": 0}},
+        "$ref": "#/$defs/my%20def",
+    }
+    check_case(spark, schema, 1, True)
+    check_case(spark, schema, -1, False)
