@@ -246,3 +246,30 @@ def test_ref_percent_encoded_fragment(spark):
     }
     check_case(spark, schema, 1, True)
     check_case(spark, schema, -1, False)
+
+
+def test_relative_pointer_evaluation_mirrors_reference():
+    """Mirror of /root/reference/tests/data/relative_jsonpointer.json:
+    relative arithmetic composed with a data walk."""
+    from jschon_spark.jsonpatch import get_value
+
+    data = {"foo": ["bar", "baz"], "highly": {"nested": {"objects": True}}}
+    cases = [
+        ("/foo/1", "0", "baz"),
+        ("/foo/1", "1/0", "bar"),
+        ("/foo/1", "2/highly/nested/objects", True),
+        ("/foo/1", "0#", 1),
+        ("/foo/1", "1#", "foo"),
+        ("/highly/nested", "0/objects", True),
+        ("/highly/nested", "1/nested/objects", True),
+        ("/highly/nested", "2/foo/0", "bar"),
+        ("/highly/nested", "0#", "nested"),
+        ("/highly/nested", "1#", "highly"),
+    ]
+    for start, ref, want in cases:
+        out = relative_pointer(start, ref)
+        if ref.endswith("#"):
+            got = int(out) if out.isdigit() else out
+        else:
+            got = get_value(data, out)
+        assert got == want, (start, ref, got, want)

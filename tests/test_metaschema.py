@@ -204,3 +204,26 @@ def test_draft04_exclusive_booleans(spark):
     assert rewrite_legacy({"minimum": 0, "exclusiveMinimum": True}) == {"exclusiveMinimum": 0}
     check_case(spark, {"maximum": 10, "exclusiveMaximum": True}, 10, False)
     check_case(spark, {"maximum": 10, "exclusiveMaximum": False}, 10, True)
+
+
+def test_mirrored_reference_invalid_schema():
+    """Mirror of /root/reference/tests/test_output.py's schema_invalid
+    fixture: all three metaschema violations must be reported with
+    their pointer paths (prefixItems minItems, multipleOf type,
+    multipleOf exclusiveMinimum)."""
+    schema = {
+        "$id": "http://example.com",
+        "if": {"prefixItems": []},
+        "then": {"contains": {"multipleOf": "2"}},
+        "else": {"contains": {"multipleOf": -3}},
+    }
+    viols = check_schema_document(schema)
+    paths = {v.path for v in viols}
+    assert paths == {
+        "/if/prefixItems",
+        "/then/contains/multipleOf",
+        "/else/contains/multipleOf",
+    }
+    with pytest.raises(CompileError) as ei:
+        compile_schema(schema)
+    assert len(ei.value.violations) == 3
