@@ -169,7 +169,14 @@ def _walk(schema: Any, path: str, out: list[SchemaViolation]) -> None:
                         _err(out, np_, kw, f"{kw}[{name!r}] must be a schema")
                     else:
                         _walk(sub, np_, out)
-        elif kw in ("$ref", "$dynamicRef", "$schema", "$comment", "format", "title", "description", "$id"):
+        elif kw == "$id":
+            # 2020-12 disallows non-empty fragments in $id (reference
+            # tests/test_vocabulary.py::test_nonempty_fragment_id_disallowed)
+            if not isinstance(v, str):
+                _err(out, kp, kw, "'$id' must be a string")
+            elif "#" in v and v.split("#", 1)[1] != "":
+                _err(out, kp, kw, f"'$id' must not contain a non-empty fragment: {v!r}")
+        elif kw in ("$ref", "$dynamicRef", "$schema", "$comment", "format", "title", "description"):
             if not isinstance(v, str):
                 _err(out, kp, kw, f"{kw!r} must be a string")
         elif kw in ("$anchor", "$dynamicAnchor"):

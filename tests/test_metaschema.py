@@ -227,3 +227,12 @@ def test_mirrored_reference_invalid_schema():
     with pytest.raises(CompileError) as ei:
         compile_schema(schema)
     assert len(ei.value.violations) == 3
+
+
+def test_id_fragment_rules():
+    # 2020-12: $id may end in an empty fragment but not carry a pointer
+    # or anchor fragment (ref tests/test_vocabulary.py:39-74)
+    assert check_schema_document({"$id": "http://ex.dev/x"}) == []
+    assert check_schema_document({"$id": "http://ex.dev/x#"}) == []
+    assert any(v.path == "/$id" for v in check_schema_document({"$id": "http://ex.dev/x#frag"}))
+    assert any(v.path == "/$id" for v in check_schema_document({"$id": "http://ex.dev/x#/json/ptr"}))
