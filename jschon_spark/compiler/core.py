@@ -149,6 +149,16 @@ _reg_vocab(
         "additionalProperties", "propertyNames",
     },
     "https://json-schema.org/draft/2020-12/vocab/applicator",
+)
+# 2019-09 has no separate 'unevaluated' vocabulary: unevaluatedItems/
+# unevaluatedProperties live in its applicator vocabulary
+# (jschon/vocabulary/applicator.py registration under 2019-09)
+_reg_vocab(
+    {
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else", "dependentSchemas",
+        "prefixItems", "items", "contains", "properties", "patternProperties",
+        "additionalProperties", "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    },
     "https://json-schema.org/draft/2019-09/vocab/applicator",
 )
 _reg_vocab(
@@ -1061,12 +1071,22 @@ class Compiler:
                 return self._k_ref("#", schema, ctx, results)
             # no dynamic anchor of that name → plain $ref behavior
             return self._k_ref(value, schema, ctx, results)
-        target, spath = cands[0]  # document-order fallback
-        for uri in ctx.scope:  # outermost resource wins
-            hit = self.dynamic_in_resource.get((uri, frag))
-            if hit is not None:
-                target, spath = hit
-                break
+        # BOOKENDING (2020-12 §8.2.3.2): resolve the initial target like
+        # $ref; only rebind through the dynamic scope if that target is
+        # itself the $dynamicAnchor carrier, and when no scope resource
+        # carries the anchor, use the INITIAL target — never an
+        # arbitrary document-order carrier.
+        try:
+            init_target, init_spath = self.resolve_ref(value)
+        except CompileError:
+            init_target, init_spath = cands[0]
+        target, spath = init_target, init_spath
+        if isinstance(init_target, dict) and init_target.get("$dynamicAnchor") == frag:
+            for uri in ctx.scope:  # outermost resource wins
+                hit = self.dynamic_in_resource.get((uri, frag))
+                if hit is not None:
+                    target, spath = hit
+                    break
         rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
         return self.apply(target, rctx)
 
@@ -1156,11 +1176,17 @@ class Compiler:
             _, frag = urldefrag(urljoin(self.base_uri, value))
             cands = self.dynamic_anchors.get(frag, []) if frag else []
             if cands:
-                for uri in scope:  # outermost resource wins
-                    hit = self.dynamic_in_resource.get((uri, frag))
-                    if hit is not None:
-                        return hit[0]
-                return cands[0][0]
+                try:
+                    init_target, _ = self.resolve_ref(value)
+                except CompileError:
+                    init_target = cands[0][0]
+                # bookending, mirroring _k_dynamicRef
+                if isinstance(init_target, dict) and init_target.get("$dynamicAnchor") == frag:
+                    for uri in scope:  # outermost resource wins
+                        hit = self.dynamic_in_resource.get((uri, frag))
+                        if hit is not None:
+                            return hit[0]
+                return init_target
         target, _ = self.resolve_ref(value)
         return target
 
@@ -1243,13 +1269,15 @@ class Compiler:
             return self.apply(value, _replace(cctx, no_trace=True))
 
         pass_struct = F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))
-        per_entry = F.transform(
-            F.map_entries(ctx.col),
-            lambda e: F.when(
+
+        def entry_struct(e: Column) -> Column:
+            c = child(e)  # compile the subschema ONCE per entry
+            return F.when(
                 ~F.coalesce(covered_key(e.getField("key")), F.lit(False)),
-                F.struct(child(e).valid.alias("ok"), child(e).viols.alias("v")),
-            ).otherwise(pass_struct),
-        )
+                F.struct(c.valid.alias("ok"), c.viols.alias("v")),
+            ).otherwise(pass_struct)
+
+        per_entry = F.transform(F.map_entries(ctx.col), entry_struct)
         valid = F.coalesce(F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True))
         viols = F.coalesce(
             F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),

@@ -85,6 +85,15 @@ def rewrite_legacy(schema: Any) -> Any:
             out[k] = rewrite_legacy(v)
         elif k in _SUB_ARRAY and isinstance(v, list):
             out[k] = [rewrite_legacy(s) for s in v]
+        elif k == "dependentSchemas" and isinstance(v, dict):
+            # MERGE with any dependencies-derived entries (explicit
+            # names win) — plain assignment would drop them when
+            # 'dependencies' precedes this key in document order
+            out.setdefault("dependentSchemas", {}).update(
+                {n: rewrite_legacy(s) for n, s in v.items()}
+            )
+        elif k == "dependentRequired" and isinstance(v, dict):
+            out.setdefault("dependentRequired", {}).update(v)
         elif k in _SUB_OBJECT and isinstance(v, dict):
             out[k] = {n: rewrite_legacy(s) for n, s in v.items()}
         else:

@@ -68,14 +68,25 @@ def _is_nonneg_int(v: Any) -> bool:
     return isinstance(v, int) and not isinstance(v, bool) and v >= 0
 
 
+# constructs valid in Java regex (the runtime dialect — rlike) but not
+# in Python re: \p{...}/\P{...} property classes, possessive
+# quantifiers (a*+, a++, a?+, a{n,m}+), and \Q...\E literal quoting
+_JAVA_ONLY_RE = re.compile(r"\\[pP]\{|[*+?}]\+|\\[QE]")
+
+
 def _valid_regex(v: Any) -> bool:
+    """Is the value usable as a pattern AT RUNTIME? The runtime keyword
+    compiles on the JVM (Java dialect, core.py _k_pattern rlike), so a
+    pattern Python's re rejects is only a violation when it uses no
+    Java-only construct — otherwise we must not reject a schema the
+    engine would run fine."""
     if not isinstance(v, str):
         return False
     try:
         re.compile(v)
         return True
     except re.error:
-        return False
+        return bool(_JAVA_ONLY_RE.search(v))
 
 
 def check_schema_document(schema: Any, path: str = "") -> list[SchemaViolation]:

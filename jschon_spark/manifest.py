@@ -86,5 +86,9 @@ def read_committed(
     at-least-once writes — the Iceberg-snapshot pattern in miniature.
     The manifest is one row per partition, so the join side broadcasts.
     """
-    committed = read_manifest(spark, manifest_path).select(partition_col, "run_id").distinct()
+    committed = (
+        read_manifest(spark, manifest_path)
+        .select(F.col("part_id").alias(partition_col), "run_id")
+        .distinct()
+    )
     return outputs.join(F.broadcast(committed), [partition_col, "run_id"], "semi")

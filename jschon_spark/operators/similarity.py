@@ -262,13 +262,15 @@ def flat_signature_udf(n_planes: int, seed: int = 7):
 
     @pandas_udf(T.LongType())
     def sig(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.stack(vecs.to_numpy())
-        planes = hyperplanes_np(m.shape[1], n_planes, seed)
-        bits = (m @ planes.T) >= 0
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        return pd.Series(bits @ weights)
+        mask = vecs.notna().to_numpy()
+        out = np.full(len(vecs), np.nan)
+        if mask.any():
+            m = np.stack(vecs[mask].to_numpy())
+            planes = hyperplanes_np(m.shape[1], n_planes, seed)
+            bits = (m @ planes.T) >= 0
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            out[mask] = bits @ weights
+        return pd.Series(out).astype("Int64")  # null signature for null vector
 
     return sig
 
@@ -388,11 +390,13 @@ def centroid_assign_udf(centroids: np.ndarray):
 
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = (m * m).sum(1)[:, None] - 2.0 * (m @ cents.T) + c_norms[None, :]
-        return pd.Series(d.argmin(1).astype(np.int32))
+        mask = vecs.notna().to_numpy()
+        out = np.full(len(vecs), np.nan)
+        if mask.any():
+            m = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            d = (m * m).sum(1)[:, None] - 2.0 * (m @ cents.T) + c_norms[None, :]
+            out[mask] = d.argmin(1)
+        return pd.Series(out).astype("Int32")  # null list for null vector
 
     return assign
 
@@ -421,6 +425,7 @@ def write_ivf_index(
 
     sample_pdf = (
         df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col(vec_col).isNotNull())
         .limit(int(sample_rows))
         .toPandas()
     )
@@ -479,9 +484,11 @@ def auto_lsh_params(
     EXPECTED random-pair candidate count stays ~linear in n
     (b * n^2 / 2^(bits+1) <= n), then bands for the recall target at
     the cosine threshold (P(bit agree) = 1 - acos(t)/pi), iterating to
-    a joint fixed point. At 10k rows this lands near the 8x8 default;
-    at 10^9 rows it scales bits up so buckets stay file-sized instead
-    of letting the band join go quadratic."""
+    a joint fixed point. The linear-candidate constraint makes these
+    MUCH wider than the 8x8 default (10k rows @ t=0.9 → 37 bands x 18
+    bits; 10^9 rows → 30-bit bands): the default is tuned for small
+    similarity-rich corpora, this for corpora where the band join must
+    not go quadratic."""
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     bands = 8
     bits = 8

@@ -163,10 +163,13 @@ def select_pending(
     pruned directories. Large frontiers (1e5 partitions at 10^12 rows)
     stay distributed: broadcast semi-join, pruned at runtime by dynamic
     partition pruning, nothing collected."""
-    n = pending.count()
+    # one job decides both the count and the inline list for the common
+    # small case; only an over-limit frontier pays a second (count) job
+    rows = pending.limit(MAX_INLINE_PARTITIONS + 1).collect()
+    n = len(rows)
     if n == 0:
         return clips.where(F.lit(False)), [], 0
     if n <= MAX_INLINE_PARTITIONS:
-        parts = sorted(r[0] for r in pending.collect())
+        parts = sorted(r[0] for r in rows)
         return clips.where(F.col(partition_col).isin(parts)), parts, n
-    return clips.join(F.broadcast(pending), partition_col, "semi"), None, n
+    return clips.join(F.broadcast(pending), partition_col, "semi"), None, pending.count()

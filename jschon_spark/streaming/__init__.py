@@ -61,10 +61,12 @@ def running_flag_state(
     every partition it touched (state = two longs per partition, so
     state size is bounded by partition count, not row count)."""
     import pandas as pd
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = validated.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} int, n_rows long, n_valid long, n_invalid long, partition_valid boolean"
+        f"{key_col} {key_type}, n_rows long, n_valid long, n_invalid long, partition_valid boolean"
     )
     state_schema = "n_rows long, n_valid long"
 

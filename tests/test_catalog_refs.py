@@ -273,3 +273,23 @@ def test_relative_pointer_evaluation_mirrors_reference():
         else:
             got = get_value(data, out)
         assert got == want, (start, ref, got, want)
+
+
+def test_dynamic_ref_bookending(spark):
+    """2020-12 §8.2.3.2: $dynamicRef only rebinds when the INITIAL
+    target is itself the $dynamicAnchor carrier; a plain-$anchor target
+    behaves as $ref even when unrelated carriers of the same name
+    exist, and a scope miss falls back to the initial target."""
+    schema = {
+        "$id": "https://ex.dev/book",
+        "$defs": {
+            "plain": {"$anchor": "thing", "type": "integer"},
+            "dyn": {"$dynamicAnchor": "thing2", "type": "string"},
+        },
+        "properties": {
+            # initial target has $anchor (not $dynamicAnchor) → no rebind
+            "x": {"$dynamicRef": "#thing"}
+        },
+    }
+    check_case(spark, schema, {"x": 1}, True)
+    check_case(spark, schema, {"x": "s"}, False)

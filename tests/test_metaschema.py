@@ -236,3 +236,58 @@ def test_id_fragment_rules():
     assert check_schema_document({"$id": "http://ex.dev/x#"}) == []
     assert any(v.path == "/$id" for v in check_schema_document({"$id": "http://ex.dev/x#frag"}))
     assert any(v.path == "/$id" for v in check_schema_document({"$id": "http://ex.dev/x#/json/ptr"}))
+
+
+def test_java_only_regex_accepted(spark):
+    # runtime dialect is Java (rlike): \p{Alpha} must compile and run
+    # even though Python re rejects it
+    schema = {"pattern": "^\\p{Alpha}+$"}
+    assert check_schema_document(schema) == []
+    check_case(spark, schema, "abc", True)
+    check_case(spark, schema, "ab1", False)
+    # still flag patterns invalid in BOTH dialects
+    assert any(v.path == "/pattern" for v in check_schema_document({"pattern": "["}))
+
+
+def test_dependencies_merge_order():
+    # explicit dependentSchemas AFTER legacy dependencies must merge,
+    # not overwrite (and vice versa)
+    out = rewrite_legacy(
+        {"dependencies": {"a": {"minimum": 3}}, "dependentSchemas": {"b": {"type": "string"}}}
+    )
+    assert set(out["dependentSchemas"].keys()) == {"a", "b"}
+    out2 = rewrite_legacy(
+        {"dependentRequired": {"x": ["y"]}, "dependencies": {"a": ["b"]}}
+    )
+    assert set(out2["dependentRequired"].keys()) == {"x", "a"}
+
+
+def test_2019_09_applicator_vocab_includes_unevaluated(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$id": "https://ex.dev/meta/2019",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2019-09/vocab/core": True,
+                "https://json-schema.org/draft/2019-09/vocab/applicator": True,
+                "https://json-schema.org/draft/2019-09/vocab/validation": True,
+            },
+        }
+    )
+    compiled = cat.compile(
+        {
+            "$schema": "https://ex.dev/meta/2019",
+            "properties": {"a": {}},
+            "unevaluatedProperties": False,
+        }
+    )
+    dtype = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())])
+    df = spark.createDataFrame([(1, 2)], dtype)
+    c = compiled.columns(dtype, F.struct(F.col("a"), F.col("b")))
+    # 'b' is unevaluated → must FAIL (the bug silently passed it)
+    assert df.select(c.valid.alias("ok")).collect()[0].ok is False

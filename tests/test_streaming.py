@@ -103,7 +103,7 @@ def test_running_flag_state_accumulates(spark, tmp_path):
 
     src = tmp_path / "src"
     src.mkdir()
-    ddl = "part_id int, value double"
+    ddl = "part_id long, value double"  # long key: out schema must follow
     spark.createDataFrame([(0, 5.0), (0, -1.0), (1, 3.0)], ddl).coalesce(1).write.parquet(
         str(src / "b1.parquet")
     )

@@ -258,3 +258,19 @@ def test_auto_lsh_params_properties():
                 assert recall >= 0.9, (n, t, bands, bits, recall)
     # monotone bucket sizing
     assert similarity.auto_lsh_params(10**9, 0.9)[1] > similarity.auto_lsh_params(10**4, 0.9)[1]
+
+
+def test_ann_index_null_vectors(spark, tmp_path):
+    # null embeddings must not crash the index build; they land in the
+    # null partition and are never probed
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_null")
+    similarity.write_ann_index(df, path, n_planes=4)
+    out = similarity.ann_topk_indexed(spark, path, [1.0, 0.0], k=2, max_probe_hamming=4)
+    got = [r.vec_id for r in out.collect()]
+    assert 0 in got and 1 not in got
+    path2 = str(tmp_path / "ivf_null")
+    similarity.write_ivf_index(df, path2, n_lists=2, sample_rows=10)
+    got2 = [r.vec_id for r in similarity.ivf_topk(spark, path2, [1.0, 0.0], k=2, nprobe=2).collect()]
+    assert 0 in got2 and 1 not in got2
