@@ -370,20 +370,26 @@ def simhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", simhash_col: str = "simhash", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ k on SimHash: band the 64
-    bits into 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
-    chunk equal), join per chunk, verify with bit_count(xor)."""
+    bits into ``max_hamming + 1`` chunks — the pigeonhole guarantee
+    (d ≤ k over k+1 disjoint chunks ⇒ at least one chunk untouched)
+    REQUIRES the chunk count to track k; a fixed 4-way split silently
+    loses recall for k > 3. Join per chunk, verify with bit_count(xor)."""
+    n_chunks = max(1, min(16, max_hamming + 1))
+    # as-equal-as-possible chunk widths covering all 64 bits
+    base_w, extra = divmod(64, n_chunks)
     fp = F.col(simhash_col)
-    chunks = F.array(
-        *[
+    parts, off = [], 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < extra else 0)
+        mask = (1 << w) - 1
+        parts.append(
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftrightunsigned(fp, c * 16)
-                .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                .alias("chunk"),
+                F.shiftrightunsigned(fp, off).bitwiseAND(F.lit(mask).cast("long")).alias("chunk"),
             )
-            for c in range(4)
-        ]
-    )
+        )
+        off += w
+    chunks = F.array(*parts)
     buckets = df.select(F.col(id_col), fp.alias("fp"), F.explode(chunks).alias("c")).select(
         id_col, "fp", "c.chunk_id", "c.chunk"
     )

@@ -274,3 +274,20 @@ def test_ann_index_null_vectors(spark, tmp_path):
     similarity.write_ivf_index(df, path2, n_lists=2, sample_rows=10)
     got2 = [r.vec_id for r in similarity.ivf_topk(spark, path2, [1.0, 0.0], k=2, nprobe=2).collect()]
     assert 0 in got2 and 1 not in got2
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """max_hamming > 3 must still be recall-guaranteed: plant a pair at
+    hamming 6 that differs in ALL of the old fixed 4x16 chunks (one bit
+    flipped in chunks 0,1,2 and three bits in chunk 3) — the adaptive
+    7-chunk banding must still find it."""
+    base = 0x0123456789ABCDEF
+    flipped = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48) ^ (1 << 49) ^ (1 << 50)
+    assert bin(base ^ flipped).count("1") == 6
+    df = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, ~base & 0x7FFFFFFFFFFFFFFF)],
+        "doc_id long, simhash long",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_duplicates(df, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
