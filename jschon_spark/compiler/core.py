@@ -700,13 +700,33 @@ class Compiler:
             )
         return combine(parts) if parts else None
 
+
+    def _name_search(self, pattern: str, name: str) -> bool:
+        """Does ``pattern`` match (search) the static property name?
+        Python re first; on Python-rejected patterns (Java-only
+        constructs like \\p{...}) fall back to the JVM's
+        java.util.regex via the active session — the same dialect the
+        runtime rlike path uses."""
+        try:
+            return re.search(pattern, name) is not None
+        except re.error:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise CompileError(
+                    f"pattern {pattern!r} is not a valid Python regex and no active "
+                    "SparkSession is available for the Java-dialect fallback"
+                )
+            jvm = spark.sparkContext._jvm
+            return bool(jvm.java.util.regex.Pattern.compile(pattern).matcher(name).find())
+
     def _k_patternProperties(self, value: dict, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if isinstance(ctx.dtype, T.StructType):
             parts = []
             for regex, sub in value.items():
-                creg = re.compile(regex)
                 for f in ctx.dtype.fields:
-                    if not creg.search(f.name):
+                    if not self._name_search(regex, f.name):
                         continue
                     child_ctx = ctx.field(f.name)
                     child_ctx = _replace(child_ctx, spath=ctx.spath + f"/patternProperties/{escape_pointer(regex)}")
@@ -788,7 +808,7 @@ class Compiler:
             for f in ctx.dtype.fields:
                 if f.name in known:
                     continue
-                if any(re.compile(p).search(f.name) for p in patterns):
+                if any(self._name_search(p, f.name) for p in patterns):
                     continue
                 child_ctx = ctx.field(f.name)
                 child_ctx = _replace(child_ctx, spath=ctx.spath + "/additionalProperties")
@@ -1302,13 +1322,13 @@ class Compiler:
             if name in (src.get("properties") or {}):
                 static_cover = True
             if not static_cover and any(
-                re.compile(p).search(name) for p in (src.get("patternProperties") or {})
+                self._name_search(p, name) for p in (src.get("patternProperties") or {})
             ):
                 static_cover = True
             if not static_cover and "additionalProperties" in src:
                 known = set((src.get("properties") or {}).keys())
-                pats = [re.compile(p) for p in (src.get("patternProperties") or {})]
-                if name not in known and not any(p.search(name) for p in pats):
+                pats = list((src.get("patternProperties") or {}).keys())
+                if name not in known and not any(self._name_search(p, name) for p in pats):
                     static_cover = True
             if not static_cover and "unevaluatedProperties" in src and src is not schema:
                 static_cover = True

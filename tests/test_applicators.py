@@ -544,3 +544,18 @@ INTERACTION_CASES = [
 def test_keyword_interactions(spark):
     for schema, data, valid in INTERACTION_CASES:
         check_case(spark, schema, data, valid)
+
+
+def test_pattern_properties_java_dialect_struct(spark):
+    # Java-only regex in patternProperties over a STRUCT column: the
+    # static name match falls back to the JVM dialect
+    schema = {"patternProperties": {"^\\p{Alpha}+$": {"type": "integer"}}}
+    check_case(spark, schema, {"abc": 1}, True)
+    check_case(spark, schema, {"abc": "x"}, False)
+    schema2 = {
+        "properties": {"known": {}},
+        "patternProperties": {"^x\\p{Digit}$": {}},
+        "additionalProperties": False,
+    }
+    check_case(spark, schema2, {"known": 1, "x1": 2}, True)
+    check_case(spark, schema2, {"known": 1, "y1": 2}, False)
