@@ -1118,6 +1118,11 @@ class Compiler:
         fn = self.format_validators.get(value)
         if fn is None:
             return None  # unknown formats annotate only
+        if not isinstance(ctx.dtype, T.StringType):
+            # every defined 2020-12 format targets strings: a
+            # non-string instance passes vacuously (the reference's
+            # validators are type-scoped — format.py:34-45)
+            return None
         return leaf(ctx, "format", fn(ctx), f"the value must be a valid {value!r}")
 
     # -- unevaluated* (static closure; SURVEY §2.2, applicator.py:190-365) --

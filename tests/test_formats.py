@@ -67,3 +67,11 @@ def test_format_iri_family(spark):
     check_case(spark, {"format": "iri"}, "not a uri", False, assert_formats=True)
     check_case(spark, {"format": "idn-email"}, "dörte@sörensen.example", True, assert_formats=True)
     check_case(spark, {"format": "idn-email"}, "no-at-sign", False, assert_formats=True)
+
+
+def test_format_type_scoped(spark):
+    # defined formats target strings: non-string instances pass
+    # vacuously (reference validators are type-scoped)
+    check_case(spark, {"format": "ipv4"}, 5, True, assert_formats=True)
+    check_case(spark, {"format": "date"}, [1, 2], True, assert_formats=True)
+    check_case(spark, {"format": "ipv4"}, "nope", False, assert_formats=True)
