@@ -43,6 +43,11 @@ def escape_pointer(token: str) -> str:
     return token.replace("~", "~0").replace("/", "~1")
 
 
+def escape_pointer_col(token: Column) -> Column:
+    """RFC 6901 escaping of a RUNTIME token Column (dynamic map keys)."""
+    return F.replace(F.replace(token, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1"))
+
+
 @dataclass(frozen=True)
 class Ctx:
     """Addresses one instance node during compilation.

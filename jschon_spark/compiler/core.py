@@ -35,6 +35,7 @@ from jschon_spark.compiler.context import (
     concat_viols,
     empty_violations,
     escape_pointer,
+    escape_pointer_col,
     is_integral,
     is_numeric,
     jtype_of,
@@ -774,7 +775,7 @@ class Compiler:
             cctx = ctx.child(
                 e.getField("value"),
                 vtype,
-                F.concat(ctx.path, F.lit("/"), e.getField("key")),
+                F.concat(ctx.path, F.lit("/"), escape_pointer_col(e.getField("key"))),
                 spath_suffix,
             )
             return self.apply(sub, _replace(cctx, no_trace=True))
@@ -852,7 +853,7 @@ class Compiler:
             return combine(parts) if parts else None
         if isinstance(ctx.dtype, T.MapType):
             def child(k: Column) -> Compiled:
-                cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), k), "/propertyNames")
+                cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), escape_pointer_col(k)), "/propertyNames")
                 return self.apply(value, _replace(cctx, no_trace=True))
 
             keys = F.map_keys(ctx.col)
@@ -1288,7 +1289,7 @@ class Compiler:
             cctx = ctx.child(
                 e.getField("value"),
                 vtype,
-                F.concat(ctx.path, F.lit("/"), e.getField("key")),
+                F.concat(ctx.path, F.lit("/"), escape_pointer_col(e.getField("key"))),
                 "/unevaluatedProperties",
             )
             return self.apply(value, _replace(cctx, no_trace=True))

@@ -559,3 +559,23 @@ def test_pattern_properties_java_dialect_struct(spark):
     }
     check_case(spark, schema2, {"known": 1, "x1": 2}, True)
     check_case(spark, schema2, {"known": 1, "y1": 2}, False)
+
+
+def test_map_key_pointer_escaping(spark):
+    """Dynamic map keys with '/' or '~' must be RFC 6901-escaped in
+    violation instance paths (jschon/jsonpointer.py:257-273)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import compile_schema
+
+    dtype = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame(
+        [Row(m={"a/b": -1, "c~d": -2})],
+        T.StructType([T.StructField("m", dtype, True)]),
+    )
+    c = compile_schema({"additionalProperties": {"minimum": 0}}).columns(dtype, F.col("m"))
+    viols = df.select(c.viols.alias("v")).collect()[0].v
+    paths = sorted(x.instance_path for x in viols)
+    assert paths == ["/a~1b", "/c~0d"]
