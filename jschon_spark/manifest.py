@@ -86,9 +86,18 @@ def read_committed(
     at-least-once writes — the Iceberg-snapshot pattern in miniature.
     The manifest is one row per partition, so the join side broadcasts.
     """
+    from pyspark.sql import Window
+
+    # one winning run per partition (first commit by timestamp, run_id
+    # tiebreak): two RACING runs that both processed a partition would
+    # otherwise both be visible, duplicating rows
+    m = read_manifest(spark, manifest_path).select(
+        F.col("part_id").alias(partition_col), "run_id", "completed_at"
+    )
+    w = Window.partitionBy(partition_col).orderBy("completed_at", "run_id")
     committed = (
-        read_manifest(spark, manifest_path)
-        .select(F.col("part_id").alias(partition_col), "run_id")
-        .distinct()
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(partition_col, "run_id")
     )
     return outputs.join(F.broadcast(committed), [partition_col, "run_id"], "semi")

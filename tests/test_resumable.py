@@ -104,3 +104,27 @@ def test_select_pending_large_frontier_stays_distributed(spark, clips_path):
     assert subset.select("part_id").distinct().count() == 8
     plan = subset._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "dynamicpruning" in plan
+
+
+def test_read_committed_racing_runs_single_winner(spark, clips_path, tmp_path):
+    """Two racing runs that both committed the same partitions: exactly
+    one run's rows are visible per partition (first commit wins)."""
+    import time as _time
+
+    manifest_path = str(tmp_path / "manifest_race")
+    out_path = str(tmp_path / "out_race")
+    from jschon_spark.output import flag_summary
+    from jschon_spark.pipeline import validate_clips_rows
+
+    clips = spark.read.parquet(clips_path)
+    flags = flag_summary(validate_clips_rows(clips.where("part_id < 3")), "part_id")
+    for rid in ("r-first", "r-second"):
+        flags.withColumn("run_id", F.lit(rid)).write.mode("append").parquet(out_path)
+        mf.append_results(spark, manifest_path, flags, run_id=rid, source_path=clips_path)
+        _time.sleep(1.1)  # distinct commit timestamps
+    raw = spark.read.parquet(out_path)
+    assert raw.count() == 6
+    committed = mf.read_committed(spark, manifest_path, raw)
+    rows = committed.select("part_id", "run_id").collect()
+    assert len(rows) == 3
+    assert {r.run_id for r in rows} == {"r-first"}
