@@ -367,11 +367,15 @@ class Compiler:
             self.resource_uri.setdefault(id(doc), uri)
             self._index(doc, uri, "")
 
-    def resolve_ref(self, ref: str) -> tuple[Any, str]:
-        """$ref → (target schema node, canonical spath). Compile-time
-        inlining replaces jschon's two-phase resolve (jschon/vocabulary/
-        core.py:82-103); cycles hit the depth guard instead."""
-        uri, frag = urldefrag(urljoin(self.base_uri, ref))
+    def resolve_ref(self, ref: str, base: Optional[str] = None) -> tuple[Any, str]:
+        """$ref → (target schema node, canonical spath). ``base`` is the
+        URI of the resource ENCLOSING THE REF SITE (RFC 3986: relative
+        references resolve against the nearest $id base,
+        jschon/jsonschema.py:127-151) — callers pass ctx.scope[-1].
+        Compile-time inlining replaces jschon's two-phase resolve
+        (jschon/vocabulary/core.py:82-103); cycles hit the depth guard."""
+        base = base or self.base_uri
+        uri, frag = urldefrag(urljoin(base, ref))
         # RFC 6901 §6: a JSON-Pointer fragment travels percent-encoded
         # in the URI (jschon/jsonpointer.py:229-254 uri_fragment round-trip)
         frag = unquote(frag)
@@ -394,6 +398,8 @@ class Compiler:
                     )
                 return doc, spath
             raise CompileError(f"unresolvable external reference {ref!r} (no network)")
+        if uri and uri == self.base_uri and not frag:
+            return self.root, ""
         return self._resolve_pointer(self.root, frag), frag
 
     # -- node compilation --------------------------------------------------
@@ -1068,8 +1074,11 @@ class Compiler:
 
     # -- references --------------------------------------------------------
 
+    def _site_base(self, ctx: Ctx) -> Optional[str]:
+        return ctx.scope[-1] if ctx.scope else None
+
     def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
-        target, spath = self.resolve_ref(value)
+        target, spath = self.resolve_ref(value, self._site_base(ctx))
         rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
         return self.apply(target, rctx)
 
@@ -1083,7 +1092,7 @@ class Compiler:
         cases (e.g. strict-tree extending tree) rebind correctly."""
         from jschon_spark.compiler.legacy import _RECURSIVE_NAME
 
-        _, frag = urldefrag(urljoin(self.base_uri, value))
+        _, frag = urldefrag(urljoin(self._site_base(ctx) or self.base_uri, value))
         cands = self.dynamic_anchors.get(frag, []) if frag else []
         if not cands:
             if frag == _RECURSIVE_NAME:
@@ -1098,7 +1107,7 @@ class Compiler:
         # carries the anchor, use the INITIAL target — never an
         # arbitrary document-order carrier.
         try:
-            init_target, init_spath = self.resolve_ref(value)
+            init_target, init_spath = self.resolve_ref(value, self._site_base(ctx))
         except CompileError:
             init_target, init_spath = cands[0]
         target, spath = init_target, init_spath
@@ -1198,12 +1207,13 @@ class Compiler:
     def _resolve_source_ref(self, refkw: str, value: str, scope: tuple = ()) -> Any:
         """Resolve a $ref/$dynamicRef for annotation-coverage purposes
         (same targets _k_ref/_k_dynamicRef would inline)."""
+        site_base = scope[-1] if scope else None
         if refkw == "$dynamicRef":
-            _, frag = urldefrag(urljoin(self.base_uri, value))
+            _, frag = urldefrag(urljoin(site_base or self.base_uri, value))
             cands = self.dynamic_anchors.get(frag, []) if frag else []
             if cands:
                 try:
-                    init_target, _ = self.resolve_ref(value)
+                    init_target, _ = self.resolve_ref(value, site_base)
                 except CompileError:
                     init_target = cands[0][0]
                 # bookending, mirroring _k_dynamicRef
@@ -1213,7 +1223,7 @@ class Compiler:
                         if hit is not None:
                             return hit[0]
                 return init_target
-        target, _ = self.resolve_ref(value)
+        target, _ = self.resolve_ref(value, site_base)
         return target
 
     def _guard_cond(self, ctx: Ctx, guards: list[tuple[Any, bool]]) -> Column:

@@ -293,3 +293,47 @@ def test_dynamic_ref_bookending(spark):
     }
     check_case(spark, schema, {"x": 1}, True)
     check_case(spark, schema, {"x": "s"}, False)
+
+
+def test_nested_id_base_uri_resolution(spark):
+    """Relative $ref/$id resolution against nested $id bases
+    (RFC 3986 urljoin semantics; reference jschon/jsonschema.py:127-151)."""
+    # relative $id under an absolute root; $ref resolved against root base
+    s1 = {
+        "$id": "https://ex.dev/app/root.json",
+        "$defs": {"A": {"$id": "sub/a.json", "type": "integer"}},
+        "$ref": "sub/a.json",
+    }
+    check_case(spark, s1, 1, True)
+    check_case(spark, s1, "x", False)
+    # a $ref INSIDE the nested resource resolves against the NESTED base
+    s2 = {
+        "$id": "https://ex.dev/app/root.json",
+        "$defs": {
+            "A": {
+                "$id": "sub/a.json",
+                "$defs": {"B": {"$id": "b.json", "minimum": 5}},
+                "properties": {"x": {"$ref": "b.json"}},
+            }
+        },
+        "$ref": "sub/a.json",
+    }
+    # b.json resolves to https://ex.dev/app/sub/b.json (nested base)
+    check_case(spark, s2, {"x": 7}, True)
+    check_case(spark, s2, {"x": 3}, False)
+    # trailing-slash base: relative refs append
+    s3 = {
+        "$id": "https://ex.dev/dir/",
+        "$defs": {"A": {"$id": "leaf", "maxLength": 2}},
+        "$ref": "leaf",
+    }
+    check_case(spark, s3, "ab", True)
+    check_case(spark, s3, "abc", False)
+    # anchor inside a nested resource addresses via the nested base
+    s4 = {
+        "$id": "https://ex.dev/root",
+        "$defs": {"A": {"$id": "other", "$defs": {"k": {"$anchor": "kk", "const": 7}}}},
+        "$ref": "other#kk",
+    }
+    check_case(spark, s4, 7, True)
+    check_case(spark, s4, 8, False)
