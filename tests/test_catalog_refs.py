@@ -337,3 +337,25 @@ def test_nested_id_base_uri_resolution(spark):
     }
     check_case(spark, s4, 7, True)
     check_case(spark, s4, 8, False)
+
+
+def test_fragment_only_ref_inside_nested_resource(spark):
+    """'#/...' inside a nested \$id resource points into THAT resource,
+    not the document root (the fragment resolves against the current
+    base URI)."""
+    schema = {
+        "$id": "https://ex.dev/outer",
+        "$defs": {
+            "inner": {
+                "$id": "inner.json",
+                "$defs": {"n": {"minimum": 10}},
+                "properties": {"x": {"$ref": "#/$defs/n"}},
+            },
+            # a DIFFERENT /$defs/n at root level would wrongly match
+            # under root-base resolution
+            "n": {"maximum": 0},
+        },
+        "$ref": "inner.json",
+    }
+    check_case(spark, schema, {"x": 15}, True)   # inner's minimum 10
+    check_case(spark, schema, {"x": 5}, False)
