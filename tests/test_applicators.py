@@ -579,3 +579,32 @@ def test_map_key_pointer_escaping(spark):
     viols = df.select(c.viols.alias("v")).collect()[0].v
     paths = sorted(x.instance_path for x in viols)
     assert paths == ["/a~1b", "/c~0d"]
+
+
+def test_ref_coverage_for_unevaluated(spark):
+    """Annotations flow through $ref for unevaluated* coverage
+    (applicator.py:190-232 consumes the ref'd subtree's annotations)."""
+    s1 = {
+        "$defs": {"t": {"prefixItems": [True]}},
+        "$ref": "#/$defs/t",
+        "unevaluatedItems": False,
+    }
+    check_case(spark, s1, [1], True)
+    check_case(spark, s1, [1, 2], False)
+    s2 = {
+        "$defs": {"t": {"properties": {"a": {}}}},
+        "$ref": "#/$defs/t",
+        "unevaluatedProperties": False,
+    }
+    check_case(spark, s2, {"a": 1}, True)
+    check_case(spark, s2, {"a": 1, "b": 2}, False)
+    # boolean `then` contributes no annotations
+    s3 = {
+        "if": {"minItems": 0},
+        "then": True,
+        "unevaluatedItems": False,
+    }
+    check_case(spark, s3, [1], False)
+    # additionalProperties: true in an allOf branch covers everything
+    s4 = {"allOf": [{"additionalProperties": True}], "unevaluatedProperties": False}
+    check_case(spark, s4, {"x": 1, "y": 2}, True)
