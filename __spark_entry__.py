@@ -207,11 +207,14 @@ def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based — rows-only check
-    from jschon_spark.operators.dedup import simhash_near_duplicates, with_simhash
+    # rows-only check. Radius 8 uses the 128-bit fingerprint: k+1 = 9
+    # pigeonhole chunks stay >= 14 bits wide (vs 7-bit chunks on a
+    # 64-bit fingerprint, whose ~n^2/128 per-chunk candidates explode at
+    # corpus scale — see simhash128_near_duplicates' SCALE BOUND).
+    from jschon_spark.operators.dedup import simhash128_near_duplicates, with_simhash128
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(with_simhash(docs), max_hamming=8)
+    return simhash128_near_duplicates(with_simhash128(docs), max_hamming=8)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,6 +266,10 @@ def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH signature (once, cached per sf_dir); the probe is a
     # partition-column IN-filter, so the scan reads only matching
     # bucket directories — rows-only check
+    return _ann_indexed_topk(spark, sf_dir, k=10)
+
+
+def _ann_indexed_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     import hashlib
     import os
 
@@ -276,7 +283,7 @@ def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_ann_meta.json")):
         write_ann_index(_t(spark, sf_dir, "embeddings"), path, n_planes=8)
     query = _t(spark, sf_dir, "embeddings").where("vec_id = 0").select("embedding").collect()[0][0]
-    return ann_topk_indexed(spark, path, query, k=10, max_probe_hamming=2)
+    return ann_topk_indexed(spark, path, query, k=k, max_probe_hamming=2)
 
 
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,8 +298,17 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
-    exact = [r.vec_id for r in brute_force_topk(emb, query, k=10).collect()]
-    approx = [r.vec_id for r in q_embedding_ann_indexed(spark, sf_dir).collect()]
+    # the query is vec_id 0's OWN embedding: drop it from both result
+    # sets, otherwise recall@1 is tautological (the self row shares the
+    # query's bucket and scores cosine 1.0, so it is always retrieved)
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(emb, query, k=11).collect()
+        if r.vec_id != 0
+    ][:10]
+    approx = [
+        r.vec_id for r in _ann_indexed_topk(spark, sf_dir, k=11).collect() if r.vec_id != 0
+    ][:10]
     overlap = len(set(exact) & set(approx))
     rows = [
         (1, int(exact[0] in approx), float(exact[0] in approx)),

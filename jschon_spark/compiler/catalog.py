@@ -39,6 +39,16 @@ class SchemaCatalog:
         self._sources.append((uri_prefix, directory, suffix))
         self._sources.sort(key=lambda s: -len(s[0]))
 
+    def add_remote_source(self, uri_prefix: str) -> None:
+        """≙ the reference's RemoteSource (jschon/catalog/__init__.py:
+        57-67), which fetches ``{prefix}foo`` over HTTP. This
+        environment has NO network, so the source is registered only to
+        produce a precise error at lookup time — the failing URI names
+        the remote source instead of surfacing as a generic
+        unresolvable-ref error."""
+        self._remote_prefixes = getattr(self, "_remote_prefixes", [])
+        self._remote_prefixes.append(uri_prefix)
+
     def lookup(self, uri: str) -> Optional[Any]:
         """Resolve a canonical (fragmentless) URI to a document, loading
         from a directory source on miss."""
@@ -59,6 +69,13 @@ class SchemaCatalog:
                         doc = json.load(f)
                     self._docs[key] = doc
                     return doc
+        for prefix in getattr(self, "_remote_prefixes", []):
+            if key.startswith(prefix):
+                raise RuntimeError(
+                    f"schema {key!r} is mapped to remote source {prefix!r}, but "
+                    "this environment has no network access; register the "
+                    "document locally with add_schema/add_directory_source"
+                )
         return None
 
     def compile(self, uri_or_doc: Any, **kw):

@@ -194,6 +194,46 @@ _reg_vocab(
 )
 
 
+_KNOWN_DIALECTS = (
+    "https://json-schema.org/draft/2020-12/schema",
+    "https://json-schema.org/draft/2019-09/schema",
+    "http://json-schema.org/draft-07/schema",
+    "http://json-schema.org/draft-06/schema",
+    "http://json-schema.org/draft-04/schema",
+)
+
+
+def _dialect_for(schema_uri: str, catalog: Optional[Any]) -> tuple[Optional[frozenset], bool]:
+    """(enabled keyword set or None for "all", format-assertion flag)
+    for one ``$schema`` URI — the per-resource metaschema resolution the
+    reference does in jschon/jsonschema.py:117-129 + Catalog. Raises
+    for an unrecognized dialect or an unknown required vocabulary
+    (2020-12 §8.1.2)."""
+    uri = schema_uri.rstrip("#")
+    meta_doc = catalog.lookup(uri) if catalog is not None else None
+    if uri not in _KNOWN_DIALECTS and meta_doc is None:
+        raise CompileError(
+            f"unrecognized dialect {schema_uri!r}; supported: {list(_KNOWN_DIALECTS)} "
+            "(or register the metaschema document in the catalog)"
+        )
+    if isinstance(meta_doc, dict) and isinstance(meta_doc.get("$vocabulary"), dict):
+        enabled: set = set()
+        assert_formats = False
+        for vuri, req in meta_doc["$vocabulary"].items():
+            kws = _VOCAB_KEYWORDS.get(vuri.rstrip("#"))
+            if kws is None:
+                if req is True:
+                    raise CompileError(
+                        f"metaschema {uri!r} requires unknown vocabulary {vuri!r}"
+                    )
+                continue
+            enabled |= kws
+            if vuri.rstrip("#") == "https://json-schema.org/draft/2020-12/vocab/format-assertion":
+                assert_formats = True  # the dialect itself asserts formats
+        return frozenset(enabled), assert_formats
+    return None, False
+
+
 def _true(c: Column | bool) -> Column:
     return F.lit(c) if isinstance(c, bool) else c
 
@@ -230,43 +270,12 @@ class Compiler:
             # dialects all normalize to 2020-12 via the legacy rewrite;
             # an unrecognized dialect URI is an error, not a silent
             # assumption — unless the catalog can actually resolve it
-            # (a custom metaschema registered by the caller)
-            uri = root["$schema"].rstrip("#")
-            known = (
-                "https://json-schema.org/draft/2020-12/schema",
-                "https://json-schema.org/draft/2019-09/schema",
-                "http://json-schema.org/draft-07/schema",
-                "http://json-schema.org/draft-06/schema",
-                "http://json-schema.org/draft-04/schema",
-            )
-            meta_doc = catalog.lookup(uri) if catalog is not None else None
-            if uri not in known and meta_doc is None:
-                raise CompileError(
-                    f"unrecognized dialect {root['$schema']!r}; supported: {list(known)} "
-                    "(or register the metaschema document in the catalog)"
-                )
-            # $vocabulary-driven keyword registry (≙ jschon's
-            # Metaschema.kwclasses, jschon/vocabulary/__init__.py:40-101):
-            # a custom metaschema's $vocabulary decides WHICH keywords
-            # assert; keywords outside the enabled set are annotations.
-            # An unknown vocabulary marked required (true) must refuse
-            # to process (2020-12 §8.1.2).
-            if isinstance(meta_doc, dict) and isinstance(meta_doc.get("$vocabulary"), dict):
-                enabled: set = set()
-                for vuri, req in meta_doc["$vocabulary"].items():
-                    kws = _VOCAB_KEYWORDS.get(vuri.rstrip("#"))
-                    if kws is None:
-                        if req is True:
-                            raise CompileError(
-                                f"metaschema {uri!r} requires unknown vocabulary {vuri!r}"
-                            )
-                        continue
-                    enabled |= kws
-                    if vuri.rstrip("#") == "https://json-schema.org/draft/2020-12/vocab/format-assertion":
-                        assert_formats = True  # the dialect itself asserts formats
-                self.enabled_keywords: Optional[frozenset] = frozenset(enabled)
-            else:
-                self.enabled_keywords = None
+            # (a custom metaschema registered by the caller). The
+            # $vocabulary-driven keyword registry ≙ jschon's
+            # Metaschema.kwclasses (jschon/vocabulary/__init__.py:40-101).
+            self.enabled_keywords, dialect_asserts = _dialect_for(root["$schema"], catalog)
+            if dialect_asserts:
+                assert_formats = True
         else:
             self.enabled_keywords = None
         if validate_schema:
@@ -291,6 +300,11 @@ class Compiler:
         # (nodes carrying $id, plus document roots) — lets apply() push
         # the compile-time dynamic scope (jschon/jsonschema.py:226-241)
         self.resource_uri: dict[int, str] = {}
+        # id(node) → URI of the nearest ENCLOSING resource, for every
+        # dict node of every indexed document — so a $ref that lands on
+        # an interior node of another resource still pushes that
+        # resource's base onto the scope (RFC 3986 resolution base)
+        self.enclosing_uri: dict[int, str] = {}
         # (resource URI, anchor name) → (node, spath) for $dynamicAnchor
         # carriers, keyed by their enclosing resource
         self.dynamic_in_resource: dict[tuple[str, str], tuple[Any, str]] = {}
@@ -298,20 +312,38 @@ class Compiler:
         # opt-in verbose trace: spath → (schema_node, path Column, Compiled)
         # for every node applied at row scope (set to {} before apply)
         self.trace: Optional[dict[str, tuple[Any, Column, Compiled]]] = None
+        # resource URI → (enabled keyword set or None, dialect asserts
+        # formats) — per-resource $schema/$vocabulary resolution, ≙ the
+        # reference resolving a metaschema PER SCHEMA RESOURCE rather
+        # than once for the whole compilation (jschon/jsonschema.py:117-129).
+        # Resources absent from the map inherit the root dialect.
+        self.resource_dialect: dict[str, tuple[Optional[frozenset], bool]] = {}
         self.base_uri = ""
         if isinstance(root, dict):
             self.base_uri = urldefrag(root.get("$id", "")).url
             self.resource_uri[id(root)] = self.base_uri
-            self._index(root, self.base_uri, "")
+            self.resource_dialect[self.base_uri] = (self.enabled_keywords, assert_formats)
+            self._index(root, self.base_uri, "", (self.enabled_keywords, assert_formats))
 
     # -- reference registry ------------------------------------------------
 
-    def _index(self, node: Any, base: str, spath: str) -> None:
+    def _index(
+        self, node: Any, base: str, spath: str, dialect: Optional[tuple] = None
+    ) -> None:
         if isinstance(node, dict):
             if isinstance(node.get("$id"), str):
+                # a nested resource may declare its own $schema (only
+                # legal at resource roots): resolve its dialect here so
+                # keyword gating follows the RESOURCE's vocabulary set,
+                # not the compilation root's
+                if self.validate_schema and isinstance(node.get("$schema"), str):
+                    dialect = _dialect_for(node["$schema"], self.catalog)
                 base = urljoin(base, node["$id"])
                 self.registry[urldefrag(base).url] = (node, spath)
                 self.resource_uri[id(node)] = urldefrag(base).url
+                if dialect is not None:
+                    self.resource_dialect.setdefault(urldefrag(base).url, dialect)
+            self.enclosing_uri[id(node)] = urldefrag(base).url
             for akw in ("$anchor", "$dynamicAnchor"):
                 if isinstance(node.get(akw), str):
                     self.registry[urldefrag(base).url + "#" + node[akw]] = (node, spath)
@@ -323,10 +355,10 @@ class Compiler:
             for k, v in node.items():
                 if k in ("enum", "const", "default", "examples"):
                     continue
-                self._index(v, base, spath + "/" + escape_pointer(k))
+                self._index(v, base, spath + "/" + escape_pointer(k), dialect)
         elif isinstance(node, list):
             for i, v in enumerate(node):
-                self._index(v, base, f"{spath}/{i}")
+                self._index(v, base, f"{spath}/{i}", dialect)
 
     def _resolve_pointer(self, doc: Any, pointer: str) -> Any:
         node = doc
@@ -365,7 +397,14 @@ class Compiler:
                     )
             self.registry.setdefault(uri, (doc, ""))
             self.resource_uri.setdefault(id(doc), uri)
-            self._index(doc, uri, "")
+            # the referenced document's OWN $schema decides its keyword
+            # gating (per-resource metaschema resolution); absent one,
+            # it inherits the root dialect
+            dialect = None
+            if self.validate_schema and isinstance(doc, dict) and isinstance(doc.get("$schema"), str):
+                dialect = _dialect_for(doc["$schema"], self.catalog)
+                self.resource_dialect.setdefault(uri, dialect)
+            self._index(doc, uri, "", dialect)
 
     def resolve_ref(self, ref: str, base: Optional[str] = None) -> tuple[Any, str]:
         """$ref → (target schema node, canonical spath). ``base`` is the
@@ -402,6 +441,40 @@ class Compiler:
             return self.root, ""
         return self._resolve_pointer(self.root, frag), frag
 
+    def _enabled_at(self, ctx: Ctx) -> Optional[frozenset]:
+        """Keyword set enabled in the CURRENT resource's dialect
+        (ctx.scope[-1]); resources with no recorded dialect inherit the
+        compilation root's."""
+        if ctx.scope:
+            d = self.resource_dialect.get(ctx.scope[-1])
+            if d is not None:
+                return d[0]
+        return self.enabled_keywords
+
+    def _asserts_formats_at(self, ctx: Ctx) -> bool:
+        """Whether format asserts in the current resource: the caller's
+        assert_formats flag forces assertion everywhere; otherwise the
+        resource's own dialect decides (a format-assertion vocabulary in
+        a NESTED resource only upgrades — caller-level True is never
+        downgraded by a nested dialect)."""
+        if self.assert_formats:
+            return True
+        if ctx.scope:
+            d = self.resource_dialect.get(ctx.scope[-1])
+            if d is not None:
+                return d[1]
+        return False
+
+    def _node_scope_uri(self, node: Any) -> Optional[str]:
+        """The URI this node contributes to the dynamic scope: its own
+        resource URI if it roots one, else the nearest enclosing
+        resource's URI (covers $ref targets that are interior nodes of
+        other documents)."""
+        uri = self.resource_uri.get(id(node))
+        if uri is None:
+            uri = self.enclosing_uri.get(id(node))
+        return uri
+
     # -- node compilation --------------------------------------------------
 
     def apply(self, schema: Any, ctx: Ctx) -> Compiled:
@@ -414,7 +487,7 @@ class Compiler:
                 f"schema recursion exceeds max depth {self.max_depth} at {ctx.spath!r}"
             )
         if isinstance(schema, dict):
-            uri = self.resource_uri.get(id(schema))
+            uri = self._node_scope_uri(schema)
             if uri is not None and (not ctx.scope or ctx.scope[-1] != uri):
                 ctx = _replace(ctx, scope=ctx.scope + (uri,))
         if schema is True or schema == {}:
@@ -429,10 +502,11 @@ class Compiler:
 
         results: dict[str, Compiled] = {}
         parts: list[Compiled] = []
+        enabled = self._enabled_at(ctx)
         for kw in _ORDER:
             if kw not in schema:
                 continue
-            if self.enabled_keywords is not None and kw not in self.enabled_keywords:
+            if enabled is not None and kw not in enabled:
                 continue  # outside the dialect's vocabularies → annotation
             handler = getattr(self, "_k_" + kw.lstrip("$").replace("-", "_"), None)
             if handler is None:
@@ -539,6 +613,22 @@ class Compiler:
             if any(e is None for e in elems):
                 return None
             return F.array(*elems) if elems else F.array().cast(dtype)
+        if isinstance(v, dict) and isinstance(dtype, T.StructType):
+            if not set(v.keys()) <= set(dtype.fieldNames()):
+                return None  # literal has a property the type can't hold
+            fields = []
+            for f in dtype.fields:
+                if f.name in v:
+                    fv = self._lit_of(f.dataType, v[f.name])
+                    if fv is None:
+                        return None
+                else:
+                    # struct fields absent from the literal must be null;
+                    # Spark's struct equality orders null==null, so the
+                    # comparison still works element-wise
+                    fv = F.lit(None).cast(f.dataType)
+                fields.append(fv.alias(f.name))
+            return F.struct(*fields)
         return None
 
     def _k_enum(self, value, schema, ctx: Ctx, results) -> Compiled:
@@ -629,7 +719,13 @@ class Compiler:
 
     def _prop_count(self, ctx: Ctx) -> Optional[Column]:
         if isinstance(ctx.dtype, T.StructType):
-            counts = [ctx.col.getField(f.name).isNotNull().cast("int") for f in ctx.dtype.fields]
+            # a NullType field can only ever hold an explicit JSON null,
+            # so it counts as present (see _has_prop)
+            counts = [
+                F.lit(1) if isinstance(f.dataType, T.NullType)
+                else ctx.col.getField(f.name).isNotNull().cast("int")
+                for f in ctx.dtype.fields
+            ]
             if not counts:
                 return F.lit(0)
             out = counts[0]
@@ -656,6 +752,12 @@ class Compiler:
         if isinstance(ctx.dtype, T.StructType):
             if name not in ctx.dtype.fieldNames():
                 return F.lit(False)
+            # SQL NULL conflates JSON "absent" and "explicit null" — the
+            # one type that disambiguates is NullType, which can ONLY
+            # hold an explicit null, so such a field is always present
+            # (matches the suite's null-valued required-property cases)
+            if isinstance(ctx.dtype[name].dataType, T.NullType):
+                return F.lit(True)
             return ctx.col.getField(name).isNotNull()
         return F.map_contains_key(ctx.col, F.lit(name))
 
@@ -738,7 +840,7 @@ class Compiler:
                     child_ctx = ctx.field(f.name)
                     child_ctx = _replace(child_ctx, spath=ctx.spath + f"/patternProperties/{escape_pointer(regex)}")
                     c = self.apply(sub, child_ctx)
-                    present = ctx.col.getField(f.name).isNotNull()
+                    present = self._has_prop(ctx, f.name)
                     parts.append(
                         Compiled(
                             F.when(present, c.valid).otherwise(F.lit(True)),
@@ -786,12 +888,19 @@ class Compiler:
             )
             return self.apply(sub, _replace(cctx, no_trace=True))
 
+        def entry_struct(e: Column) -> Column:
+            # compile the subschema ONCE per entry — calling child(e)
+            # for .valid and .viols separately would duplicate the whole
+            # compiled expression tree inside the lambda (Catalyst CSE
+            # does not dedupe lambda subtrees)
+            c = child(e)
+            return F.struct(c.valid.alias("ok"), c.viols.alias("v"))
+
         entries = F.map_entries(ctx.col)
         per_entry = F.transform(
             entries,
             lambda e: F.when(
-                key_selected(e.getField("key")),
-                F.struct(child(e).valid.alias("ok"), child(e).viols.alias("v")),
+                key_selected(e.getField("key")), entry_struct(e)
             ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))),
         )
         valid = F.coalesce(
@@ -820,7 +929,7 @@ class Compiler:
                 child_ctx = ctx.field(f.name)
                 child_ctx = _replace(child_ctx, spath=ctx.spath + "/additionalProperties")
                 c = self.apply(value, child_ctx)
-                present = ctx.col.getField(f.name).isNotNull()
+                present = self._has_prop(ctx, f.name)
                 parts.append(
                     Compiled(
                         F.when(present, c.valid).otherwise(F.lit(True)),
@@ -849,7 +958,7 @@ class Compiler:
                     "/propertyNames",
                 )
                 c = self.apply(value, name_ctx)
-                present = ctx.col.getField(f.name).isNotNull()
+                present = self._has_prop(ctx, f.name)
                 parts.append(
                     Compiled(
                         F.when(present, c.valid).otherwise(F.lit(True)),
@@ -947,19 +1056,28 @@ class Compiler:
             F.when(applies, viols).otherwise(empty_violations()),
         )
 
-    def _contains_count(self, ctx: Ctx, schema: dict) -> Column:
+    def _contains_count(self, ctx: Ctx, schema: dict, results: dict) -> Column:
+        # compiled ONCE per schema node and shared by contains /
+        # maxContains / minContains through the sibling `results` dict —
+        # Catalyst CSE does not dedupe lambda subtrees, so re-deriving
+        # it per keyword would triple the compiled expression
+        cached = results.get("__contains_count__")
+        if cached is not None:
+            return cached
         sub = schema["contains"]
 
         def pred(x: Column, i: Column) -> Column:
             cctx = ctx.element(x, i)
             return self.apply(sub, _replace(cctx, no_trace=True)).valid
 
-        return F.size(F.filter(ctx.col, lambda x, i: pred(x, i)))
+        count = F.size(F.filter(ctx.col, lambda x, i: pred(x, i)))
+        results["__contains_count__"] = count
+        return count
 
     def _k_contains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.ArrayType):
             return None
-        count = self._contains_count(ctx, schema)
+        count = self._contains_count(ctx, schema, results)
         min_c = schema.get("minContains", 1)
         # minContains: 0 rescues a failed contains (validation.py:205-208)
         pred = count >= 1 if min_c != 0 else F.lit(True)
@@ -968,13 +1086,13 @@ class Compiler:
     def _k_maxContains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.ArrayType) or "contains" not in schema:
             return None
-        count = self._contains_count(ctx, schema)
+        count = self._contains_count(ctx, schema, results)
         return leaf(ctx, "maxContains", count <= value, f"too many matching items (maxContains {value})")
 
     def _k_minContains(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.ArrayType) or "contains" not in schema:
             return None
-        count = self._contains_count(ctx, schema)
+        count = self._contains_count(ctx, schema, results)
         return leaf(ctx, "minContains", count >= value, f"too few matching items (minContains {value})")
 
     # -- in-place applicators ----------------------------------------------
@@ -1106,10 +1224,19 @@ class Compiler:
         # itself the $dynamicAnchor carrier, and when no scope resource
         # carries the anchor, use the INITIAL target — never an
         # arbitrary document-order carrier.
+        # an unresolvable INITIAL target is a schema error — the
+        # reference raises at resolve time (vocabulary/core.py
+        # DynamicRefKeyword.resolve); do not mask it by binding an
+        # arbitrary document-order carrier. Exception: the rewritten
+        # 2019-09 $recursiveRef, whose semantics when the CURRENT
+        # resource root lacks $recursiveAnchor are a plain ref to the
+        # resource root (legacy.py:15-151 in the reference).
         try:
             init_target, init_spath = self.resolve_ref(value, self._site_base(ctx))
         except CompileError:
-            init_target, init_spath = cands[0]
+            if frag == _RECURSIVE_NAME:
+                return self._k_ref("#", schema, ctx, results)
+            raise
         target, spath = init_target, init_spath
         if isinstance(init_target, dict) and init_target.get("$dynamicAnchor") == frag:
             for uri in ctx.scope:  # outermost resource wins
@@ -1123,7 +1250,7 @@ class Compiler:
     # -- format (annotate-only unless enabled; format.py:14-32) ------------
 
     def _k_format(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
-        if not self.assert_formats:
+        if not self._asserts_formats_at(ctx):
             return None
         fn = self.format_validators.get(value)
         if fn is None:
@@ -1164,6 +1291,15 @@ class Compiler:
             _seen = set()
         if not isinstance(schema, dict) or id(schema) in _seen:
             return []
+        # entering a new schema resource ($ref target / nested $id node /
+        # interior node of another document) pushes its URI onto the
+        # compile-time scope, exactly mirroring apply() — without this,
+        # relative refs inside a referenced resource would resolve
+        # against the REFERRER's base and coverage could be taken from
+        # the wrong document
+        res_uri = self._node_scope_uri(schema)
+        if res_uri is not None and (not scope or scope[-1] != res_uri):
+            scope = scope + (res_uri,)
         _seen.add(id(schema))
         try:
             out: list[tuple[list[tuple[Any, bool]], Any]] = [(list(_guards), schema)]
@@ -1212,10 +1348,18 @@ class Compiler:
             _, frag = urldefrag(urljoin(site_base or self.base_uri, value))
             cands = self.dynamic_anchors.get(frag, []) if frag else []
             if cands:
+                # unresolvable initial target raises, mirroring
+                # _k_dynamicRef (with the same 2019-09 $recursiveRef
+                # resource-root fallback)
+                from jschon_spark.compiler.legacy import _RECURSIVE_NAME
+
                 try:
                     init_target, _ = self.resolve_ref(value, site_base)
                 except CompileError:
-                    init_target = cands[0][0]
+                    if frag == _RECURSIVE_NAME:
+                        target, _ = self.resolve_ref("#", site_base)
+                        return target
+                    raise
                 # bookending, mirroring _k_dynamicRef
                 if isinstance(init_target, dict) and init_target.get("$dynamicAnchor") == frag:
                     for uri in scope:  # outermost resource wins
@@ -1248,7 +1392,7 @@ class Compiler:
             child_ctx = ctx.field(f.name)
             child_ctx = _replace(child_ctx, spath=ctx.spath + "/unevaluatedProperties")
             c = self.apply(value, child_ctx)
-            applies = ctx.col.getField(f.name).isNotNull() & ~covered
+            applies = self._has_prop(ctx, f.name) & ~covered
             parts.append(
                 Compiled(
                     F.when(applies, c.valid).otherwise(F.lit(True)),
@@ -1427,22 +1571,42 @@ _BUILTIN_FORMATS: dict[str, Callable[[Ctx], Column]] = {
     "duration": _fmt_regex(
         r"^P(([0-9]+Y)?([0-9]+M)?([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?|[0-9]+W)$"
     ),
+    # exact RFC octet grammar; "01" leading-zero octets accepted (the
+    # RFC 2673 ambiguity some suites probe — documented delta)
     "ipv4": _fmt_regex(r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
-    # pragmatic RFC 4291 subset: full/:: -compressed hex groups, no zones
+    # RFC 4291 §2.2 forms 1-2 (full / ::-compressed hex groups) plus the
+    # form-3 embedded-IPv4 tails after a compression ("::ffff:1.2.3.4",
+    # "::1.2.3.4", "64:ff9b::1.2.3.4"). DELTAS: embedded IPv4 after a
+    # full non-compressed 6-group prefix ("1:2:3:4:5:6:1.2.3.4") and
+    # RFC 6874 zone IDs ("fe80::1%eth0") are rejected.
     "ipv6": _fmt_regex(
         r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,7}:|"
         r"([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}|"
         r"([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}|"
         r"([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})|"
-        r":((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+        r":((:[0-9A-Fa-f]{1,4}){1,7}|:)|"
+        r"(([0-9A-Fa-f]{1,4}:){1,5}|:):(ffff:|FFFF:)?((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?))$"
     ),
     "hostname": _fmt_regex(
         r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
         r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
     ),
+    # pragmatic RFC 3986 shape: scheme + no whitespace. DELTAS: does not
+    # reject characters RFC 3986 forbids unescaped (<, >, ", {, }) and
+    # does not check %-escape well-formedness; correctly rejects
+    # relative references (no scheme) and embedded spaces.
     "uri": _fmt_regex(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"),
+    # DELTA: any whitespace-free string passes (RFC 3986 reference
+    # grammar not enforced) — the reference ships no uri validator at
+    # all (jschon/formats.py:5-9), so this errs the same direction
     "uri-reference": _fmt_regex(r"^[^\s]*$"),
     "uuid": _fmt_regex(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    # pragmatic RFC 5321 shape: local@domain.tld. DELTAS: quoted local
+    # parts with spaces ("john smith"@x.org) and dotless domains
+    # (user@localhost) are rejected; consecutive dots (a..b@x.org) are
+    # accepted. 2020-12 formats annotate by default, so these deltas
+    # only surface under format-assertion.
     "email": _fmt_regex(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
     # idn-email: same pragmatic shape check — the char classes are
     # negated, so non-ASCII local parts/domains already pass

@@ -65,7 +65,13 @@ def _is_number(v: Any) -> bool:
 
 
 def _is_nonneg_int(v: Any) -> bool:
-    return isinstance(v, int) and not isinstance(v, bool) and v >= 0
+    # JSON Schema "integer" includes numbers with a zero fractional part
+    # (2020-12 §6.1.1; suite: maxContains 1.0) — mirror that here
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return v >= 0
+    return isinstance(v, float) and v.is_integer() and v >= 0
 
 
 # constructs valid in Java regex (the runtime dialect — rlike) but not

@@ -115,19 +115,82 @@ def _shingle_hash_row(t: str, n: int) -> np.ndarray:
     return np.unique(_mix64(acc)).astype(np.int64)
 
 
+def _pack_batch(norm: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch shingle hashing with ZERO per-row Python in the hot
+    loop: concatenate every normalized text of the Arrow batch into ONE
+    byte buffer, window-pack all n-byte windows in one vectorized pass,
+    mask out the windows that straddle document boundaries, and compact.
+
+    Returns ``(hashes, starts, seg_lens)`` — document d's (mixed) shingle
+    hashes are ``hashes[starts[d] : starts[d] + seg_lens[d]]``, segments
+    tiling ``hashes`` contiguously in document order. A document shorter
+    than ``n`` (but non-empty) contributes exactly one hash of its packed
+    bytes, matching `_shingle_hash_row`; an empty document contributes
+    none."""
+    enc = [t.encode("utf-8") for t in norm]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    total = int(lens.sum())
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts_b = np.zeros(len(enc), dtype=np.int64)
+    if len(enc) > 1:
+        starts_b[1:] = np.cumsum(lens)[:-1]
+    m_all = max(total - n + 1, 0)
+    if m_all > 0:
+        acc = np.zeros(m_all, dtype=np.uint64)
+        for k in range(n):
+            acc |= buf[k : m_all + k].astype(np.uint64) << np.uint64(8 * k)
+        hashes_all = _mix64(acc)
+    else:
+        hashes_all = np.zeros(0, dtype=np.uint64)
+    # valid (non-straddling) windows per doc, plus the short-doc singleton
+    win_lens = np.maximum(lens - n + 1, 0)
+    short = (lens > 0) & (lens < n)
+    seg_lens = np.where(short, 1, win_lens)
+    comp_bounds = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(seg_lens, out=comp_bounds[1:])
+    out = np.empty(comp_bounds[-1], dtype=np.uint64)
+    if m_all > 0:
+        # boolean mask of valid window positions via a diff/cumsum ramp
+        delta = np.zeros(m_all + 1, dtype=np.int64)
+        nz = win_lens > 0
+        np.add.at(delta, starts_b[nz], 1)
+        np.add.at(delta, starts_b[nz] + win_lens[nz], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        dest = np.ones(len(out), dtype=bool)
+        dest[comp_bounds[:-1][short]] = False
+        out[dest] = hashes_all[valid]
+    short_idx = np.where(short)[0]
+    for d in short_idx:  # rare: docs shorter than the shingle width
+        bb = buf[starts_b[d] : starts_b[d] + lens[d]]
+        a = np.uint64(0)
+        for k in range(len(bb)):
+            a |= np.uint64(bb[k]) << np.uint64(8 * k)
+        out[comp_bounds[d]] = _mix64(np.array([a], dtype=np.uint64))[0]
+    return out, comp_bounds[:-1], seg_lens
+
+
 _SHINGLE_UDFS: dict = {}
 
 
 def shingle_hash_udf(shingle_size: int):
     """pandas_udf: text → array<long> of distinct hashed character
-    shingles (vectorized byte-window packing; see module comment)."""
+    shingles (whole-batch byte-window packing; see module comment)."""
     if shingle_size > 8:
         raise ValueError("byte-packed shingles support n <= 8")
     if shingle_size not in _SHINGLE_UDFS:
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def f(text: pd.Series) -> pd.Series:
-            return _norm_texts(text).map(lambda t: _shingle_hash_row(t, shingle_size))
+            hashes, starts, seg_lens = _dedup_segments(
+                *_pack_batch(_norm_texts(text), shingle_size)
+            )
+            signed = hashes.astype(np.int64)
+            return pd.Series(
+                [
+                    signed[s : s + L]
+                    for s, L in zip(starts.tolist(), seg_lens.tolist())
+                ]
+            )
 
         _SHINGLE_UDFS[shingle_size] = f
     return _SHINGLE_UDFS[shingle_size]
@@ -166,16 +229,25 @@ _MINHASH_UDFS: dict = {}
 
 def minhash_udf(n_perm: int = 16, shingle_size: int = 5):
     """pandas_udf: text → n_perm-component MinHash signature, fully
-    vectorized (shingle byte-packing + an m x n_perm mix-and-min)."""
+    batched: ONE byte-buffer window pass for the whole Arrow batch, then
+    per-permutation ``_mix64(h ^ c)`` + segmented min via
+    ``np.minimum.reduceat`` — no per-row Python calls at all."""
     key = (n_perm, shingle_size)
     if key not in _MINHASH_UDFS:
         consts = _mix64(np.arange(1, n_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def f(text: pd.Series) -> pd.Series:
-            return _norm_texts(text).map(
-                lambda t: _minhash_row(_shingle_hash_row(t, shingle_size), consts)
-            )
+            hashes, starts, seg_lens = _pack_batch(_norm_texts(text), shingle_size)
+            nd = len(starts)
+            sigs = np.zeros((nd, n_perm), dtype=np.int64)
+            nz = seg_lens > 0
+            if hashes.size and nz.any():
+                red_starts = starts[nz]
+                for i in range(n_perm):
+                    mixed = _mix64(hashes ^ consts[i])
+                    sigs[nz, i] = np.minimum.reduceat(mixed, red_starts).astype(np.int64)
+            return pd.Series(list(sigs))
 
         _MINHASH_UDFS[key] = f
     return _MINHASH_UDFS[key]
@@ -348,22 +420,96 @@ def _simhash_row(h: np.ndarray, shifts: np.ndarray) -> int:
     return int(np.int64((maj << shifts).sum(dtype=np.uint64).astype(np.int64)))
 
 
+def _dedup_segments(
+    hashes: np.ndarray, starts: np.ndarray, seg_lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment distinct, fully vectorized: one lexsort of
+    (segment, hash) pairs, then a run-boundary mask. Returns the same
+    (hashes, starts, seg_lens) contract with duplicates removed within
+    each segment (shingle SETS — what simhash votes over)."""
+    if not hashes.size:
+        return hashes, starts, np.zeros_like(seg_lens)
+    seg_ids = np.repeat(np.arange(len(starts), dtype=np.int64), seg_lens)
+    order = np.lexsort((hashes, seg_ids))
+    sh, ss = hashes[order], seg_ids[order]
+    keep = np.ones(len(sh), dtype=bool)
+    keep[1:] = (sh[1:] != sh[:-1]) | (ss[1:] != ss[:-1])
+    uh, us = sh[keep], ss[keep]
+    useg_lens = np.bincount(us, minlength=len(starts)).astype(np.int64)
+    ustarts = np.zeros(len(starts), dtype=np.int64)
+    if len(starts) > 1:
+        ustarts[1:] = np.cumsum(useg_lens)[:-1]
+    return uh, ustarts, useg_lens
+
+
+def _simhash_batch(hashes: np.ndarray, starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Segmented 64-bit SimHash over a compacted hash buffer: per-bit
+    set counts via 64 vectorized shift+reduceat passes (bounded memory —
+    one M-length temp per bit, never an M x 64 matrix), then a majority
+    vote packed back into int64. Zero per-row Python."""
+    nd = len(starts)
+    out = np.zeros(nd, dtype=np.int64)
+    nz = seg_lens > 0
+    if not hashes.size or not nz.any():
+        return out
+    red_starts = starts[nz]
+    counts = np.empty((len(red_starts), 64), dtype=np.int64)
+    for j in range(64):
+        bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        counts[:, j] = np.add.reduceat(bit, red_starts)
+    maj = (counts * 2 > seg_lens[nz][:, None]).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    out[nz] = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    return out
+
+
 @F.pandas_udf(T.LongType())
 def _simhash_text_udf(text: pd.Series) -> pd.Series:
-    """text → 64-bit SimHash, Arrow-batched numpy end-to-end.
+    """text → 64-bit SimHash, whole-batch numpy end-to-end.
 
     Rationale (measured on this host): materializing shingle substrings
     JVM-side costs ~10us/shingle; the unrolled Column vote is fast to
     run but takes >10s to Janino-compile; the compact HOF vote compiles
-    fast but evaluates interpreted. A cache-resident ~300x64 numpy
-    matrix per row beats all three by an order of magnitude.
+    fast but evaluates interpreted. One batch-wide window pass +
+    segmented reduceat votes beats all three by an order of magnitude.
     """
-    shifts = np.arange(64, dtype=np.uint64)
-    return _norm_texts(text).map(lambda t: _simhash_row(_shingle_hash_row(t, 4), shifts))
+    hashes, starts, seg_lens = _dedup_segments(*_pack_batch(_norm_texts(text), 4))
+    return pd.Series(_simhash_batch(hashes, starts, seg_lens))
+
+
+# second independent hash family for the 128-bit fingerprint: re-mix the
+# (already mixed) window hash with a fixed odd salt — same construction
+# as the minhash permutations
+_SIMHASH_SALT_B = np.uint64(0xA5A5A5A5A5A5A5A5)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _simhash128_text_udf(text: pd.Series) -> pd.Series:
+    """text → [hi, lo] pair of independent 64-bit SimHashes (a 128-bit
+    fingerprint). Needed for wide Hamming radii: pigeonhole banding with
+    k+1 chunks keeps chunks >= floor(128/(k+1)) bits, so radius 8 still
+    gets 14-bit chunks (vs 7-bit on a 64-bit fingerprint — a candidate
+    explosion at corpus scale)."""
+    hashes, starts, seg_lens = _dedup_segments(*_pack_batch(_norm_texts(text), 4))
+    a = _simhash_batch(hashes, starts, seg_lens)
+    b = _simhash_batch(_mix64(hashes ^ _SIMHASH_SALT_B), starts, seg_lens)
+    return pd.Series([np.array([x, y], dtype=np.int64) for x, y in zip(a, b)])
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     return df.withColumn(out, _simhash_text_udf(F.col(text_col)))
+
+
+def with_simhash128(
+    df: DataFrame, text_col: str = "text", out: tuple[str, str] = ("simhash_a", "simhash_b")
+) -> DataFrame:
+    pair = _simhash128_text_udf(F.col(text_col))
+    df = df.withColumn("_sh128", pair)
+    return (
+        df.withColumn(out[0], F.col("_sh128").getItem(0))
+        .withColumn(out[1], F.col("_sh128").getItem(1))
+        .drop("_sh128")
+    )
 
 
 def simhash_near_duplicates(
@@ -373,8 +519,23 @@ def simhash_near_duplicates(
     bits into ``max_hamming + 1`` chunks — the pigeonhole guarantee
     (d ≤ k over k+1 disjoint chunks ⇒ at least one chunk untouched)
     REQUIRES the chunk count to track k; a fixed 4-way split silently
-    loses recall for k > 3. Join per chunk, verify with bit_count(xor)."""
-    n_chunks = max(1, min(16, max_hamming + 1))
+    loses recall for k > 3. Join per chunk, verify with bit_count(xor).
+
+    SCALE BOUND (candidate growth): expected candidates per chunk are
+    ~n²/2^w for chunk width w = 64/(k+1). k ≤ 4 keeps w ≥ 12 (4096+
+    buckets/chunk); k ≥ 5 drops w to ≤ 10 bits and candidates grow
+    near-quadratically at corpus scale — use the 128-bit fingerprint
+    (`with_simhash128` + `simhash128_near_duplicates`), which keeps
+    w ≥ 14 out to k = 8. k ≥ 16 has no sound 64-bit banding at all
+    (chunks < 4 bits), so it raises instead of silently losing the
+    pigeonhole guarantee."""
+    if max_hamming + 1 > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {max_hamming + 1} disjoint chunks; "
+            "a 64-bit fingerprint cannot band that finely without losing the "
+            "pigeonhole guarantee — use with_simhash128 + simhash128_near_duplicates"
+        )
+    n_chunks = max(1, max_hamming + 1)
     # as-equal-as-possible chunk widths covering all 64 bits
     base_w, extra = divmod(64, n_chunks)
     fp = F.col(simhash_col)
@@ -408,6 +569,70 @@ def simhash_near_duplicates(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash128_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cols: tuple[str, str] = ("simhash_a", "simhash_b"),
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k over a 128-bit SimHash
+    fingerprint (two independent 64-bit words, `with_simhash128`).
+    Banding k+1 disjoint chunks over 128 bits keeps chunk width
+    w = 128/(k+1) ≥ 14 bits through k = 8 (~16k buckets/chunk →
+    expected candidates ~n²/2^w stay tractable where the 64-bit
+    fingerprint's 7-bit chunks explode). Hamming distance is
+    bit_count(xor hi) + bit_count(xor lo); verification is exact.
+
+    SCALE BOUND: sound for k ≤ 15 (w ≥ 8); raises beyond that."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 128-bit banding below 8-bit chunks "
+            "loses candidate-count control; split the corpus or raise the "
+            "similarity threshold instead"
+        )
+    a, b = F.col(cols[0]), F.col(cols[1])
+    base_w, extra = divmod(128, n_chunks)
+    parts, off = [], 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < extra else 0)
+        if off + w <= 64:
+            chunk = F.shiftrightunsigned(a, off)
+        elif off >= 64:
+            chunk = F.shiftrightunsigned(b, off - 64)
+        else:
+            # chunk straddles the word boundary: low bits from word a,
+            # high bits from word b
+            chunk = F.shiftrightunsigned(a, off).bitwiseOR(F.shiftleft(b, 64 - off))
+        if w < 64:
+            chunk = chunk.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        parts.append(F.struct(F.lit(c).alias("chunk_id"), chunk.alias("chunk")))
+        off += w
+    chunks = F.array(*parts)
+    buckets = df.select(
+        F.col(id_col), a.alias("fp_a"), b.alias("fp_b"), F.explode(chunks).alias("c")
+    ).select(id_col, "fp_a", "fp_b", "c.chunk_id", "c.chunk")
+    l, r = buckets.hint("shuffle_hash").alias("l"), buckets.hint("shuffle_hash").alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (
+                F.bit_count(F.col("l.fp_a").bitwiseXOR(F.col("r.fp_a")))
+                + F.bit_count(F.col("l.fp_b").bitwiseXOR(F.col("r.fp_b")))
+            ).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -190,9 +190,10 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 8,
-    bits_per_band: int = 8,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED hyperplane LSH
     (OR-amplification, same pigeonhole pattern as dedup.simhash):
@@ -204,8 +205,16 @@ def embedding_near_duplicates(
 
     At 100 TB: the band join shuffles (id, band_id, long) — 20 bytes a
     row — and the full-vector shuffle is proportional to the candidate
-    set. Raise ``bits_per_band`` to keep per-bucket row counts bounded
-    as the corpus grows (recall is then restored by adding bands)."""
+    set. By default ``bands``/``bits_per_band`` are sized from the
+    corpus via `auto_lsh_params` (pass ``n_rows`` to skip the count
+    job), which keeps the expected random-pair candidate count ~linear
+    in n BY CONSTRUCTION as the corpus grows; explicit values override."""
+    if bands is None or bits_per_band is None:
+        if n_rows is None:
+            n_rows = df.count()
+        auto_b, auto_w = auto_lsh_params(max(2, n_rows), threshold=threshold)
+        bands = bands if bands is not None else auto_b
+        bits_per_band = bits_per_band if bits_per_band is not None else auto_w
     vec = F.col(vec_col).cast("array<double>")
     sig_udf = banded_signature_udf(bands, bits_per_band, seed)
     sigs = df.select(F.col(id_col), sig_udf(vec).alias("bsig"))

@@ -170,11 +170,14 @@ def verbose_output(
     applied at row scope; one Spark job selects them all for
     ``max_rows`` sampled rows and the tree is nested driver-side by
     keyword-location prefix. Subtrees compiled inside higher-order
-    function lambdas (array items, map entries) evaluate per-element
-    and cannot be selected at row scope — they are summarized by their
-    parent node. Driver-side and sampled by design: the flat
-    violations DataFrame is the at-scale product; this is the
-    human-debugging view.
+    function lambdas (array items / prefixItems / contains) cannot be
+    selected at row scope, so for the sampled documents they are
+    RE-EVALUATED per element — one batched Spark job per array node
+    (the elements become rows), giving the reference's full
+    per-element result tree (jschon/output.py:106-126). Map-entry
+    subtrees remain summarized by their parent. Driver-side and
+    sampled by design: the flat violations DataFrame is the at-scale
+    product; this is the human-debugging view.
     """
     from pyspark.sql import types as T
 
@@ -189,11 +192,12 @@ def verbose_output(
     comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
 
     entries = sorted(comp.trace.items())  # (spath, (schema_node, path, compiled))
-    sel_cols = list(id_cols or [])
+    sel_cols = list(id_cols or []) + [root_col.alias("__instance")]
     for i, (_, (_, path_col, compiled)) in enumerate(entries):
         sel_cols.append(compiled.valid.alias(f"__v{i}"))
         sel_cols.append(path_col.alias(f"__p{i}"))
     rows = df.select(*sel_cols).limit(max_rows).collect()
+    spark = df.sparkSession
 
     out = []
     for r in rows:
@@ -224,9 +228,132 @@ def verbose_output(
                 parent.setdefault("results", []).append(node)
             else:
                 roots.append(node)
+            # per-element expansion of HOF-applied array subschemas
+            if isinstance(node_schema, dict):
+                _expand_array_subtrees(
+                    spark, comp, node, node_schema, spath,
+                    r["__instance"], dtype, r[f"__p{i}"] or "",
+                )
         ident = {c: r[c] for c in id_cols or []}
         out.append({**ident, "result": roots[0] if roots else {}})
     return out
+
+
+def _walk_value(value, dtype, ipath: str):
+    """(value, dtype) at a JSON-Pointer instance location inside a
+    collected Row, or (None, None) when the path doesn't resolve."""
+    from pyspark.sql import types as T
+
+    node, dt = value, dtype
+    for raw in [s for s in ipath.split("/") if s != ""]:
+        token = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(dt, T.StructType) and token in dt.fieldNames():
+            node = None if node is None else node[token]
+            dt = dt[token].dataType
+        elif isinstance(dt, T.ArrayType):
+            idx = int(token)
+            node = None if node is None or idx >= len(node) else node[idx]
+            dt = dt.elementType
+        elif isinstance(dt, T.MapType):
+            node = None if node is None else node.get(token)
+            dt = dt.valueType
+        else:
+            return None, None
+    return node, dt
+
+
+def _expand_array_subtrees(
+    spark, comp, node: dict, node_schema: dict, spath: str, instance, root_dtype, ipath: str
+) -> None:
+    """Replace the summarized HOF subtrees (items / prefixItems /
+    contains) of one traced node with real per-element results: the
+    sampled document's array elements become the rows of a tiny
+    DataFrame and the subschema's full trace is selected across them in
+    ONE job per keyword."""
+    from pyspark.sql import Row as _Row
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler.context import Ctx
+
+    if not any(k in node_schema for k in ("items", "prefixItems", "contains")):
+        return
+    value, dt = _walk_value(instance, root_dtype, ipath)
+    if value is None or not isinstance(dt, T.ArrayType):
+        return
+    elems = list(value)
+    if not elems:
+        return
+    elem_dt = dt.elementType
+    n_prefix = len(node_schema.get("prefixItems") or [])
+
+    def eval_elements(sub, kw_spath: str, idxs: list[int]) -> list[dict]:
+        df_schema = T.StructType(
+            [T.StructField("idx", T.LongType(), False), T.StructField("e", elem_dt, True)]
+        )
+        edf = spark.createDataFrame(
+            [_Row(idx=i, e=elems[i]) for i in idxs], df_schema
+        )
+        saved = comp.trace
+        comp.trace = {}
+        try:
+            ctx = Ctx(
+                col=F.col("e"),
+                dtype=elem_dt,
+                path=F.concat(F.lit(ipath + "/"), F.col("idx").cast("string")),
+                spath=kw_spath,
+            )
+            comp.apply(sub, ctx)
+            sub_entries = sorted(comp.trace.items())
+        finally:
+            comp.trace = saved
+        sel = [F.col("idx")]
+        for j, (_, (_, pc, cc)) in enumerate(sub_entries):
+            sel.append(cc.valid.alias(f"__v{j}"))
+            sel.append(pc.alias(f"__p{j}"))
+        got = edf.select(*sel).collect()
+        results = []
+        for er in sorted(got, key=lambda x: x["idx"]):
+            sub_index: dict[str, dict] = {}
+            sub_roots: list[dict] = []
+            for j, (sp, (ns, _, _)) in enumerate(sub_entries):
+                child = {
+                    "valid": bool(er[f"__v{j}"]),
+                    "keywordLocation": sp,
+                    "instanceLocation": er[f"__p{j}"] or "",
+                }
+                if isinstance(ns, dict):
+                    ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
+                    if ann:
+                        child["annotations"] = ann
+                sub_index[sp] = child
+                parent = None
+                segs = [s for s in sp.split("/") if s != ""]
+                prefix = ""
+                for s in segs[:-1]:
+                    prefix = f"{prefix}/{s}"
+                    if prefix in sub_index:
+                        parent = sub_index[prefix]
+                if parent is not None and parent is not child:
+                    parent.setdefault("results", []).append(child)
+                else:
+                    sub_roots.append(child)
+            results.extend(sub_roots)
+        return results
+
+    expanded: list[dict] = []
+    for i, sub in enumerate(node_schema.get("prefixItems") or []):
+        if i < len(elems):
+            expanded.extend(eval_elements(sub, f"{spath}/prefixItems/{i}", [i]))
+    if "items" in node_schema and len(elems) > n_prefix:
+        expanded.extend(
+            eval_elements(node_schema["items"], f"{spath}/items", list(range(n_prefix, len(elems))))
+        )
+    if "contains" in node_schema:
+        expanded.extend(
+            eval_elements(node_schema["contains"], f"{spath}/contains", list(range(len(elems))))
+        )
+    if expanded:
+        node.setdefault("results", []).extend(expanded)
 
 
 def violation_histogram(df: DataFrame, violations_col: str = "violations") -> DataFrame:

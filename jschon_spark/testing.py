@@ -77,6 +77,18 @@ def _to_row(data: Any, dtype: T.DataType) -> Any:
     if data is None:
         return None
     if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            # a NullType field is defined (by the compiler's presence
+            # rule) to mean "explicitly present as null"; an instance
+            # that OMITS such a field is indistinguishable from one that
+            # carries null in the typed row — refuse rather than flip
+            # required/unevaluated semantics silently
+            if isinstance(f.dataType, T.NullType) and f.name not in data:
+                raise Untypeable(
+                    f"property {f.name!r} is null-typed in the unified schema but "
+                    "absent in this instance — absence vs explicit null is not "
+                    "representable in a typed row"
+                )
         return Row(**{f.name: _to_row(data.get(f.name), f.dataType) for f in dtype.fields})
     if isinstance(dtype, T.ArrayType):
         return [_to_row(x, dtype.elementType) for x in data]

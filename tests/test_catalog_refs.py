@@ -359,3 +359,128 @@ def test_fragment_only_ref_inside_nested_resource(spark):
     }
     check_case(spark, schema, {"x": 15}, True)   # inner's minimum 10
     check_case(spark, schema, {"x": 5}, False)
+
+
+def test_remote_source_raises_clear_no_network_error():
+    """≙ reference RemoteSource (catalog/__init__.py:57-67): an
+    http(s) source is registerable, but lookups through it raise a
+    precise no-network error naming the URI instead of a generic
+    unresolvable-ref failure."""
+    cat = SchemaCatalog()
+    cat.add_remote_source("https://schemas.example.org/")
+    with pytest.raises(RuntimeError, match="no network"):
+        cat.lookup("https://schemas.example.org/thing")
+    # URIs outside the remote prefix still miss quietly
+    assert cat.lookup("https://elsewhere.example.org/x") is None
+
+
+def test_dynamic_ref_unresolvable_initial_target_raises(spark):
+    """$dynamicRef whose initial target does not resolve is a schema
+    error (reference DynamicRefKeyword.resolve raises) — it must NOT
+    silently bind the document-order-first carrier."""
+    from jschon_spark.compiler import CompileError, compile_schema
+
+    schema = {
+        "$id": "https://ex.dev/dynraise",
+        # #nope is a $dynamicAnchor name that exists in another resource
+        # but has no $anchor/$dynamicAnchor in THIS resource, so the
+        # initial resolution fails
+        "$defs": {
+            "other": {"$id": "other", "$defs": {"c": {"$dynamicAnchor": "nope", "type": "integer"}}}
+        },
+        "properties": {"x": {"$dynamicRef": "#nope"}},
+    }
+    compiled = compile_schema(schema)  # plan build is lazy per dtype
+    dtype = T.StructType([T.StructField("x", T.LongType(), True)])
+    with pytest.raises(CompileError):
+        compiled.columns(dtype, F.col("value"))
+
+
+def test_coverage_scope_follows_ref_into_external_resource(spark):
+    """ADVICE r2 (medium): unevaluatedProperties coverage must resolve
+    relative refs inside a REFERENCED resource against that resource's
+    base, not the referrer's. https://ex.org/a refs "b" (relative →
+    https://ex.org/b); the properties declared by b must count as
+    evaluated at the referrer's unevaluatedProperties."""
+    cat = SchemaCatalog()
+    cat.add_schema({"$id": "https://ex.org/a", "$ref": "b"})
+    cat.add_schema({"$id": "https://ex.org/b", "properties": {"bp": {"type": "integer"}}})
+    root = {
+        "$id": "https://ex.org/root",
+        "$ref": "https://ex.org/a",
+        "unevaluatedProperties": False,
+    }
+    compiled = cat.compile(root)
+    from jschon_spark.testing import evaluate_instance
+
+    # the compile alone used to raise "unresolvable external reference";
+    # evaluate end-to-end: bp is evaluated (through a→b), qq is not
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    dtype = T.StructType([T.StructField("bp", T.LongType(), True)])
+    df = spark.createDataFrame([Row(value=Row(bp=3))], T.StructType([T.StructField("value", dtype, True)]))
+    c = compiled.columns(dtype, F.col("value"))
+    out = df.select(c.valid.alias("v")).collect()[0]
+    assert out["v"] is True
+
+    dtype2 = T.StructType(
+        [T.StructField("bp", T.LongType(), True), T.StructField("qq", T.LongType(), True)]
+    )
+    df2 = spark.createDataFrame(
+        [Row(value=Row(bp=3, qq=4))], T.StructType([T.StructField("value", dtype2, True)])
+    )
+    c2 = compiled.columns(dtype2, F.col("value"))
+    assert df2.select(c2.valid.alias("v")).collect()[0]["v"] is False
+
+
+def test_per_resource_dialect_keyword_gating(spark):
+    """A referenced document with its OWN $schema/$vocabulary gets that
+    dialect's keyword set, not the root's (reference resolves a
+    metaschema per schema resource). Here the root uses a custom
+    dialect whose $vocabulary omits validation keywords (so `minimum`
+    annotates), while the referenced doc declares standard 2020-12
+    (so its `minimum` asserts)."""
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$id": "https://ex.org/no-validation-meta",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+            },
+        }
+    )
+    cat.add_schema(
+        {
+            "$id": "https://ex.org/strict-doc",
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "minimum": 10,
+        }
+    )
+    root = {
+        "$id": "https://ex.org/lax-root",
+        "$schema": "https://ex.org/no-validation-meta",
+        "properties": {
+            "lax": {"minimum": 10},  # annotation under the root dialect
+            "strict": {"$ref": "https://ex.org/strict-doc"},
+        },
+    }
+    compiled = cat.compile(root)
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    dtype = T.StructType(
+        [T.StructField("lax", T.LongType(), True), T.StructField("strict", T.LongType(), True)]
+    )
+    df = spark.createDataFrame(
+        [Row(value=Row(lax=1, strict=1))], T.StructType([T.StructField("value", dtype, True)])
+    )
+    c = compiled.columns(dtype, F.col("value"))
+    row = df.select(c.valid.alias("v"), c.viols.alias("viols")).collect()[0]
+    # lax's minimum is inert; strict's minimum (different resource,
+    # 2020-12 dialect) asserts and fails on 1 < 10
+    assert row["v"] is False
+    paths = {v["instance_path"] for v in row["viols"]}
+    assert any("strict" in p for p in paths), paths
+    assert not any("lax" in p for p in paths), paths

@@ -161,3 +161,48 @@ def test_verbose_output_with_unevaluated(spark):
     by_id = {o["id"]: o["result"] for o in out}
     assert by_id[1]["valid"] is True   # if holds → then covers b
     assert by_id[2]["valid"] is False  # a absent → b unevaluated
+
+
+def test_verbose_output_per_element_array_subtree(spark):
+    """VERDICT r2 #5 golden fixture: an array-items subtree must show
+    PER-ELEMENT results in verbose output (reference jschon/output.py:
+    106-126 descends into HOF-applied subschemas; the r2 engine
+    summarized them by their parent)."""
+    from jschon_spark.output import verbose_output
+
+    # struct element type throughout (a heterogeneous tuple is not one
+    # Spark array type): element 0 exercises prefixItems, the rest items
+    schema = {
+        "type": "object",
+        "properties": {
+            "xs": {
+                "type": "array",
+                "prefixItems": [{"properties": {"v": {"minimum": 100}}}],
+                "items": {"properties": {"v": {"minimum": 10}}},
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, [{"v": 100}, {"v": 12}, {"v": 3}])],
+        "id long, xs array<struct<v: long>>",
+    )
+    out = verbose_output(schema, df, instance_columns=["xs"], id_cols=["id"], max_rows=5)
+    assert len(out) == 1
+
+    def collect_nodes(node, acc):
+        acc.append(node)
+        for c in node.get("results", []):
+            collect_nodes(c, acc)
+        return acc
+
+    nodes = collect_nodes(out[0]["result"], [])
+    by_loc = {(n["keywordLocation"], n["instanceLocation"]): n["valid"] for n in nodes}
+    # the prefixItems element result (v=100 >= 100)
+    assert by_loc[("/properties/xs/prefixItems/0", "/xs/0")] is True
+    # per-element items results: element 1 (v=12) passes, element 2 (v=3) fails
+    assert by_loc[("/properties/xs/items", "/xs/1")] is True
+    assert by_loc[("/properties/xs/items", "/xs/2")] is False
+    # the items subtree descends further: the nested subschema node of
+    # the failing element is present with its own instance location
+    assert by_loc[("/properties/xs/items/properties/v", "/xs/2/v")] is False
+    assert by_loc[("/properties/xs/items/properties/v", "/xs/1/v")] is True

@@ -291,3 +291,84 @@ def test_simhash_pigeonhole_guarantee(spark):
     pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_duplicates(df, max_hamming=6).collect()}
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
+
+
+def test_simhash_wide_radius_raises():
+    """ADVICE r2: max_hamming + 1 > 16 silently lost the pigeonhole
+    guarantee on a 64-bit fingerprint; it must raise and point to the
+    128-bit variant instead."""
+    import pyspark.sql  # noqa: F401  (no session needed — validation is eager)
+
+    with pytest.raises(ValueError, match="128"):
+        dedup.simhash_near_duplicates(None, max_hamming=16)
+    with pytest.raises(ValueError):
+        dedup.simhash128_near_duplicates(None, max_hamming=16)
+
+
+def test_simhash128_near_duplicates_planted(spark):
+    """128-bit pigeonhole banding at radius 8: plant a pair at combined
+    hamming 8 spread over BOTH words so no 64-bit 9-chunk split is
+    relied on, plus a far pair that must not match."""
+    def _i64(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    a_hi, a_lo = 0x0123456789ABCDEF, 0x00FF00FF00FF00FF
+    # flip 4 bits in each word → combined hamming 8 (signed-64 wrapped)
+    b_hi = _i64(a_hi ^ (1 << 3) ^ (1 << 21) ^ (1 << 40) ^ (1 << 63))
+    b_lo = _i64(a_lo ^ (1 << 7) ^ (1 << 19) ^ (1 << 33) ^ (1 << 55))
+    far_hi, far_lo = ~a_hi & 0x7FFFFFFFFFFFFFFF, ~a_lo & 0x7FFFFFFFFFFFFFFF
+    df = spark.createDataFrame(
+        [(0, a_hi, a_lo), (1, b_hi, b_lo), (2, far_hi, far_lo)],
+        "doc_id long, simhash_a long, simhash_b long",
+    )
+    rows = dedup.simhash128_near_duplicates(df, max_hamming=8).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert pairs.get((0, 1)) == 8
+    assert not any(2 in p for p in pairs)
+    # radius 7 excludes the hamming-8 pair
+    rows7 = dedup.simhash128_near_duplicates(df, max_hamming=7).collect()
+    assert not rows7
+
+
+def test_with_simhash128_end_to_end(spark, docs):
+    """Text → 128-bit fingerprint → near-dups: identical docs pair at
+    hamming 0; the unrelated doc never pairs at radius 8."""
+    sigs = dedup.with_simhash128(docs.where("text <> ''"))
+    rows = {r.doc_id: (r.simhash_a, r.simhash_b) for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    assert rows[0][0] != rows[0][1]  # the two hash families differ
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash128_near_duplicates(sigs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_ivf_recall_on_clustered_embeddings(spark, tmp_path):
+    """VERDICT r2 #6: uniform-random fixtures understate ANN recall and
+    the value of IVF. Plant 16 Gaussian clusters and assert
+    ivf_topk recall@10 >= 0.9 at nprobe=8 vs brute force (the query's
+    own row excluded — ADVICE r2 tautology fix)."""
+    rng = np.random.default_rng(17)
+    n_clusters, per_cluster, dim = 16, 125, 32
+    centers = rng.normal(size=(n_clusters, dim)) * 4.0
+    vecs = np.vstack(
+        [centers[c] + rng.normal(size=(per_cluster, dim)) * 0.35 for c in range(n_clusters)]
+    ).astype(np.float32)
+    n = len(vecs)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(vecs)})
+    )
+    path = str(tmp_path / "ivf_clustered")
+    similarity.write_ivf_index(df, path, n_lists=16, sample_rows=1500)
+    query = vecs[7].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ query) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(query)
+    )
+    order = np.argsort(np.round(-sims, 6), kind="stable")
+    exact = [int(i) for i in order if i != 7][:10]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk(spark, path, query.tolist(), k=11, nprobe=8).collect()
+        if r.vec_id != 7
+    ][:10]
+    overlap = len(set(exact) & set(got))
+    assert overlap >= 9, f"recall@10 {overlap/10:.2f} on clustered data"
