@@ -207,14 +207,17 @@ def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check. Radius 8 uses the 128-bit fingerprint: k+1 = 9
-    # pigeonhole chunks stay >= 14 bits wide (vs 7-bit chunks on a
-    # 64-bit fingerprint, whose ~n^2/128 per-chunk candidates explode at
-    # corpus scale — see simhash128_near_duplicates' SCALE BOUND).
+    # rows-only check. The r2 query's 64-bit radius 8 calibrates to
+    # ~radius 12 on the 128-bit fingerprint (E[hamming] scales with
+    # width); require_chunks=2 keeps the banding scale-safe at that
+    # width: 14 chunks of ~9 bits but ~18-bit chunk-PAIR join keys
+    # (generalized pigeonhole — recall of the stated radius is 1.0 by
+    # construction, candidates ~n^2*91/2^18 stay controlled where the
+    # old 64-bit 7-bit chunks explode; see simhash128_buckets).
     from jschon_spark.operators.dedup import simhash128_near_duplicates, with_simhash128
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash128_near_duplicates(with_simhash128(docs), max_hamming=8)
+    return simhash128_near_duplicates(with_simhash128(docs), max_hamming=12, require_chunks=2)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

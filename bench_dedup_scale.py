@@ -77,6 +77,43 @@ def main() -> None:
     sh_sec = time.perf_counter() - t0
     sh_planted = sum(1 for r in sh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
 
+    # 128-bit fingerprint at the driver query's calibration (VERDICT r2
+    # #2): radius 12 ≈ the old 64-bit radius 8 in similarity;
+    # require_chunks=2 (generalized pigeonhole) keeps join keys ~18 bits
+    # so CANDIDATE counts stay ~linear in n where 64-bit 7-bit chunks
+    # (and plain 13-chunk banding at this width) explode. Report the
+    # measured candidate count, wall time, and planted-pair recall of
+    # the stated radius (1.0 expected — guaranteed by construction).
+    sigs128 = dedup.with_simhash128(docs).persist()
+    truth_within = (
+        sigs128.alias("l")
+        .join(
+            sigs128.alias("r"),
+            (F.col("l.doc_id") + 1 == F.col("r.doc_id")) & (F.col("r.doc_id") % 50 == 1),
+        )
+        .where(
+            (
+                F.bit_count(F.col("l.simhash_a").bitwiseXOR(F.col("r.simhash_a")))
+                + F.bit_count(F.col("l.simhash_b").bitwiseXOR(F.col("r.simhash_b")))
+            )
+            <= 12
+        )
+        .count()
+    )
+    t0 = time.perf_counter()
+    buckets = dedup.simhash128_buckets(sigs128, max_hamming=12, require_chunks=2)
+    cand = (
+        buckets.groupBy("chunk_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    sh128 = dedup.simhash128_near_duplicates(sigs128, max_hamming=12, require_chunks=2)
+    sh128_pairs = sh128.collect()
+    sh128_sec = time.perf_counter() - t0
+    sh128_planted = sum(1 for r in sh128_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
+    sigs128.unpersist()
+
     print(
         json.dumps(
             {
@@ -94,6 +131,18 @@ def main() -> None:
                     "docs_per_sec": round(n_docs / sh_sec, 1),
                     "pairs_found": len(sh_pairs),
                     "planted_recall": round(sh_planted / planted, 3),
+                },
+                "simhash128_r12_m2": {
+                    "sec": round(sh128_sec, 2),
+                    "docs_per_sec": round(n_docs / sh128_sec, 1),
+                    "candidate_pairs": int(cand),
+                    "candidates_per_doc": round(cand / n_docs, 2),
+                    "pairs_found": len(sh128_pairs),
+                    "planted_within_radius": truth_within,
+                    "planted_recall_vs_64bit_contract": round(sh128_planted / planted, 3),
+                    # recall of the operator's OWN contract (<= radius):
+                    # guaranteed 1.0 by generalized pigeonhole
+                    "contract_recall": round(sh128_planted / max(1, truth_within), 3),
                 },
             }
         )

@@ -575,31 +575,13 @@ def simhash_near_duplicates(
     )
 
 
-def simhash128_near_duplicates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    cols: tuple[str, str] = ("simhash_a", "simhash_b"),
-    max_hamming: int = 8,
-) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ k over a 128-bit SimHash
-    fingerprint (two independent 64-bit words, `with_simhash128`).
-    Banding k+1 disjoint chunks over 128 bits keeps chunk width
-    w = 128/(k+1) ≥ 14 bits through k = 8 (~16k buckets/chunk →
-    expected candidates ~n²/2^w stay tractable where the 64-bit
-    fingerprint's 7-bit chunks explode). Hamming distance is
-    bit_count(xor hi) + bit_count(xor lo); verification is exact.
-
-    SCALE BOUND: sound for k ≤ 15 (w ≥ 8); raises beyond that."""
-    n_chunks = max_hamming + 1
-    if n_chunks > 16:
-        raise ValueError(
-            f"max_hamming={max_hamming}: 128-bit banding below 8-bit chunks "
-            "loses candidate-count control; split the corpus or raise the "
-            "similarity threshold instead"
-        )
+def _simhash128_chunk_cols(cols: tuple[str, str], n_chunks: int) -> list[Column]:
+    """The ``n_chunks`` disjoint bit-chunk Columns of the 128-bit
+    fingerprint (as-equal-as-possible widths; chunks may straddle the
+    two 64-bit words)."""
     a, b = F.col(cols[0]), F.col(cols[1])
     base_w, extra = divmod(128, n_chunks)
-    parts, off = [], 0
+    out, off = [], 0
     for c in range(n_chunks):
         w = base_w + (1 if c < extra else 0)
         if off + w <= 64:
@@ -612,12 +594,90 @@ def simhash128_near_duplicates(
             chunk = F.shiftrightunsigned(a, off).bitwiseOR(F.shiftleft(b, 64 - off))
         if w < 64:
             chunk = chunk.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
-        parts.append(F.struct(F.lit(c).alias("chunk_id"), chunk.alias("chunk")))
+        out.append(chunk)
         off += w
+    return out
+
+
+def simhash128_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cols: tuple[str, str] = ("simhash_a", "simhash_b"),
+    max_hamming: int = 8,
+    require_chunks: int = 1,
+) -> DataFrame:
+    """(id, fp_a, fp_b, chunk_id, chunk) exploded banding rows for the
+    128-bit fingerprint — the join keys of `simhash128_near_duplicates`,
+    exposed so scale benches can measure per-bucket candidate counts.
+
+    GENERALIZED PIGEONHOLE (multi-index hashing): with
+    ``c = max_hamming + require_chunks`` disjoint chunks, at most
+    ``max_hamming`` chunks can be touched by ≤ max_hamming differing
+    bits, so ≥ ``require_chunks`` chunks survive untouched — any pair
+    within the radius shares at least one ``require_chunks``-sized
+    chunk COMBINATION exactly. require_chunks=2 doubles the effective
+    key width (e.g. radius 12 → 14 chunks of ~9 bits but ~18-bit pair
+    keys), trading C(c,2) exploded rows per doc for a 2^9-fold drop in
+    random collisions — the knob that keeps WIDE radii scale-safe."""
+    import itertools
+
+    n_chunks = max_hamming + require_chunks
+    if require_chunks < 1:
+        raise ValueError("require_chunks must be >= 1")
+    if n_chunks > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} with require_chunks={require_chunks}: "
+            "128-bit banding below 8-bit chunks loses candidate-count "
+            "control; raise require_chunks' key width no further — split "
+            "the corpus or tighten the radius instead"
+        )
+    chunk_cols = _simhash128_chunk_cols(cols, n_chunks)
+    a, b = F.col(cols[0]), F.col(cols[1])
+    if require_chunks == 1:
+        parts = [
+            F.struct(F.lit(c).alias("chunk_id"), chunk_cols[c].alias("chunk"))
+            for c in range(n_chunks)
+        ]
+    else:
+        # one composite key per chunk COMBINATION: pack the member
+        # values with xxhash64 so the join key stays one long
+        parts = []
+        for ci, combo in enumerate(itertools.combinations(range(n_chunks), require_chunks)):
+            key = F.xxhash64(*[chunk_cols[j] for j in combo])
+            parts.append(F.struct(F.lit(ci).alias("chunk_id"), key.alias("chunk")))
     chunks = F.array(*parts)
-    buckets = df.select(
+    return df.select(
         F.col(id_col), a.alias("fp_a"), b.alias("fp_b"), F.explode(chunks).alias("c")
     ).select(id_col, "fp_a", "fp_b", "c.chunk_id", "c.chunk")
+
+
+def simhash128_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cols: tuple[str, str] = ("simhash_a", "simhash_b"),
+    max_hamming: int = 8,
+    require_chunks: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k over a 128-bit SimHash
+    fingerprint (two independent 64-bit words, `with_simhash128`).
+    Banding k+require_chunks disjoint chunks over 128 bits; a pair
+    within the radius ALWAYS shares an untouched chunk combination
+    (generalized pigeonhole — see simhash128_buckets), so recall of the
+    stated contract is 1.0 by construction. Hamming distance is
+    bit_count(xor hi) + bit_count(xor lo); verification is exact.
+
+    CALIBRATION: expected Hamming distance scales with fingerprint
+    width (E[d] = B·acos(cos_sim)/π), so a radius on 128 bits is ~2x
+    tighter in similarity than the same radius on 64 bits — use
+    k128 ≈ 2·k64 for equivalent semantics.
+
+    SCALE BOUND: candidates grow ~n²·C(c,m)/2^(m·w) for c = k+m chunks
+    of w = 128/c bits. k ≤ 8 with m=1 keeps w ≥ 14 (tractable); WIDER
+    radii need m=2 (e.g. k=12, m=2 → 14 chunks, ~18-bit pair keys).
+    Raises when w would drop below 8 bits."""
+    buckets = simhash128_buckets(
+        df, id_col=id_col, cols=cols, max_hamming=max_hamming, require_chunks=require_chunks
+    )
     l, r = buckets.hint("shuffle_hash").alias("l"), buckets.hint("shuffle_hash").alias("r")
     return (
         l.join(

@@ -154,8 +154,10 @@ def test_dynamic_ref_strict_tree_multi_carrier(spark):
         "unevaluatedProperties": False,
     }
     compiled_strict = cat.compile(strict)
-    good = {"data": 1, "children": [{"data": 2, "children": None}]}
-    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": None}]}
+    # [] terminators: a null-valued children property would be PRESENT
+    # and fail {"type": "array"} (explicit-null presence semantics)
+    good = {"data": 1, "children": [{"data": 2, "children": []}]}
+    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": []}]}
     assert _eval_with_catalog(spark, compiled_strict, good) is True
     assert _eval_with_catalog(spark, compiled_strict, bad_child) is False
     # plain tree has no unevaluatedProperties → same instance passes
@@ -185,7 +187,7 @@ def test_recursive_ref_multi_carrier(spark):
         "unevaluatedProperties": False,
     }
     compiled = cat.compile(strict)
-    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": None}]}
+    bad_child = {"data": 1, "children": [{"data": 2, "daat": 3, "children": []}]}
     assert _eval_with_catalog(spark, compiled, bad_child) is False
 
 

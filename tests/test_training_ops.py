@@ -372,3 +372,33 @@ def test_ivf_recall_on_clustered_embeddings(spark, tmp_path):
     ][:10]
     overlap = len(set(exact) & set(got))
     assert overlap >= 9, f"recall@10 {overlap/10:.2f} on clustered data"
+
+
+def test_simhash128_generalized_pigeonhole(spark):
+    """require_chunks=2 (multi-index hashing): a pair at hamming 12 with
+    flips spread over MANY chunks must still collide on some untouched
+    chunk PAIR; candidates join on ~18-bit composite keys."""
+
+    def _i64(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    a_hi, a_lo = 0x7EDCBA9876543210, 0x0F0F0F0F0F0F0F0F
+    # 12 flips spread across the fingerprint: 6 per word, ~one per 10 bits
+    b_hi, b_lo = a_hi, a_lo
+    for j in (1, 11, 23, 37, 47, 59):
+        b_hi ^= 1 << j
+    for j in (3, 17, 29, 41, 53, 61):
+        b_lo ^= 1 << j
+    b_hi, b_lo = _i64(b_hi), _i64(b_lo)
+    far_hi, far_lo = _i64(~a_hi & ((1 << 64) - 1)), _i64(~a_lo & ((1 << 64) - 1))
+    df = spark.createDataFrame(
+        [(0, a_hi, a_lo), (1, b_hi, b_lo), (2, far_hi, far_lo)],
+        "doc_id long, simhash_a long, simhash_b long",
+    )
+    rows = dedup.simhash128_near_duplicates(df, max_hamming=12, require_chunks=2).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert pairs.get((0, 1)) == 12
+    assert not any(2 in p for p in pairs)
+    # combined radius+require beyond 16 chunks raises
+    with pytest.raises(ValueError):
+        dedup.simhash128_near_duplicates(df, max_hamming=15, require_chunks=2)
