@@ -200,6 +200,10 @@ _KNOWN_DIALECTS = (
     "http://json-schema.org/draft-07/schema",
     "http://json-schema.org/draft-06/schema",
     "http://json-schema.org/draft-04/schema",
+    # draft-next: 2020-12 keyword semantics plus the stricter $id rule
+    # (no fragment AT ALL, not even an empty one — reference
+    # jschon/vocabulary/future.py:13-27 IdKeyword_Next)
+    "https://json-schema.org/draft/next/schema",
 )
 
 
@@ -276,8 +280,15 @@ class Compiler:
             self.enabled_keywords, dialect_asserts = _dialect_for(root["$schema"], catalog)
             if dialect_asserts:
                 assert_formats = True
+            # draft-next tightens $id: no fragment at all (2020-12
+            # merely requires an EMPTY fragment; future.py:13-27 calls
+            # uri.validate(allow_fragment=False))
+            self.strict_id_fragments = (
+                root["$schema"].rstrip("#") == "https://json-schema.org/draft/next/schema"
+            )
         else:
             self.enabled_keywords = None
+            self.strict_id_fragments = False
         if validate_schema:
             viols = check_schema_document(root)
             if viols:
@@ -332,6 +343,11 @@ class Compiler:
     ) -> None:
         if isinstance(node, dict):
             if isinstance(node.get("$id"), str):
+                if getattr(self, "strict_id_fragments", False) and "#" in node["$id"]:
+                    raise CompileError(
+                        f"draft-next forbids any fragment in $id: {node['$id']!r} "
+                        f"at {spath or '/'}"
+                    )
                 # a nested resource may declare its own $schema (only
                 # legal at resource roots): resolve its dialect here so
                 # keyword gating follows the RESOURCE's vocabulary set,

@@ -486,3 +486,34 @@ def test_per_resource_dialect_keyword_gating(spark):
     paths = {v["instance_path"] for v in row["viols"]}
     assert any("strict" in p for p in paths), paths
     assert not any("lax" in p for p in paths), paths
+
+
+def test_draft_next_id_fragment_rule(spark):
+    """draft-next $id forbids ANY fragment (reference future.py:13-27
+    IdKeyword_Next: uri.validate(allow_fragment=False)); 2020-12 merely
+    requires an empty one."""
+    from jschon_spark.compiler import compile_schema
+
+    next_uri = "https://json-schema.org/draft/next/schema"
+    # fragmentless $id compiles and validates normally
+    ok = {
+        "$schema": next_uri,
+        "$id": "https://ex.dev/next-doc",
+        "type": "integer",
+    }
+    check_case(spark, ok, 1, True)
+    check_case(spark, ok, "x", False)
+    # empty fragment — legal 2020-12, illegal draft-next
+    with pytest.raises(CompileError, match="fragment"):
+        compile_schema({"$schema": next_uri, "$id": "https://ex.dev/d#"})
+    # nested resource $id with fragment also rejected
+    with pytest.raises(CompileError, match="fragment"):
+        compile_schema(
+            {
+                "$schema": next_uri,
+                "$id": "https://ex.dev/root2",
+                "$defs": {"x": {"$id": "https://ex.dev/sub#frag"}},
+            }
+        )
+    # same document under 2020-12 compiles (empty fragment is stripped)
+    compile_schema({"$schema": "https://json-schema.org/draft/2020-12/schema", "$id": "https://ex.dev/d#"})

@@ -104,3 +104,58 @@ def test_embedding_band_join_plan_shape(spark):
     assert plan.count("ShuffledHashJoin") == 1, plan[:3000]
     assert plan.count("ArrowEvalPython") == 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_contains_subschema_compiled_once(spark):
+    """VERDICT r2 #4: contains/minContains/maxContains must share ONE
+    compiled count expression instead of each re-deriving it (the
+    duplication cost is Python-side plan construction — it compounds on
+    big schemas). Count apply() calls on the contains subschema."""
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import core as core_mod
+    from jschon_spark.compiler import compile_schema
+
+    sub = {"const": 987654321}
+    schema = {"contains": sub, "minContains": 2, "maxContains": 3}
+    calls = {"n": 0}
+    orig = core_mod.Compiler.apply
+
+    def counting(self, sch, ctx):
+        if sch == sub:
+            calls["n"] += 1
+        return orig(self, sch, ctx)
+
+    core_mod.Compiler.apply = counting
+    try:
+        compile_schema(schema).columns(T.ArrayType(T.LongType()), F.col("xs"))
+    finally:
+        core_mod.Compiler.apply = orig
+    assert calls["n"] == 1, calls["n"]
+
+
+def test_map_entries_subschema_compiled_once(spark):
+    """Sibling finding in r2 #4: the MapType patternProperties path
+    compiled each entry's subschema twice (once for .valid, once for
+    .viols inside the same lambda)."""
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import core as core_mod
+    from jschon_spark.compiler import compile_schema
+
+    sub = {"const": 123456789}
+    schema = {"patternProperties": {"^x": sub}}
+    calls = {"n": 0}
+    orig = core_mod.Compiler.apply
+
+    def counting(self, sch, ctx):
+        if sch == sub:
+            calls["n"] += 1
+        return orig(self, sch, ctx)
+
+    core_mod.Compiler.apply = counting
+    try:
+        compile_schema(schema).columns(T.MapType(T.StringType(), T.LongType()), F.col("m"))
+    finally:
+        core_mod.Compiler.apply = orig
+    assert calls["n"] == 1, calls["n"]

@@ -2657,6 +2657,126 @@ MISC = [
     ),
 ]
 
+ANCHOR_ID = [
+    (
+        "Location-independent identifier",
+        {
+            "$ref": "#foo",
+            "$defs": {"A": {"$anchor": "foo", "type": "integer"}},
+        },
+        [
+            ("match", 1, True),
+            ("mismatch", "a", False),
+        ],
+    ),
+    (
+        "Location-independent identifier with absolute URI",
+        {
+            "$ref": "http://localhost:1234/draft2020-12/bar#foo",
+            "$defs": {
+                "A": {"$id": "http://localhost:1234/draft2020-12/bar", "$anchor": "foo", "type": "integer"}
+            },
+        },
+        [
+            ("match", 1, True),
+            ("mismatch", "a", False),
+        ],
+    ),
+    (
+        "Location-independent identifier with base URI change in subschema",
+        {
+            "$id": "http://localhost:1234/draft2020-12/root",
+            "$ref": "http://localhost:1234/draft2020-12/nested.json#foo",
+            "$defs": {
+                "A": {
+                    "$id": "nested.json",
+                    "$defs": {"B": {"$anchor": "foo", "type": "integer"}},
+                }
+            },
+        },
+        [
+            ("match", 1, True),
+            ("mismatch", "a", False),
+        ],
+    ),
+    (
+        "same $anchor with different base uri",
+        {
+            "$id": "http://localhost:1234/draft2020-12/foobar",
+            "$defs": {
+                "A": {
+                    "$id": "child1",
+                    "allOf": [
+                        {"$id": "child2", "$anchor": "my_anchor", "type": "number"},
+                        {"$anchor": "my_anchor", "type": "string"},
+                    ],
+                }
+            },
+            "$ref": "child1#my_anchor",
+        },
+        [
+            ("$ref resolves to /$defs/A/allOf/1", "a", True),
+            ("$ref does not resolve to /$defs/A/allOf/0", 1, False),
+        ],
+    ),
+    (
+        "id: Invalid use of fragments in location-independent $id is just data under enum",
+        {
+            "$ref": "https://json-schema.org/draft/2020-12/schema"
+        },
+        [],  # needs the remote metaschema document — covered by catalog tests
+    ),
+    (
+        "id inside an enum is not a real identifier",
+        {
+            "$defs": {
+                "id_in_enum": {"enum": [{"$id": "https://localhost:1234/id/my_identifier.json", "type": "null"}]},
+                "real_id_in_schema": {"$id": "https://localhost:1234/draft2020-12/id/my_identifier.json", "type": "string"},
+                "zzz_id_in_const": {
+                    "const": {"$id": "https://localhost:1234/id/my_identifier.json", "type": "null"}
+                },
+            },
+            "anyOf": [
+                {"$ref": "#/$defs/id_in_enum"},
+                {"$ref": "https://localhost:1234/draft2020-12/id/my_identifier.json"},
+            ],
+        },
+        [
+            (
+                "exact match to enum, and type matches",
+                {"$id": "https://localhost:1234/id/my_identifier.json", "type": "null"},
+                True,
+            ),
+            ("match $ref to $id", "a string to match #/$defs/id_in_enum", True),
+            ("no match on enum or $ref to $id", 1, False),
+        ],
+    ),
+    (
+        "order of evaluation: $id and $ref",
+        {
+            "$comment": "$id must be evaluated before $ref to get the proper $ref destination",
+            "$id": "https://example.net/ref-and-id1/base.json",
+            "$ref": "int.json",
+            "$defs": {
+                "bigint": {
+                    "$comment": "canonical uri: https://example.net/ref-and-id1/int.json",
+                    "$id": "int.json",
+                    "maximum": 10,
+                },
+                "smallint": {
+                    "$comment": "canonical uri: https://example.net/ref-and-id1-int.json",
+                    "$id": "/ref-and-id1-int.json",
+                    "maximum": 2,
+                },
+            },
+        },
+        [
+            ("data is valid against first definition", 5, True),
+            ("data is invalid against first definition", 50, False),
+        ],
+    ),
+]
+
 SUITE = (
     [("boolean_schema", *g) for g in BOOLEAN_SCHEMA]
     + [("type", *g) for g in TYPE]
@@ -2678,6 +2798,7 @@ SUITE = (
     + [("unevaluatedProperties", *g) for g in UNEVALUATED_PROPS]
     + [("unevaluatedItems", *g) for g in UNEVALUATED_ITEMS]
     + [("misc", *g) for g in MISC]
+    + [("anchor-id", *g) for g in ANCHOR_ID]
 )
 
 CASES = [
