@@ -451,6 +451,28 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed annotation collection (≙ reference output.py basic
+    'annotations' units, collected only from valid evaluations —
+    jsonschema.py:515-524): one row per (doc, schema node, annotation
+    keyword) over documents that validate. Fully distributed — the
+    validity gates are codegen'd Columns, no sampling."""
+    from jschon_spark.output import annotation_output
+
+    schema = {
+        "title": "document",
+        "properties": {
+            "text": {"title": "body", "minLength": 20},
+            "lang": {"deprecated": True, "enum": ["en", "fr", "de", "es"]},
+            "n_chars": {"description": "character count", "minimum": 0},
+        },
+    }
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    return annotation_output(
+        schema, docs, instance_columns=["text", "lang", "n_chars"], id_cols=["doc_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -486,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_customer_applicators": q_validate_customer_applicators,
         "validate_doc_words_array": q_validate_doc_words_array,
         "events_props_schema_valid": q_events_props_schema_valid,
+        "doc_annotations": q_doc_annotations,
     }
 
 
@@ -502,6 +525,21 @@ _STOP_ES = "['el','la','los','las','de','y','es','que','un','una','por','para']"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_annotations": """
+            WITH valid_docs AS (
+              SELECT doc_id FROM documents
+              WHERE (text IS NULL OR length(text) >= 20)
+                AND (lang IS NULL OR lang IN ('en','fr','de','es'))
+                AND (n_chars IS NULL OR n_chars >= 0)
+            )
+            SELECT doc_id, instance_path, keyword_path, keyword, value_json
+            FROM valid_docs CROSS JOIN (VALUES
+              ('', '', 'title', '"document"'),
+              ('/text', '/properties/text', 'title', '"body"'),
+              ('/lang', '/properties/lang', 'deprecated', 'true'),
+              ('/n_chars', '/properties/n_chars', 'description', '"character count"')
+            ) AS a(instance_path, keyword_path, keyword, value_json)
+        """,
         "validate_orders_flag": f"""
             SELECT o_orderstatus,
                    count(*) AS n_rows,

@@ -356,6 +356,81 @@ def _expand_array_subtrees(
         node.setdefault("results", []).extend(expanded)
 
 
+def annotation_output(
+    schema,
+    df: DataFrame,
+    instance_columns: list[str] | None = None,
+    id_cols: list[str] | None = None,
+    **compile_kw,
+) -> DataFrame:
+    """Distributed jschon-style annotation collection (reference
+    output.py `basic` format's ``annotations`` units, jschon collects
+    them in jsonschema.py:515-524): one row per (document, schema node,
+    annotation keyword) for nodes that VALIDATED on that document —
+    annotations do not flow from failed nodes.
+
+    Unlike verbose_output this is NOT sampled: annotation values are
+    static per schema node, so the only dynamic inputs are each node's
+    per-row validity and instance location — plain codegen'd Columns
+    from the compiler trace, scaling like any other projection. Rows
+    where the DOCUMENT as a whole failed are excluded (jschon drops
+    annotations of failed evaluations; output.py:46-70)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler.context import Ctx
+    from jschon_spark.compiler.core import Compiler
+
+    comp = Compiler(schema, **compile_kw)
+    comp.trace = {}
+    cols = instance_columns or [c for c in df.columns if c not in (id_cols or [])]
+    dtype = T.StructType([df.schema[c] for c in cols])
+    root_col = F.struct(*[F.col(c).alias(c) for c in cols])
+    root = comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+
+    units = []
+    for spath, (node_schema, path_col, compiled) in sorted(comp.trace.items()):
+        if not isinstance(node_schema, dict):
+            continue
+        for k in _ANNOTATION_KEYS:
+            if k in node_schema:
+                units.append(
+                    F.when(
+                        compiled.valid,
+                        F.struct(
+                            F.coalesce(path_col, F.lit("")).alias("instance_path"),
+                            F.lit(spath).alias("keyword_path"),
+                            F.lit(k).alias("keyword"),
+                            F.lit(_json.dumps(node_schema[k])).alias("value_json"),
+                        ),
+                    )
+                )
+    ident = [F.col(c) for c in (id_cols or [])]
+    if not units:
+        empty = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("instance_path", T.StringType()),
+                    T.StructField("keyword_path", T.StringType()),
+                    T.StructField("keyword", T.StringType()),
+                    T.StructField("value_json", T.StringType()),
+                ]
+            )
+        )
+        arr = F.lit(None).cast(empty)
+    else:
+        arr = F.filter(F.array(*units), lambda u: u.isNotNull())
+    out = df.where(root.valid).select(*ident, F.explode(arr).alias("a"))
+    return out.select(
+        *(id_cols or []),
+        F.col("a.instance_path").alias("instance_path"),
+        F.col("a.keyword_path").alias("keyword_path"),
+        F.col("a.keyword").alias("keyword"),
+        F.col("a.value_json").alias("value_json"),
+    )
+
+
 def violation_histogram(df: DataFrame, violations_col: str = "violations") -> DataFrame:
     """Counts by (keyword, keyword_path) — a quick profile of what
     failed across the table."""

@@ -206,3 +206,33 @@ def test_verbose_output_per_element_array_subtree(spark):
     # the failing element is present with its own instance location
     assert by_loc[("/properties/xs/items/properties/v", "/xs/2/v")] is False
     assert by_loc[("/properties/xs/items/properties/v", "/xs/1/v")] is True
+
+
+def test_annotation_output_distributed(spark):
+    """jschon collects annotations from VALID nodes only (reference
+    jsonschema.py:515-524, output.py basic units). This output is a
+    plain distributed projection — per-row validity gates which nodes
+    contribute."""
+    from jschon_spark.output import annotation_output
+
+    schema = {
+        "title": "doc",
+        "properties": {
+            "name": {"title": "the name", "type": "string", "minLength": 2},
+            "age": {"deprecated": True, "type": "integer", "minimum": 0},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, "ok", 3), (2, "x", 5), (3, "fine", -2)],
+        "id long, name string, age long",
+    )
+    rows = annotation_output(schema, df, instance_columns=["name", "age"], id_cols=["id"]).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, set()).add((r.keyword_path, r.keyword, r.value_json))
+    # doc 1 valid everywhere: root title + both property annotations
+    assert ("", "title", '"doc"') in by_id[1]
+    assert ("/properties/name", "title", '"the name"') in by_id[1]
+    assert ("/properties/age", "deprecated", "true") in by_id[1]
+    # docs 2 and 3 are INVALID documents → no annotation rows at all
+    assert 2 not in by_id and 3 not in by_id
