@@ -228,9 +228,13 @@ def verbose_output(
                 parent.setdefault("results", []).append(node)
             else:
                 roots.append(node)
-            # per-element expansion of HOF-applied array subschemas
+            # per-element / per-entry expansion of HOF-applied subschemas
             if isinstance(node_schema, dict):
                 _expand_array_subtrees(
+                    spark, comp, node, node_schema, spath,
+                    r["__instance"], dtype, r[f"__p{i}"] or "",
+                )
+                _expand_map_subtrees(
                     spark, comp, node, node_schema, spath,
                     r["__instance"], dtype, r[f"__p{i}"] or "",
                 )
@@ -429,6 +433,111 @@ def annotation_output(
         F.col("a.keyword").alias("keyword"),
         F.col("a.value_json").alias("value_json"),
     )
+
+
+def _expand_map_subtrees(
+    spark, comp, node: dict, node_schema: dict, spath: str, instance, root_dtype, ipath: str
+) -> None:
+    """Per-ENTRY results for MapType nodes (the map analogue of
+    `_expand_array_subtrees`): the sampled document's map entries become
+    rows and each applicable subschema's trace is selected across the
+    keys it governs — properties by name, patternProperties by regex,
+    additionalProperties for the rest."""
+    import re as _re
+
+    from pyspark.sql import Row as _Row
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler.context import Ctx, escape_pointer, escape_pointer_col
+
+    kws = ("properties", "patternProperties", "additionalProperties")
+    if not any(k in node_schema for k in kws):
+        return
+    value, dt = _walk_value(instance, root_dtype, ipath)
+    if value is None or not isinstance(dt, T.MapType):
+        return
+    entries = dict(value)
+    if not entries:
+        return
+    val_dt = dt.valueType
+
+    def eval_keys(sub, kw_spath: str, keys: list[str]) -> list[dict]:
+        df_schema = T.StructType(
+            [T.StructField("k", T.StringType(), False), T.StructField("e", val_dt, True)]
+        )
+        edf = spark.createDataFrame([_Row(k=k, e=entries[k]) for k in keys], df_schema)
+        saved = comp.trace
+        comp.trace = {}
+        try:
+            ctx = Ctx(
+                col=F.col("e"),
+                dtype=val_dt,
+                path=F.concat(F.lit(ipath + "/"), escape_pointer_col(F.col("k"))),
+                spath=kw_spath,
+            )
+            comp.apply(sub, ctx)
+            sub_entries = sorted(comp.trace.items())
+        finally:
+            comp.trace = saved
+        sel = [F.col("k")]
+        for j, (_, (_, pc, cc)) in enumerate(sub_entries):
+            sel.append(cc.valid.alias(f"__v{j}"))
+            sel.append(pc.alias(f"__p{j}"))
+        got = edf.select(*sel).collect()
+        results = []
+        for er in sorted(got, key=lambda x: x["k"]):
+            sub_index: dict[str, dict] = {}
+            sub_roots: list[dict] = []
+            for j, (sp, (ns, _, _)) in enumerate(sub_entries):
+                child = {
+                    "valid": bool(er[f"__v{j}"]),
+                    "keywordLocation": sp,
+                    "instanceLocation": er[f"__p{j}"] or "",
+                }
+                if isinstance(ns, dict):
+                    ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
+                    if ann:
+                        child["annotations"] = ann
+                sub_index[sp] = child
+                parent = None
+                segs = [s for s in sp.split("/") if s != ""]
+                prefix = ""
+                for s in segs[:-1]:
+                    prefix = f"{prefix}/{s}"
+                    if prefix in sub_index:
+                        parent = sub_index[prefix]
+                if parent is not None and parent is not child:
+                    parent.setdefault("results", []).append(child)
+                else:
+                    sub_roots.append(child)
+            results.extend(sub_roots)
+        return results
+
+    expanded: list[dict] = []
+    named = node_schema.get("properties") or {}
+    pats = node_schema.get("patternProperties") or {}
+    matched: set[str] = set()
+    for name, sub in named.items():
+        if name in entries:
+            matched.add(name)
+            expanded.extend(
+                eval_keys(sub, f"{spath}/properties/{escape_pointer(name)}", [name])
+            )
+    for regex, sub in pats.items():
+        hit = [k for k in entries if _re.search(regex, k)]
+        if hit:
+            matched.update(hit)
+            expanded.extend(
+                eval_keys(sub, f"{spath}/patternProperties/{escape_pointer(regex)}", sorted(hit))
+            )
+    if "additionalProperties" in node_schema:
+        rest = sorted(k for k in entries if k not in matched)
+        if rest and node_schema["additionalProperties"] is not False:
+            expanded.extend(
+                eval_keys(node_schema["additionalProperties"], f"{spath}/additionalProperties", rest)
+            )
+    if expanded:
+        node.setdefault("results", []).extend(expanded)
 
 
 def violation_histogram(df: DataFrame, violations_col: str = "violations") -> DataFrame:

@@ -236,3 +236,43 @@ def test_annotation_output_distributed(spark):
     assert ("/properties/age", "deprecated", "true") in by_id[1]
     # docs 2 and 3 are INVALID documents → no annotation rows at all
     assert 2 not in by_id and 3 not in by_id
+
+
+def test_verbose_output_per_entry_map_subtree(spark):
+    """Map-entry subtrees also expand per entry in verbose output (the
+    map analogue of the r3 array expansion)."""
+    from pyspark.sql import types as T
+
+    from jschon_spark.output import verbose_output
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "m": {
+                "patternProperties": {"^x": {"minimum": 10}},
+                "additionalProperties": {"maximum": 0},
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, {"xa": 50, "xb": 3, "other": -1})],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            ]
+        ),
+    )
+    out = verbose_output(schema, df, instance_columns=["m"], id_cols=["id"], max_rows=5)
+
+    def collect_nodes(node, acc):
+        acc.append(node)
+        for c in node.get("results", []):
+            collect_nodes(c, acc)
+        return acc
+
+    nodes = collect_nodes(out[0]["result"], [])
+    by_loc = {(n["keywordLocation"], n["instanceLocation"]): n["valid"] for n in nodes}
+    assert by_loc[("/properties/m/patternProperties/^x", "/m/xa")] is True
+    assert by_loc[("/properties/m/patternProperties/^x", "/m/xb")] is False
+    assert by_loc[("/properties/m/additionalProperties", "/m/other")] is True
