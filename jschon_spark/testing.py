@@ -56,6 +56,10 @@ def infer_spark_type(data: Any) -> T.DataType:
     if isinstance(data, bool):
         return T.BooleanType()
     if isinstance(data, int):
+        if not (-(2**63) <= data < 2**63):
+            # arbitrary-precision integers (suite optional/bignum) have
+            # no lossless Spark scalar type — documented delta
+            raise Untypeable(f"integer {data} exceeds int64 range")
         return T.LongType()
     if isinstance(data, float):
         return T.DoubleType()

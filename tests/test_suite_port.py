@@ -2775,6 +2775,121 @@ ANCHOR_ID = [
             ("data is invalid against first definition", 50, False),
         ],
     ),
+
+    (
+        "A $dynamicRef that initially resolves to a schema with a matching $dynamicAnchor resolves to the first $dynamicAnchor in the dynamic scope",
+        {
+            "$id": "https://test.json-schema.org/relative-dynamic-reference/root",
+            "$dynamicAnchor": "meta",
+            "type": "object",
+            "properties": {"foo": {"const": "pass"}},
+            "$ref": "extended",
+            "$defs": {
+                "extended": {
+                    "$id": "extended",
+                    "$dynamicAnchor": "meta",
+                    "type": "object",
+                    "properties": {"bar": {"$ref": "bar"}},
+                },
+                "bar": {
+                    "$id": "bar",
+                    "type": "object",
+                    "properties": {"baz": {"$dynamicRef": "extended#meta"}},
+                },
+            },
+        },
+        [
+            ("The recursive part is valid against the root", {"foo": "pass", "bar": {"baz": {"foo": "pass"}}}, True),
+            ("The recursive part is not valid against the root", {"foo": "pass", "bar": {"baz": {"foo": "fail"}}}, False),
+        ],
+    ),
+    (
+        "A $dynamicRef with anchor resolving to boolean-ish subschema via bookending",
+        {
+            "$id": "https://test.json-schema.org/dynref-bool/root",
+            "$ref": "list2",
+            "$defs": {
+                "foo": {"$dynamicAnchor": "items2", "type": "string"},
+                "list2": {
+                    "$id": "list2",
+                    "type": "array",
+                    "items": {"$dynamicRef": "#items2"},
+                    "$defs": {"items2": {"$dynamicAnchor": "items2"}},
+                },
+            },
+        },
+        [
+            ("string array valid", ["a", "b"], True),
+            ("integer array invalid", [1, 2], False),
+        ],
+    ),
+    (
+        "strict-tree: multiple levels deep",
+        {
+            "$id": "https://test.json-schema.org/strict-tree-deep/base",
+            "$dynamicAnchor": "node2",
+            "$ref": "tree2",
+            "unevaluatedProperties": False,
+            "$defs": {
+                "tree2": {
+                    "$id": "tree2",
+                    "$dynamicAnchor": "node2",
+                    "type": "object",
+                    "properties": {
+                        "data": True,
+                        "children": {"type": "array", "items": {"$dynamicRef": "#node2"}},
+                    },
+                }
+            },
+        },
+        [
+            (
+                "two levels: misspelled field at depth 2 invalid",
+                {"children": [{"data": 1, "children": [{"daat": 2}]}]},
+                False,
+            ),
+            (
+                "two levels: correct fields valid",
+                {"children": [{"data": 1, "children": [{"data": 2}]}]},
+                True,
+            ),
+        ],
+    ),
+    (
+        "bignum: integer comparison (optional/bignum.json)",
+        {"maximum": 18446744073709551615},
+        [
+            ("comparison works for high numbers", 18446744073709551600, True),
+        ],
+    ),
+    (
+        "bignum: float comparison with high precision",
+        {"exclusiveMaximum": 9.727837981879871e26},
+        [
+            ("comparison works for high numbers", 9.727837981879871e26, False),
+        ],
+    ),
+    (
+        "unknown keywords are ignored",
+        {"type": "integer", "fooBarUnknownKeyword": {"type": "string"}},
+        [
+            ("integer valid despite unknown keyword", 3, True),
+            ("string invalid (known keyword still applies)", "x", False),
+        ],
+    ),
+    (
+        "sibling keywords alongside $ref all apply (2020-12)",
+        {
+            "$defs": {"reffed": {"minimum": 5}},
+            "$ref": "#/$defs/reffed",
+            "maximum": 10,
+        },
+        [
+            ("within both bounds", 7, True),
+            ("violates the $ref'd minimum", 3, False),
+            ("violates the sibling maximum", 12, False),
+        ],
+    ),
 ]
 
 SUITE = (
