@@ -123,6 +123,154 @@ def evaluate_instance(
     return bool(out["valid"]), list(out["violations"])
 
 
+def _unify_batch(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Like ``_unify`` but safe for BATCHING several instances into one
+    typed column: refuses to promote a struct field that is explicitly
+    null in one instance (NullType field) to a concrete type carried by
+    another — the promoted SQL NULL would flip from "present as null"
+    to "absent" under ``_has_prop``'s presence rule (core.py:767-778).
+    A field merely ABSENT from one side unifies fine (SQL NULL already
+    means absent for concrete-typed fields)."""
+    if a == b:
+        return a
+    if isinstance(a, T.NullType) or isinstance(b, T.NullType):
+        # top-level / array-element nulls have no absence ambiguity,
+        # but a struct FIELD NullType does; handled in the struct branch
+        raise Untypeable("explicit-null vs concrete type across batch members")
+    nums = (T.LongType, T.DoubleType)
+    if isinstance(a, nums) and isinstance(b, nums):
+        return T.DoubleType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        ea, eb = a.elementType, b.elementType
+        # null-typed elements are explicit nulls; promoting them to a
+        # concrete element type is safe (a null element stays jtype
+        # 'null' — arrays have no absence concept)
+        if isinstance(ea, T.NullType):
+            return T.ArrayType(eb, True)
+        if isinstance(eb, T.NullType):
+            return T.ArrayType(ea, True)
+        return T.ArrayType(_unify_batch(ea, eb), True)
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        names = list(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
+        fields = []
+        for n in names:
+            in_a, in_b = n in a.fieldNames(), n in b.fieldNames()
+            if in_a and in_b:
+                ta, tb = a[n].dataType, b[n].dataType
+                if isinstance(ta, T.NullType) != isinstance(tb, T.NullType):
+                    raise Untypeable(
+                        f"field {n!r} is explicit-null in one batch member and "
+                        "concrete-typed in another — presence would flip"
+                    )
+                ft = ta if isinstance(ta, T.NullType) else _unify_batch(ta, tb)
+            else:
+                # absent on one side: SQL NULL in a concrete-typed field
+                # already means absent, so adopt the present side's type
+                # (unless that type is NullType — then the absent side
+                # would read as explicitly present, refuse)
+                ft = a[n].dataType if in_a else b[n].dataType
+                if isinstance(ft, T.NullType):
+                    raise Untypeable(
+                        f"field {n!r} explicit-null in one member, absent in another"
+                    )
+            fields.append(T.StructField(n, ft, True))
+        return T.StructType(fields)
+    raise Untypeable(f"cannot batch-unify {a} and {b}")
+
+
+def evaluate_batch(
+    spark: SparkSession, schema: Any, datas: list, assert_formats: bool = False
+) -> list:
+    """Evaluate MANY instances against ONE schema with as few Spark
+    jobs as possible. Returns a list aligned with ``datas``: True /
+    False, or None where the instance is Untypeable (documented typed-
+    column delta, SURVEY.md §2.9.1).
+
+    Instances are greedily grouped into unified Spark types via
+    ``_unify_batch`` (presence-preserving), one DataFrame + one collect
+    per group; the compiled plan is shared across groups."""
+    compiled = compile_schema(schema, assert_formats=assert_formats)
+    results: list = [None] * len(datas)
+
+    def _dtype_size(dt: T.DataType) -> int:
+        if isinstance(dt, T.StructType):
+            return 1 + sum(_dtype_size(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return 1 + _dtype_size(dt.elementType)
+        return 1
+
+    # (dtype, [(idx, data), ...]) groups; NullType top-levels together.
+    # Unification is capped: a merged dtype beyond _MAX_UNIFIED nodes
+    # starts a new group instead — compiled plan size grows with dtype
+    # complexity (every struct field × every applicator), so unbounded
+    # union-structs turn batching into a pessimization.
+    _MAX_UNIFIED = 14
+    groups: list = []
+    null_group: list = []
+    for i, data in enumerate(datas):
+        try:
+            dt = infer_spark_type(data)
+        except Untypeable:
+            continue
+        if isinstance(dt, T.NullType):
+            null_group.append(i)
+            continue
+        placed = False
+        for g in groups:
+            try:
+                u = _unify_batch(g[0], dt)
+            except Untypeable:
+                continue
+            if u != g[0] and _dtype_size(u) > _MAX_UNIFIED:
+                continue
+            g[0] = u
+            g[1].append((i, data))
+            placed = True
+            break
+        if not placed:
+            groups.append([dt, [(i, data)]])
+
+    if null_group:
+        dtype = T.StructType([T.StructField("value", T.NullType(), True)])
+        df = spark.createDataFrame([Row(value=None)], dtype)
+        c = compiled.columns(T.NullType(), F.col("value"))
+        out = bool(df.select(c.valid.alias("v")).collect()[0]["v"])
+        for i in null_group:
+            results[i] = out
+
+    for dtype, members in groups:
+        rows, idxs, spill = [], [], []
+        for i, data in members:
+            try:
+                rows.append(Row(id=i, value=_to_row(data, dtype)))
+                idxs.append(i)
+            except Untypeable:
+                spill.append((i, data))
+        if rows:
+            df = spark.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType(), False),
+                        T.StructField("value", dtype, True),
+                    ]
+                ),
+            )
+            c = compiled.columns(dtype, F.col("value"))
+            for r in df.select("id", c.valid.alias("v")).collect():
+                results[r["id"]] = bool(r["v"])
+        for i, data in spill:
+            # guard tripped under the unified dtype — evaluate solo
+            dt = infer_spark_type(data)
+            df = spark.createDataFrame(
+                [Row(value=_to_row(data, dt))],
+                T.StructType([T.StructField("value", dt, True)]),
+            )
+            c = compiled.columns(dt, F.col("value"))
+            results[i] = bool(df.select(c.valid.alias("v")).collect()[0]["v"])
+    return results
+
+
 def check_case(spark: SparkSession, schema: Any, data: Any, expected_valid: bool, **kw) -> None:
     valid, viols = evaluate_instance(spark, schema, data, **kw)
     assert valid == expected_valid, (

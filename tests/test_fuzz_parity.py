@@ -1,0 +1,561 @@
+"""DIFFERENTIAL FUZZING against the in-sandbox reference.
+
+tests/test_reference_parity.py machine-checks the hand-ported suite
+expectations; this module goes further: deterministic, seeded random
+(schema, instance) pairs are evaluated by BOTH the reference (jschon
+itself, via the tests/ref_oracle shim) and the Spark engine, and every
+verdict must agree. This attacks the one remaining correctness risk
+named by the round-2 verdict — keyword INTERACTIONS outside the ported
+suite's cross-product (ref consumes the full official suite at
+/root/reference/tests/test_suite.py:92-170; we cannot, no network).
+
+The generator covers: type/enum/const, numeric + string bounds,
+pattern, object blocks (properties / patternProperties /
+additionalProperties / required / dependentRequired / dependentSchemas
+/ propertyNames / min-maxProperties), array blocks (prefixItems /
+items / contains / min-maxContains / min-maxItems / uniqueItems),
+combinators (allOf/anyOf/oneOf/not/if-then-else), $defs + $ref, and
+unevaluatedProperties / unevaluatedItems layered over all of the
+above. Instances are biased toward schema-derived hint values
+(bounds ± 1, enum members, property names) so the valid/invalid
+boundary is exercised, not just the trivially-invalid bulk.
+
+Instances with no single Spark type (heterogeneous arrays etc.) are
+skipped on the Spark side only — the documented typed-column delta
+(SURVEY.md §2.9.1); the skip rate is asserted bounded so the fuzz
+can't silently degrade into skipping everything.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import random
+import sys
+
+import pytest
+
+from jschon_spark.testing import evaluate_batch
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_META = "https://json-schema.org/draft/2020-12/schema"
+
+# ---------------------------------------------------------------- reference
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Shimmed reference (same loading as test_reference_parity.py)."""
+    sys.path.insert(0, os.path.join(_HERE, "ref_oracle"))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from jschon import JSON, JSONSchema, URI
+        from jschon.catalog import Catalog, LocalSource, _2020_12
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+
+    meta_dir = os.path.join(_HERE, "ref_oracle", "json-schema-2020-12")
+    orig_source = _2020_12.LocalSource
+    _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    try:
+        try:
+            catalog = Catalog.get_catalog("parity")
+        except Exception:
+            catalog = Catalog(name="parity")
+            _2020_12.initialize(catalog)
+    finally:
+        _2020_12.LocalSource = orig_source
+    return {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema, "URI": URI}
+
+
+# ---------------------------------------------------------------- generators
+
+_KEYS = ["a", "b", "c", "d"]
+_PATTERNS = ["^a", "a$", "^[ab]+$", "c", "^a.c$", "^[0-9]+$", "^(a|b)b*$"]
+_STRINGS = ["", "a", "b", "ab", "aa", "abc", "a1c", "bb", "12", "ccc"]
+_INTS = [-2, -1, 0, 1, 2, 3, 5, 10]
+_FLOATS = [0.5, 1.0, 1.5, 2.0, 2.5, 9.5]
+_TYPES = ["null", "boolean", "integer", "number", "string", "array", "object"]
+
+
+def _scalar(rng: random.Random):
+    k = rng.randrange(5)
+    if k == 0:
+        return None
+    if k == 1:
+        return rng.choice([True, False])
+    if k == 2:
+        return rng.choice(_INTS)
+    if k == 3:
+        return rng.choice(_FLOATS)
+    return rng.choice(_STRINGS)
+
+
+def gen_schema(rng: random.Random, depth: int, defs: list) -> object:
+    r = rng.random()
+    if depth <= 0 or r < 0.06:
+        return rng.choice([True, False, {}, {"type": rng.choice(_TYPES)}])
+    s: dict = {}
+    for _ in range(rng.randint(1, 3)):
+        _FACETS[rng.randrange(len(_FACETS))](s, rng, depth, defs)
+    return s
+
+
+def _f_type(s, rng, depth, defs):
+    if rng.random() < 0.3:
+        s["type"] = rng.sample(_TYPES, rng.randint(2, 3))
+    else:
+        s["type"] = rng.choice(_TYPES)
+
+
+def _f_const_enum(s, rng, depth, defs):
+    vals = [_scalar(rng) for _ in range(rng.randint(1, 4))]
+    if rng.random() < 0.3:
+        vals.append([_scalar(rng), _scalar(rng)])
+    if rng.random() < 0.4:
+        s["const"] = rng.choice(vals)
+    else:
+        s["enum"] = vals
+
+
+def _f_numeric(s, rng, depth, defs):
+    for kw in rng.sample(
+        ["minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf"],
+        rng.randint(1, 2),
+    ):
+        if kw == "multipleOf":
+            s[kw] = rng.choice([1, 2, 3, 0.5, 1.5, 10])
+        else:
+            s[kw] = rng.choice(_INTS + _FLOATS)
+
+
+def _f_string(s, rng, depth, defs):
+    kw = rng.choice(["minLength", "maxLength", "pattern"])
+    if kw == "pattern":
+        s[kw] = rng.choice(_PATTERNS)
+    else:
+        s[kw] = rng.randint(0, 5)
+
+
+def _f_object(s, rng, depth, defs):
+    which = rng.sample(
+        ["properties", "patternProperties", "additionalProperties", "required",
+         "dependentRequired", "dependentSchemas", "propertyNames", "counts"],
+        rng.randint(1, 3),
+    )
+    if "properties" in which:
+        s["properties"] = {
+            k: gen_schema(rng, depth - 1, defs)
+            for k in rng.sample(_KEYS, rng.randint(1, 3))
+        }
+    if "patternProperties" in which:
+        s["patternProperties"] = {rng.choice(["^a", "^[ab]", "c$"]): gen_schema(rng, depth - 1, defs)}
+    if "additionalProperties" in which:
+        s["additionalProperties"] = (
+            rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
+        )
+    if "required" in which:
+        s["required"] = rng.sample(_KEYS, rng.randint(1, 2))
+    if "dependentRequired" in which:
+        s["dependentRequired"] = {rng.choice(_KEYS): rng.sample(_KEYS, rng.randint(1, 2))}
+    if "dependentSchemas" in which:
+        s["dependentSchemas"] = {rng.choice(_KEYS): gen_schema(rng, depth - 1, defs)}
+    if "propertyNames" in which:
+        s["propertyNames"] = rng.choice(
+            [{"maxLength": rng.randint(0, 3)}, {"pattern": rng.choice(["^a", "^[abc]$", "^[a-d]"])}]
+        )
+    if "counts" in which:
+        s[rng.choice(["minProperties", "maxProperties"])] = rng.randint(0, 3)
+
+
+def _f_array(s, rng, depth, defs):
+    which = rng.sample(
+        ["prefixItems", "items", "contains", "counts", "uniqueItems"], rng.randint(1, 3)
+    )
+    if "prefixItems" in which:
+        s["prefixItems"] = [gen_schema(rng, depth - 1, defs) for _ in range(rng.randint(1, 3))]
+    if "items" in which:
+        s["items"] = (
+            rng.choice([True, False]) if rng.random() < 0.3 else gen_schema(rng, depth - 1, defs)
+        )
+    if "contains" in which:
+        s["contains"] = gen_schema(rng, depth - 1, defs)
+        if rng.random() < 0.5:
+            s["minContains"] = rng.randint(0, 2)
+        if rng.random() < 0.3:
+            s["maxContains"] = rng.randint(1, 3)
+    if "counts" in which:
+        s[rng.choice(["minItems", "maxItems"])] = rng.randint(0, 4)
+    if "uniqueItems" in which:
+        s["uniqueItems"] = True
+
+
+def _f_combinator(s, rng, depth, defs):
+    kw = rng.choice(["allOf", "anyOf", "oneOf"])
+    s[kw] = [gen_schema(rng, depth - 1, defs) for _ in range(rng.randint(1, 3))]
+
+
+def _f_not(s, rng, depth, defs):
+    s["not"] = gen_schema(rng, depth - 1, defs)
+
+
+def _f_conditional(s, rng, depth, defs):
+    s["if"] = gen_schema(rng, depth - 1, defs)
+    if rng.random() < 0.8:
+        s["then"] = gen_schema(rng, depth - 1, defs)
+    if rng.random() < 0.6:
+        s["else"] = gen_schema(rng, depth - 1, defs)
+
+
+def _f_unevaluated(s, rng, depth, defs):
+    # layer over an in-place applicator so there is evaluation to track
+    _f_combinator(s, rng, depth, defs)
+    if rng.random() < 0.5:
+        s["unevaluatedProperties"] = (
+            rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
+        )
+    else:
+        s["unevaluatedItems"] = (
+            rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
+        )
+
+
+def _f_ref(s, rng, depth, defs):
+    # ``defs`` is a pool of ready-to-use $ref strings (pointer, anchor,
+    # or URI form — the caller decides)
+    if defs:
+        s["$ref"] = rng.choice(defs)
+    else:
+        _f_combinator(s, rng, depth, defs)
+
+
+_FACETS = [
+    _f_type, _f_const_enum, _f_numeric, _f_string, _f_object, _f_object,
+    _f_array, _f_array, _f_combinator, _f_combinator, _f_not, _f_conditional,
+    _f_unevaluated, _f_unevaluated, _f_ref,
+]
+
+
+def gen_root_schema(rng: random.Random, depth: int = 3) -> dict:
+    n_defs = rng.randint(0, 2)
+    names = [f"d{i}" for i in range(n_defs)]
+    pool = [f"#/$defs/{n}" for n in names]
+    root = gen_schema(rng, depth, pool)
+    if not isinstance(root, dict):
+        root = {"allOf": [root]}
+    if names:
+        # later defs may reference earlier ones
+        root["$defs"] = {
+            name: gen_schema(rng, depth - 1, pool[:i]) for i, name in enumerate(names)
+        }
+    return root
+
+
+def gen_ref_heavy_schema(rng: random.Random, seed: int, depth: int = 3) -> dict:
+    """Identification-and-referencing stress: $defs carrying $anchor
+    names and nested $id resources (absolute and relative), refs drawn
+    from JSON-Pointer, plain-anchor, relative-URI and absolute-URI
+    forms, plus an optional root $dynamicAnchor extended via
+    $dynamicRef — the resolution machinery of core.py:_index/resolve_ref
+    against the reference's jschon/jsonschema.py + catalog."""
+    base = f"https://fuzz.example/{seed}/root"
+    n_defs = rng.randint(2, 4)
+    names, pool, carriers = [], [], []
+    for i in range(n_defs):
+        names.append(f"d{i}")
+        kind = rng.randrange(3)
+        if kind == 0:
+            pool.append(f"#/$defs/d{i}")
+        elif kind == 1:
+            pool.append(f"#a{i}")  # plain anchor
+        else:
+            # nested resource: both relative and absolute URI forms
+            # resolve to https://fuzz.example/<seed>/sub<i>
+            pool.append(rng.choice([f"sub{i}", f"https://fuzz.example/{seed}/sub{i}"]))
+        carriers.append(kind)
+    defs = {}
+    for i, name in enumerate(names):
+        if carriers[i] == 2:
+            # inside a nested $id resource, "#/..." pointer fragments
+            # and "#anchor" refs resolve against the SUB-resource base,
+            # so only URI-form pool entries stay valid there; a
+            # relative "subK" against base .../sub<i> still resolves to
+            # .../subK — that cross-sibling hop is the interesting case
+            inner_pool = [p for p in pool[:i] if not p.startswith("#")]
+        else:
+            inner_pool = pool[:i]
+        sub = gen_schema(rng, depth - 1, inner_pool)
+        if not isinstance(sub, dict):
+            sub = {"allOf": [sub]}
+        if carriers[i] == 1:
+            sub["$anchor"] = f"a{i}"
+        elif carriers[i] == 2:
+            sub["$id"] = f"sub{i}"
+        defs[name] = sub
+    root = gen_schema(rng, depth, pool)
+    if not isinstance(root, dict):
+        root = {"allOf": [root]}
+    root["$id"] = base
+    root["$defs"] = defs
+    if rng.random() < 0.4:
+        # dynamic extension: root declares the dynamic anchor; a def
+        # reached through a static ref extends through it. Only non-
+        # resource defs qualify — inside a nested $id resource, the
+        # initial "#T" target resolves against the SUB base where no
+        # such anchor exists (the reference refuses, correctly)
+        hosts = [n for n, k in zip(names, carriers) if k != 2]
+        if hosts:
+            root["$dynamicAnchor"] = "T"
+            d = root["$defs"][rng.choice(hosts)]
+            if isinstance(d, dict):
+                d.setdefault("allOf", []).append({"$dynamicRef": "#T"})
+    return root
+
+
+def to_2019_09(schema):
+    """Rewrite a generated 2020-12 schema into its exact 2019-09
+    equivalent (the inverse of compiler/legacy.py's normalization):
+    prefixItems -> tuple-form items (any schema-form items becomes
+    additionalItems)."""
+    if isinstance(schema, list):
+        return [to_2019_09(s) for s in schema]
+    if not isinstance(schema, dict):
+        return schema
+    out = {}
+    for k, v in schema.items():
+        if k == "prefixItems":
+            out["items"] = [to_2019_09(s) for s in v]
+            if "items" in schema:
+                out["additionalItems"] = to_2019_09(schema["items"])
+            continue
+        if k == "items" and "prefixItems" in schema:
+            continue  # folded into additionalItems above
+        out[k] = to_2019_09(v)
+    return out
+
+
+# hint collection: values that sit near the schema's decision boundaries
+def collect_hints(schema, hints):
+    if isinstance(schema, dict):
+        for k, v in schema.items():
+            if k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf"):
+                hints["values"].extend([v, v + 1, v - 1])
+            elif k in ("minLength", "maxLength", "minItems", "maxItems",
+                       "minProperties", "maxProperties", "minContains", "maxContains"):
+                hints["values"].append("a" * max(0, int(v)))
+            elif k == "const":
+                hints["values"].append(v)
+            elif k == "enum":
+                hints["values"].extend(v)
+            elif k in ("properties", "patternProperties", "dependentSchemas", "dependentRequired"):
+                hints["keys"].extend(v.keys())
+                collect_hints(list(v.values()), hints)
+                continue
+            elif k == "required":
+                hints["keys"].extend(v)
+                continue
+            collect_hints(v, hints)
+    elif isinstance(schema, list):
+        for v in schema:
+            collect_hints(v, hints)
+
+
+def gen_instance(rng: random.Random, depth: int, hints) -> object:
+    if hints["values"] and rng.random() < 0.3:
+        return copy.deepcopy(rng.choice(hints["values"]))
+    kind = rng.choices(
+        ["null", "bool", "int", "float", "str", "arr", "obj"],
+        weights=[1, 1, 3, 2, 3, 3 if depth > 0 else 0, 3 if depth > 0 else 0],
+    )[0]
+    if kind == "null":
+        return None
+    if kind == "bool":
+        return rng.choice([True, False])
+    if kind == "int":
+        return rng.choice(_INTS)
+    if kind == "float":
+        return rng.choice(_FLOATS)
+    if kind == "str":
+        return rng.choice(_STRINGS)
+    if kind == "arr":
+        n = rng.randint(0, 4)
+        if rng.random() < 0.75:
+            # homogeneous (stays Spark-typeable): one element generator
+            gen = rng.choice([
+                lambda: rng.choice(_INTS),
+                lambda: rng.choice(_STRINGS),
+                lambda: rng.choice(_FLOATS),
+                lambda: gen_instance(rng, depth - 1, hints),
+            ])
+            first = gen()
+            out = [first] + [gen() for _ in range(n - 1)] if n else []
+            return out
+        return [gen_instance(rng, depth - 1, hints) for _ in range(n)]
+    keys = hints["keys"] + _KEYS if hints["keys"] else _KEYS
+    chosen = []
+    for k in keys:
+        if rng.random() < 0.35 and k not in chosen:
+            chosen.append(k)
+    return {k: gen_instance(rng, depth - 1, hints) for k in chosen}
+
+
+# ---------------------------------------------------------------- the fuzz
+
+SEEDS = list(range(32))
+INSTANCES_PER_SCHEMA = 40
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_spark_matches_reference(spark, ref, seed):
+    rng = random.Random(98_000 + seed)
+    schema = gen_root_schema(rng)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    try:
+        compiled_ref = JSONSchema(
+            schema, catalog=ref["catalog"], cacheid=f"fuzz-{seed}", metaschema_uri=URI(_META)
+        )
+        # force full resolution so schema bugs surface here, not per-instance
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated schema not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(schema, hints)
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts = []
+    for d in datas:
+        ref_verdicts.append(bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid))
+
+    spark_verdicts = evaluate_batch(spark, schema, datas)
+
+    mismatches = []
+    skipped = 0
+    for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts):
+        if sv is None:
+            skipped += 1
+            continue
+        if sv != rv:
+            mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
+    assert not mismatches, (
+        f"seed {seed}: Spark engine disagrees with the reference on "
+        f"{len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
+        + "\n".join(mismatches)
+    )
+    # the typed-column delta must stay a corner case, not the common case
+    assert skipped <= len(datas) * 0.5, (
+        f"seed {seed}: {skipped}/{len(datas)} instances skipped as untypeable — "
+        "generator drifted away from Spark-typeable instances"
+    )
+
+
+# ------------------------------------------------- ref-resolution fuzzing
+
+REF_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", REF_SEEDS)
+def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
+    rng = random.Random(77_000 + seed)
+    schema = gen_ref_heavy_schema(rng, seed)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    try:
+        compiled_ref = JSONSchema(
+            schema, catalog=ref["catalog"], cacheid=f"fuzzref-{seed}",
+            metaschema_uri=URI(_META),
+        )
+        compiled_ref.validate()
+        # force-resolve every ref so unresolvables surface as a skip,
+        # not a per-instance crash
+        probe = compiled_ref.evaluate(JSON({"a": 1}))
+    except Exception as e:
+        pytest.skip(f"generated ref-heavy schema not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(schema, hints)
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts = [
+        bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid) for d in datas
+    ]
+    spark_verdicts = evaluate_batch(spark, schema, datas)
+
+    mismatches = [
+        f"  data={d!r}: reference={rv} spark={sv}"
+        for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts)
+        if sv is not None and sv != rv
+    ]
+    assert not mismatches, (
+        f"ref-fuzz seed {seed}: Spark engine disagrees with the reference on "
+        f"{len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
+        + "\n".join(mismatches)
+    )
+
+
+# ------------------------------------------------- 2019-09 legacy fuzzing
+
+LEGACY_SEEDS = list(range(12))
+_META_1909 = "https://json-schema.org/draft/2019-09/schema"
+
+
+@pytest.fixture(scope="module")
+def ref19(ref):
+    """Catalog with the 2019-09 dialect added (same as
+    test_reference_parity.py::ref19)."""
+    from jschon.catalog import LocalSource, _2019_09
+
+    meta_dir = os.path.join(_HERE, "ref_oracle", "json-schema-2019-09")
+    orig = _2019_09.LocalSource
+    _2019_09.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    try:
+        _2019_09.initialize(ref["catalog"])
+    except Exception:
+        pass  # already initialized on a rerun
+    finally:
+        _2019_09.LocalSource = orig
+    return ref
+
+
+@pytest.mark.parametrize("seed", LEGACY_SEEDS)
+def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
+    rng = random.Random(55_000 + seed)
+    schema = to_2019_09(gen_root_schema(rng))
+    schema["$schema"] = _META_1909
+    if rng.random() < 0.4:
+        # recursive extension: evaluating property "a" re-enters the
+        # root through $recursiveRef (legacy.py rewrites the pair to
+        # $dynamicAnchor/$dynamicRef on the Spark side)
+        schema["$recursiveAnchor"] = True
+        props = schema.setdefault("properties", {})
+        props["a"] = {"$recursiveRef": "#"}
+
+    JSON, JSONSchema = ref19["JSON"], ref19["JSONSchema"]
+    try:
+        compiled_ref = JSONSchema(
+            schema, catalog=ref19["catalog"], cacheid=f"fuzz1909-{seed}"
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated 2019-09 schema not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(schema, hints)
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts = [
+        bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid) for d in datas
+    ]
+    spark_verdicts = evaluate_batch(spark, schema, datas)
+
+    mismatches = [
+        f"  data={d!r}: reference={rv} spark={sv}"
+        for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts)
+        if sv is not None and sv != rv
+    ]
+    assert not mismatches, (
+        f"2019-09 fuzz seed {seed}: Spark engine disagrees with the reference "
+        f"on {len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
+        + "\n".join(mismatches)
+    )
