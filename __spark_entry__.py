@@ -526,19 +526,26 @@ _STOP_ES = "['el','la','los','las','de','y','es','que','un','una','por','para']"
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_annotations": """
+            -- a property-subschema annotation flows only when the
+            -- property is PRESENT (jschon has no Result node for an
+            -- unapplied subschema) — SQL NULL = absent in the typed model
             WITH valid_docs AS (
-              SELECT doc_id FROM documents
+              SELECT doc_id, text, lang, n_chars FROM documents
               WHERE (text IS NULL OR length(text) >= 20)
                 AND (lang IS NULL OR lang IN ('en','fr','de','es'))
                 AND (n_chars IS NULL OR n_chars >= 0)
             )
-            SELECT doc_id, instance_path, keyword_path, keyword, value_json
-            FROM valid_docs CROSS JOIN (VALUES
-              ('', '', 'title', '"document"'),
-              ('/text', '/properties/text', 'title', '"body"'),
-              ('/lang', '/properties/lang', 'deprecated', 'true'),
-              ('/n_chars', '/properties/n_chars', 'description', '"character count"')
-            ) AS a(instance_path, keyword_path, keyword, value_json)
+            SELECT doc_id, '' AS instance_path, '' AS keyword_path,
+                   'title' AS keyword, '"document"' AS value_json FROM valid_docs
+            UNION ALL
+            SELECT doc_id, '/text', '/properties/text', 'title', '"body"'
+              FROM valid_docs WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, '/lang', '/properties/lang', 'deprecated', 'true'
+              FROM valid_docs WHERE lang IS NOT NULL
+            UNION ALL
+            SELECT doc_id, '/n_chars', '/properties/n_chars', 'description', '"character count"'
+              FROM valid_docs WHERE n_chars IS NOT NULL
         """,
         "validate_orders_flag": f"""
             SELECT o_orderstatus,

@@ -76,6 +76,28 @@ class Ctx:
     # node's columns reference lambda variables and cannot be selected
     # at row scope (verbose tracing skips such subtrees)
     no_trace: bool = False
+    # Condition under which this schema node is actually APPLIED to the
+    # instance (None = unconditionally). Conditional applicators
+    # (then/else on the if outcome, properties on presence, prefixItems
+    # on index < length, dependentSchemas on trigger presence) AND
+    # their condition in via ``with_applied``; annotation collection
+    # uses it so annotations never flow from unapplied subschemas
+    # (mirrors the reference's Result tree, jschon/jsonschema.py:343+ —
+    # an unapplied subschema has no Result node at all)
+    applied: Optional[Column] = None
+    # True for the DIRECT subschema of a `not` keyword: the reference's
+    # NotKeyword evaluates that subschema into the `not` result node
+    # itself and then force-flips the outcome (applicator.py:77-86), so
+    # the result-TREE node at "/not" carries the NEGATED subschema
+    # validity. The output walks (errors descend through invalid nodes,
+    # annotations through valid ones) follow that flipped value; apply()
+    # consumes this flag for exactly one node and resets it for children
+    negate_result: bool = False
+
+    def with_applied(self, cond: Column) -> "Ctx":
+        return replace(
+            self, applied=cond if self.applied is None else (self.applied & cond)
+        )
 
     def child(self, col: Column, dtype: T.DataType, path: Column, spath_suffix: str) -> "Ctx":
         return replace(

@@ -57,6 +57,11 @@ class CompileError(Exception):
         self.violations = violations or []
 
 
+# rewrite_legacy marks tuple-derived `items` with this key so the
+# compiler can reproduce 2019-09 additionalItems discard semantics
+# (import deferred in legacy.py to avoid a cycle — keep in sync)
+_LEGACY_ADDITIONAL_ITEMS = "x-legacy-additionalItems"
+
 # Keyword evaluation order ≙ jschon's depends_on toposort
 # (jschon/jsonschema.py:168-185). Static order suffices because the
 # dependency graph is fixed in 2020-12.
@@ -506,6 +511,11 @@ class Compiler:
             uri = self._node_scope_uri(schema)
             if uri is not None and (not ctx.scope or ctx.scope[-1] != uri):
                 ctx = _replace(ctx, scope=ctx.scope + (uri,))
+        # the negate flag belongs to THIS node only (the direct child of
+        # a `not`); subschemas compiled below get ordinary result nodes
+        negate_result = ctx.negate_result
+        if negate_result:
+            ctx = _replace(ctx, negate_result=False)
         if schema is True or schema == {}:
             return Compiled.passed()
         if schema is False:
@@ -534,8 +544,35 @@ class Compiler:
             if kw not in ("if",):  # `if` never asserts (applicator.py:89-94)
                 parts.append(out)
         node = combine(parts)
+        # the validity this node carries in the reference's RESULT TREE:
+        # normally the subschema outcome, but the direct child of `not`
+        # carries the flipped outcome (NotKeyword evaluates into its own
+        # result node, applicator.py:77-86). The output walks run on
+        # result-tree validity: errors descend through invalid nodes,
+        # annotations through valid ones.
+        walk_valid = ~node.valid if negate_result else node.valid
+        if "if" in results:
+            # `if` never asserts, but the reference's output walk still
+            # reports a FAILED if-subtree's errors whenever every node
+            # on the ancestor chain is invalid (collect_errors descends
+            # only through invalid result nodes, jsonschema.py:526-536;
+            # verified live: {'if':{'minimum':3},'else':...} emits
+            # /if/minimum iff the containing node is invalid). Gating on
+            # ~walk_valid reproduces the chain rule, because parents
+            # only surface a child's viols when the walk reaches it.
+            iff = results["if"]
+            node = Compiled(
+                node.valid,
+                concat_viols(
+                    node.viols,
+                    F.when(~walk_valid & ~iff.valid, iff.viols).otherwise(
+                        empty_violations()
+                    ),
+                ),
+            )
         if self.trace is not None and not ctx.no_trace:
-            self.trace.setdefault(ctx.spath, (schema, ctx.path, node))
+            traced = Compiled(walk_valid, node.viols) if negate_result else node
+            self.trace.setdefault(ctx.spath, (schema, ctx.path, traced, ctx.applied))
         return node
 
     # -- validation keywords (jschon/vocabulary/validation.py) -------------
@@ -813,10 +850,10 @@ class Compiler:
         for name, sub in value.items():
             if is_struct and name not in ctx.dtype.fieldNames():
                 continue  # never present → subschema never applies
-            child_ctx = ctx.field(name)
+            present = self._has_prop(ctx, name)
+            child_ctx = ctx.field(name).with_applied(present)
             child_ctx = _replace(child_ctx, spath=ctx.spath + f"/properties/{escape_pointer(name)}")
             c = self.apply(sub, child_ctx)
-            present = self._has_prop(ctx, name)
             parts.append(
                 Compiled(
                     F.when(present, c.valid).otherwise(F.lit(True)),
@@ -853,10 +890,10 @@ class Compiler:
                 for f in ctx.dtype.fields:
                     if not self._name_search(regex, f.name):
                         continue
-                    child_ctx = ctx.field(f.name)
+                    present = self._has_prop(ctx, f.name)
+                    child_ctx = ctx.field(f.name).with_applied(present)
                     child_ctx = _replace(child_ctx, spath=ctx.spath + f"/patternProperties/{escape_pointer(regex)}")
                     c = self.apply(sub, child_ctx)
-                    present = self._has_prop(ctx, f.name)
                     parts.append(
                         Compiled(
                             F.when(present, c.valid).otherwise(F.lit(True)),
@@ -942,10 +979,10 @@ class Compiler:
                     continue
                 if any(self._name_search(p, f.name) for p in patterns):
                     continue
-                child_ctx = ctx.field(f.name)
+                present = self._has_prop(ctx, f.name)
+                child_ctx = ctx.field(f.name).with_applied(present)
                 child_ctx = _replace(child_ctx, spath=ctx.spath + "/additionalProperties")
                 c = self.apply(value, child_ctx)
-                present = self._has_prop(ctx, f.name)
                 parts.append(
                     Compiled(
                         F.when(present, c.valid).otherwise(F.lit(True)),
@@ -1008,14 +1045,14 @@ class Compiler:
         parts = []
         for i, sub in enumerate(value):
             el = F.get(ctx.col, i)  # null-safe 0-based access
+            applies = ctx.col.isNotNull() & (F.size(ctx.col) > i)
             cctx = ctx.child(
                 el,
                 ctx.dtype.elementType,
                 F.concat(ctx.path, F.lit(f"/{i}")),
                 f"/prefixItems/{i}",
-            )
+            ).with_applied(applies)
             c = self.apply(sub, cctx)
-            applies = ctx.col.isNotNull() & (F.size(ctx.col) > i)
             parts.append(
                 Compiled(
                     F.when(applies, c.valid).otherwise(F.lit(True)),
@@ -1067,6 +1104,11 @@ class Compiler:
         start = len(schema.get("prefixItems") or [])
         valid, viols = self._per_element(ctx, value, "/items", start=start)
         applies = ctx.col.isNotNull()
+        if schema.get(_LEGACY_ADDITIONAL_ITEMS) and "prefixItems" in results:
+            # rewritten 2019-09 additionalItems: discarded entirely when
+            # the tuple items failed (the items annotation it depends on
+            # is only set on success — reference legacy.py:76-85, 88-94)
+            applies = applies & results["prefixItems"].valid
         return Compiled(
             F.when(applies, valid).otherwise(F.lit(True)),
             F.when(applies, viols).otherwise(empty_violations()),
@@ -1154,11 +1196,23 @@ class Compiler:
         return Compiled(valid, viols)
 
     def _k_not(self, value, schema, ctx: Ctx, results) -> Compiled:
-        nctx = _replace(ctx, spath=ctx.spath + "/not", depth=ctx.depth + 1)
+        # negate_result: the subschema evaluates into the `not` result
+        # node itself in the reference (applicator.py:77-86), so output
+        # walks see the flipped validity at "/not"
+        nctx = _replace(
+            ctx, spath=ctx.spath + "/not", depth=ctx.depth + 1, negate_result=True
+        )
         c = self.apply(value, nctx)
         valid = ~c.valid
+        # on failure (subschema PASSED), the walk descends into the
+        # subschema's keyword results — which are all valid except
+        # noassert `if` subtrees, whose viols c.viols then carries
         viols = F.when(
-            ~valid, F.array(make_violation(ctx, "not", "the instance must not validate against the subschema"))
+            ~valid,
+            concat_viols(
+                F.array(make_violation(ctx, "not", "the instance must not validate against the subschema")),
+                c.viols,
+            ),
         ).otherwise(empty_violations())
         return Compiled(valid, viols)
 
@@ -1170,7 +1224,7 @@ class Compiler:
         if "if" not in results:
             return None
         cond = results["if"].valid
-        tctx = _replace(ctx, spath=ctx.spath + "/then", depth=ctx.depth + 1)
+        tctx = _replace(ctx, spath=ctx.spath + "/then", depth=ctx.depth + 1).with_applied(cond)
         c = self.apply(value, tctx)
         return Compiled(
             F.when(cond, c.valid).otherwise(F.lit(True)),
@@ -1181,7 +1235,7 @@ class Compiler:
         if "if" not in results:
             return None
         cond = results["if"].valid
-        ectx = _replace(ctx, spath=ctx.spath + "/else", depth=ctx.depth + 1)
+        ectx = _replace(ctx, spath=ctx.spath + "/else", depth=ctx.depth + 1).with_applied(~cond)
         c = self.apply(value, ectx)
         return Compiled(
             F.when(~cond, c.valid).otherwise(F.lit(True)),
@@ -1196,7 +1250,9 @@ class Compiler:
             if isinstance(ctx.dtype, T.StructType) and name not in ctx.dtype.fieldNames():
                 continue
             present = self._has_prop(ctx, name)
-            dctx = _replace(ctx, spath=ctx.spath + f"/dependentSchemas/{escape_pointer(name)}", depth=ctx.depth + 1)
+            dctx = _replace(
+                ctx, spath=ctx.spath + f"/dependentSchemas/{escape_pointer(name)}", depth=ctx.depth + 1
+            ).with_applied(present)
             c = self.apply(sub, dctx)
             parts.append(
                 Compiled(
@@ -1351,7 +1407,15 @@ class Compiler:
             for refkw in ("$ref", "$dynamicRef"):
                 if refkw in schema:
                     target = self._resolve_source_ref(refkw, schema[refkw], scope)
-                    out.extend(self._coverage_sources(target, scope, _seen, _guards))
+                    # the reference evaluates the target into the /$ref
+                    # result node, so the target's annotations are
+                    # pruned when the TARGET fails (collect_annotations
+                    # walks only valid nodes) — guard on it
+                    out.extend(
+                        self._coverage_sources(
+                            target, scope, _seen, _guards + ((target, False),)
+                        )
+                    )
         finally:
             _seen.discard(id(schema))
         return out
@@ -1397,6 +1461,22 @@ class Compiler:
             cond = cond & (~g if negate else g)
         return cond
 
+    def _kw_valid(self, kw: str, src: dict, ctx: Ctx) -> Column:
+        """Validity of source-keyword ``kw`` as applied at ``ctx`` —
+        the result-tree node whose annotation unevaluated* coverage
+        consumes. collect_annotations prunes INVALID nodes
+        (jsonschema.py:515-524), so a failed prefixItems/items/
+        properties application contributes NO coverage even though its
+        subschemas ran. Only needed for the SELF source: for branch /
+        ref sources the (subschema, False) guard already implies every
+        asserting keyword in it passed."""
+        handler = getattr(self, "_k_" + kw)
+        gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
+        out = handler(src[kw], src, gctx, {})
+        if out is None:
+            return F.lit(True)
+        return F.coalesce(out.valid, F.lit(True))
+
     def _k_unevaluatedProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.StructType):
             if isinstance(ctx.dtype, T.MapType):
@@ -1424,26 +1504,42 @@ class Compiler:
         additionalProperties covering the rest), so coverage is a
         per-entry Column gated on the source's runtime guard — the map
         analogue of applicator.py:333-365."""
-        sources: list[tuple[Column, list[str], list[str], bool]] = []
+        # (cond, mode, names, pats): one entry per contributing KEYWORD,
+        # each gated on that keyword's own application validity for the
+        # self source (collect_annotations prunes invalid nodes) —
+        # 'additional' covers the complement of the SOURCE's names+pats
+        sources: list[tuple[Column, str, list[str], list[str]]] = []
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
+            self_src = src is schema
+            cond = self._guard_cond(ctx, guards)
+
+            def _kwv(kw: str, base=cond, s=src, own=self_src) -> Column:
+                return base & self._kw_valid(kw, s, ctx) if own else base
+
             names = list((src.get("properties") or {}).keys())
             pats = list((src.get("patternProperties") or {}).keys())
-            # additionalProperties evaluates every key the other two
-            # don't, so together the source covers ALL keys
-            covers_all = "additionalProperties" in src or (
-                "unevaluatedProperties" in src and src is not schema
-            )
-            if not names and not pats and not covers_all:
-                continue
-            sources.append((self._guard_cond(ctx, guards), names, pats, covers_all))
+            if names:
+                sources.append((_kwv("properties"), "names", names, []))
+            if pats:
+                sources.append((_kwv("patternProperties"), "pats", [], pats))
+            if "additionalProperties" in src:
+                sources.append((_kwv("additionalProperties"), "additional", names, pats))
+            if "unevaluatedProperties" in src and src is not schema:
+                sources.append((cond, "all", [], []))
 
         def covered_key(k: Column) -> Column:
             cov = F.lit(False)
-            for cond, names, pats, covers_all in sources:
-                if covers_all:
+            for cond, mode, names, pats in sources:
+                if mode == "all":
                     here: Column = F.lit(True)
+                elif mode == "additional":
+                    here = F.lit(True)
+                    if names:
+                        here = here & ~k.isin(*names)
+                    for p in pats:
+                        here = here & ~k.rlike(p)
                 else:
                     here = F.lit(False)
                     if names:
@@ -1494,23 +1590,32 @@ class Compiler:
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
-            static_cover = False
-            if name in (src.get("properties") or {}):
-                static_cover = True
-            if not static_cover and any(
+            self_src = src is schema
+
+            def _kwv(kw: str) -> Column:
+                # keyword-node validity gates coverage only for the
+                # self source; branch/ref guards subsume it elsewhere
+                return self._kw_valid(kw, src, ctx) if self_src else F.lit(True)
+
+            terms: list[Column] = []
+            in_props = name in (src.get("properties") or {})
+            if in_props:
+                terms.append(_kwv("properties"))
+            pat_hit = any(
                 self._name_search(p, name) for p in (src.get("patternProperties") or {})
-            ):
-                static_cover = True
-            if not static_cover and "additionalProperties" in src:
-                known = set((src.get("properties") or {}).keys())
-                pats = list((src.get("patternProperties") or {}).keys())
-                if name not in known and not any(self._name_search(p, name) for p in pats):
-                    static_cover = True
-            if not static_cover and "unevaluatedProperties" in src and src is not schema:
-                static_cover = True
-            if not static_cover:
+            )
+            if pat_hit:
+                terms.append(_kwv("patternProperties"))
+            if "additionalProperties" in src and not in_props and not pat_hit:
+                terms.append(_kwv("additionalProperties"))
+            if "unevaluatedProperties" in src and src is not schema:
+                terms.append(F.lit(True))
+            if not terms:
                 continue
-            covered = covered | self._guard_cond(ctx, guards)
+            term = terms[0]
+            for t in terms[1:]:
+                term = term | t
+            covered = covered | (self._guard_cond(ctx, guards) & term)
         return covered
 
     def _k_unevaluatedItems(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1523,20 +1628,36 @@ class Compiler:
         if not isinstance(ctx.dtype, T.ArrayType):
             return None
         all_covered = F.lit(False)  # whole-array coverage, hoisted out of the HOF
-        partial: list[tuple[Column, int, Any]] = []  # (guard_cond, n_prefix, contains_sub)
+        partial: list[tuple[Column, int, Any]] = []  # (cond, n_prefix, contains_sub)
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
-            covers_all = "items" in src or ("unevaluatedItems" in src and src is not schema)
+            self_src = src is schema
             n_prefix = len(src.get("prefixItems") or [])
+            has_items = "items" in src
+            nested_unev = "unevaluatedItems" in src and src is not schema
             contains_sub = src["contains"] if "contains" in src else None
-            if not covers_all and n_prefix == 0 and contains_sub is None:
+            if not has_items and not nested_unev and n_prefix == 0 and contains_sub is None:
                 continue
             cond = self._guard_cond(ctx, guards)
-            if covers_all:
+            # each keyword's annotation is pruned independently when
+            # that keyword's own application failed (self source only —
+            # branch guards already imply keyword success)
+            if has_items:
+                c = cond & self._kw_valid("items", src, ctx) if self_src else cond
+                if self_src and src.get(_LEGACY_ADDITIONAL_ITEMS) and n_prefix > 0:
+                    # rewritten 2019-09 additionalItems: discarded (no
+                    # annotation → no coverage) when the tuple failed
+                    c = c & self._kw_valid("prefixItems", src, ctx)
+                all_covered = all_covered | c
+            if nested_unev:
                 all_covered = all_covered | cond
-            else:
-                partial.append((cond, n_prefix, contains_sub))
+            if n_prefix > 0:
+                c = cond & self._kw_valid("prefixItems", src, ctx) if self_src else cond
+                partial.append((c, n_prefix, None))
+            if contains_sub is not None:
+                c = cond & self._kw_valid("contains", src, ctx) if self_src else cond
+                partial.append((c, 0, contains_sub))
 
         def skip_fn(x: Column, i: Column) -> Column:
             cov = F.lit(False)

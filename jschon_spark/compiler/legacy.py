@@ -27,6 +27,11 @@ from typing import Any
 
 _RECURSIVE_NAME = "__recursive__"
 
+# marker the compiler uses to apply 2019-09 additionalItems discard
+# semantics to a rewritten `items` keyword (unknown keyword → plain
+# annotation everywhere else, so it is inert in the 2020-12 pipeline)
+_ADDITIONAL_ITEMS_MARKER = "x-legacy-additionalItems"
+
 _SUB = {
     "additionalProperties",
     "contains",
@@ -67,6 +72,15 @@ def rewrite_legacy(schema: Any) -> Any:
         elif k == "additionalItems":
             if isinstance(schema.get("items"), list):
                 out["items"] = rewrite_legacy(v)
+                # 2019-09 additionalItems is DISCARDED (no assertion, no
+                # annotation) when the tuple `items` fails — the items
+                # annotation it depends on is only set on success
+                # (reference legacy.py:76-85 annotate-on-else,
+                # legacy.py:93-94/109-110 `type(items.annotation) is int`
+                # else discard). 2020-12 `items` applies unconditionally,
+                # so mark the rewritten keyword for the compiler to gate
+                # on prefixItems validity (core.py _k_items).
+                out[_ADDITIONAL_ITEMS_MARKER] = True
             # else: additionalItems is ignored without tuple items
             # (reference legacy.py:113-121)
         elif k == "dependencies" and isinstance(v, dict):

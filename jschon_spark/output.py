@@ -193,7 +193,7 @@ def verbose_output(
 
     entries = sorted(comp.trace.items())  # (spath, (schema_node, path, compiled))
     sel_cols = list(id_cols or []) + [root_col.alias("__instance")]
-    for i, (_, (_, path_col, compiled)) in enumerate(entries):
+    for i, (_, (_, path_col, compiled, *_x)) in enumerate(entries):
         sel_cols.append(compiled.valid.alias(f"__v{i}"))
         sel_cols.append(path_col.alias(f"__p{i}"))
     rows = df.select(*sel_cols).limit(max_rows).collect()
@@ -203,13 +203,15 @@ def verbose_output(
     for r in rows:
         index: dict[str, dict] = {}
         roots: list[dict] = []
-        for i, (spath, (node_schema, _, _)) in enumerate(entries):
+        for i, (spath, (node_schema, *_x)) in enumerate(entries):
             node: dict = {
                 "valid": bool(r[f"__v{i}"]),
                 "keywordLocation": spath or "",
                 "instanceLocation": r[f"__p{i}"] or "",
             }
-            if isinstance(node_schema, dict):
+            if isinstance(node_schema, dict) and node["valid"]:
+                # verbose units carry annotations only on VALID nodes
+                # (invalid ones carry errors — ref output.py verbose)
                 ann = {k: node_schema[k] for k in _ANNOTATION_KEYS if k in node_schema}
                 if ann:
                     node["annotations"] = ann
@@ -311,7 +313,7 @@ def _expand_array_subtrees(
         finally:
             comp.trace = saved
         sel = [F.col("idx")]
-        for j, (_, (_, pc, cc)) in enumerate(sub_entries):
+        for j, (_, (_, pc, cc, *_x)) in enumerate(sub_entries):
             sel.append(cc.valid.alias(f"__v{j}"))
             sel.append(pc.alias(f"__p{j}"))
         got = edf.select(*sel).collect()
@@ -319,13 +321,13 @@ def _expand_array_subtrees(
         for er in sorted(got, key=lambda x: x["idx"]):
             sub_index: dict[str, dict] = {}
             sub_roots: list[dict] = []
-            for j, (sp, (ns, _, _)) in enumerate(sub_entries):
+            for j, (sp, (ns, *_x)) in enumerate(sub_entries):
                 child = {
                     "valid": bool(er[f"__v{j}"]),
                     "keywordLocation": sp,
                     "instanceLocation": er[f"__p{j}"] or "",
                 }
-                if isinstance(ns, dict):
+                if isinstance(ns, dict) and child["valid"]:
                     ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
                     if ann:
                         child["annotations"] = ann
@@ -358,6 +360,64 @@ def _expand_array_subtrees(
         )
     if expanded:
         node.setdefault("results", []).extend(expanded)
+
+
+def annotation_array(trace) -> "F.Column":
+    """array<struct<instance_path,keyword_path,keyword,value_json>> of
+    the annotation units a traced compilation contributes for one
+    document. jschon collects annotations by walking the Result tree
+    (jsonschema.py:515-524), which (a) has no node at all for UNAPPLIED
+    subschemas (a `then` whose `if` failed, an absent property, a
+    prefixItems index beyond the array length), and (b) prunes at
+    INVALID nodes — a valid node buried under a failed anyOf branch
+    contributes nothing. Reproduce both: the compile-time ctx.applied
+    condition covers (a); the ancestor-chain validity conjunction
+    covers (b)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    units = []
+    entries = sorted(trace.items())
+    for spath, (node_schema, path_col, compiled, applied) in entries:
+        if not isinstance(node_schema, dict):
+            continue
+        gate = compiled.valid
+        if applied is not None:
+            gate = gate & applied
+        for p, pv in entries:
+            if (
+                p != spath
+                and spath.startswith(p)
+                and (p == "" or spath[len(p)] == "/")
+            ):
+                gate = gate & pv[2].valid
+        for k in _ANNOTATION_KEYS:
+            if k in node_schema:
+                units.append(
+                    F.when(
+                        gate,
+                        F.struct(
+                            F.coalesce(path_col, F.lit("")).alias("instance_path"),
+                            F.lit(spath).alias("keyword_path"),
+                            F.lit(k).alias("keyword"),
+                            F.lit(_json.dumps(node_schema[k])).alias("value_json"),
+                        ),
+                    )
+                )
+    if not units:
+        empty = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("instance_path", T.StringType()),
+                    T.StructField("keyword_path", T.StringType()),
+                    T.StructField("keyword", T.StringType()),
+                    T.StructField("value_json", T.StringType()),
+                ]
+            )
+        )
+        return F.lit(None).cast(empty)
+    return F.filter(F.array(*units), lambda u: u.isNotNull())
 
 
 def annotation_output(
@@ -393,38 +453,8 @@ def annotation_output(
     root_col = F.struct(*[F.col(c).alias(c) for c in cols])
     root = comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
 
-    units = []
-    for spath, (node_schema, path_col, compiled) in sorted(comp.trace.items()):
-        if not isinstance(node_schema, dict):
-            continue
-        for k in _ANNOTATION_KEYS:
-            if k in node_schema:
-                units.append(
-                    F.when(
-                        compiled.valid,
-                        F.struct(
-                            F.coalesce(path_col, F.lit("")).alias("instance_path"),
-                            F.lit(spath).alias("keyword_path"),
-                            F.lit(k).alias("keyword"),
-                            F.lit(_json.dumps(node_schema[k])).alias("value_json"),
-                        ),
-                    )
-                )
+    arr = annotation_array(comp.trace)
     ident = [F.col(c) for c in (id_cols or [])]
-    if not units:
-        empty = T.ArrayType(
-            T.StructType(
-                [
-                    T.StructField("instance_path", T.StringType()),
-                    T.StructField("keyword_path", T.StringType()),
-                    T.StructField("keyword", T.StringType()),
-                    T.StructField("value_json", T.StringType()),
-                ]
-            )
-        )
-        arr = F.lit(None).cast(empty)
-    else:
-        arr = F.filter(F.array(*units), lambda u: u.isNotNull())
     out = df.where(root.valid).select(*ident, F.explode(arr).alias("a"))
     return out.select(
         *(id_cols or []),
@@ -480,7 +510,7 @@ def _expand_map_subtrees(
         finally:
             comp.trace = saved
         sel = [F.col("k")]
-        for j, (_, (_, pc, cc)) in enumerate(sub_entries):
+        for j, (_, (_, pc, cc, *_x)) in enumerate(sub_entries):
             sel.append(cc.valid.alias(f"__v{j}"))
             sel.append(pc.alias(f"__p{j}"))
         got = edf.select(*sel).collect()
@@ -488,13 +518,13 @@ def _expand_map_subtrees(
         for er in sorted(got, key=lambda x: x["k"]):
             sub_index: dict[str, dict] = {}
             sub_roots: list[dict] = []
-            for j, (sp, (ns, _, _)) in enumerate(sub_entries):
+            for j, (sp, (ns, *_x)) in enumerate(sub_entries):
                 child = {
                     "valid": bool(er[f"__v{j}"]),
                     "keywordLocation": sp,
                     "instanceLocation": er[f"__p{j}"] or "",
                 }
-                if isinstance(ns, dict):
+                if isinstance(ns, dict) and child["valid"]:
                     ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
                     if ann:
                         child["annotations"] = ann

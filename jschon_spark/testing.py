@@ -179,12 +179,19 @@ def _unify_batch(a: T.DataType, b: T.DataType) -> T.DataType:
 
 
 def evaluate_batch(
-    spark: SparkSession, schema: Any, datas: list, assert_formats: bool = False
+    spark: SparkSession,
+    schema: Any,
+    datas: list,
+    assert_formats: bool = False,
+    with_violations: bool = False,
+    with_annotations: bool = False,
 ) -> list:
     """Evaluate MANY instances against ONE schema with as few Spark
     jobs as possible. Returns a list aligned with ``datas``: True /
-    False, or None where the instance is Untypeable (documented typed-
-    column delta, SURVEY.md §2.9.1).
+    False (or, with ``with_violations``, a ``(valid, violation_rows)``
+    tuple — plus an annotation-unit row list as a third member when
+    ``with_annotations``), or None where the instance is Untypeable
+    (documented typed-column delta, SURVEY.md §2.9.1).
 
     Instances are greedily grouped into unified Spark types via
     ``_unify_batch`` (presence-preserving), one DataFrame + one collect
@@ -230,20 +237,52 @@ def evaluate_batch(
         if not placed:
             groups.append([dt, [(i, data)]])
 
+    def _outcome(row) -> object:
+        if with_violations and with_annotations:
+            return (bool(row["v"]), list(row["viols"]), list(row["anns"] or []))
+        if with_violations:
+            return (bool(row["v"]), list(row["viols"]))
+        return bool(row["v"])
+
+    def _ann_col(dtype, col):
+        # annotation units need a TRACED compilation (one per group
+        # dtype); reuse the already-built Compiler with a scratch trace
+        from jschon_spark.output import annotation_array
+
+        comp = compiled.compiler
+        saved = comp.trace
+        comp.trace = {}
+        try:
+            root = comp.apply(
+                compiled.schema, Ctx(col=col, dtype=dtype, path=F.lit(""), spath="")
+            )
+            arr = annotation_array(comp.trace)
+        finally:
+            comp.trace = saved
+        # jschon drops every annotation of a failed evaluation
+        return F.when(root.valid, arr)
+
+    def _select(df, c, dtype, col):
+        cols = [c.valid.alias("v")]
+        if with_violations:
+            cols.append(c.viols.alias("viols"))
+        if with_annotations:
+            cols.append(_ann_col(dtype, col).alias("anns"))
+        return df.select(*(["id"] if "id" in df.columns else []), *cols)
+
     if null_group:
         dtype = T.StructType([T.StructField("value", T.NullType(), True)])
         df = spark.createDataFrame([Row(value=None)], dtype)
         c = compiled.columns(T.NullType(), F.col("value"))
-        out = bool(df.select(c.valid.alias("v")).collect()[0]["v"])
+        out = _outcome(_select(df, c, T.NullType(), F.col("value")).collect()[0])
         for i in null_group:
             results[i] = out
 
     for dtype, members in groups:
-        rows, idxs, spill = [], [], []
+        rows, spill = [], []
         for i, data in members:
             try:
                 rows.append(Row(id=i, value=_to_row(data, dtype)))
-                idxs.append(i)
             except Untypeable:
                 spill.append((i, data))
         if rows:
@@ -257,8 +296,8 @@ def evaluate_batch(
                 ),
             )
             c = compiled.columns(dtype, F.col("value"))
-            for r in df.select("id", c.valid.alias("v")).collect():
-                results[r["id"]] = bool(r["v"])
+            for r in _select(df, c, dtype, F.col("value")).collect():
+                results[r["id"]] = _outcome(r)
         for i, data in spill:
             # guard tripped under the unified dtype — evaluate solo
             dt = infer_spark_type(data)
@@ -267,7 +306,7 @@ def evaluate_batch(
                 T.StructType([T.StructField("value", dt, True)]),
             )
             c = compiled.columns(dt, F.col("value"))
-            results[i] = bool(df.select(c.valid.alias("v")).collect()[0]["v"])
+            results[i] = _outcome(_select(df, c, dt, F.col("value")).collect()[0])
     return results
 
 

@@ -20,6 +20,17 @@ above. Instances are biased toward schema-derived hint values
 (bounds ± 1, enum members, property names) so the valid/invalid
 boundary is exercised, not just the trivially-invalid bulk.
 
+Beyond the valid/invalid verdict, every comparison also checks OUTPUT
+parity against the reference's `basic` format:
+
+- invalid instances: the set of (instanceLocation, leaf keyword)
+  violation locations must match exactly (applicator summaries and
+  per-element contains detail excluded — documented granularity
+  deltas);
+- valid instances: the set of (instanceLocation, keyword, value)
+  annotation units must match exactly (dynamic/aliased positions
+  excluded — see _ANNOT_EXCLUDE_SEGS).
+
 Instances with no single Spark type (heterogeneous arrays etc.) are
 skipped on the Spark side only — the documented typed-column delta
 (SURVEY.md §2.9.1); the skip rate is asserted bounded so the fuzz
@@ -29,6 +40,7 @@ can't silently degrade into skipping everything.
 from __future__ import annotations
 
 import copy
+import json
 import os
 import random
 import sys
@@ -229,10 +241,28 @@ def _f_ref(s, rng, depth, defs):
         _f_combinator(s, rng, depth, defs)
 
 
+def _f_annotation(s, rng, depth, defs):
+    # pair an annotation with something assertive so the node isn't
+    # a no-op; annotation parity is checked on VALID instances
+    kw, val = rng.choice(
+        [
+            ("title", rng.choice(["T1", "T2", "a title"])),
+            ("description", "desc"),
+            ("default", _scalar(rng)),
+            ("deprecated", True),
+            ("readOnly", rng.choice([True, False])),
+            ("examples", [_scalar(rng), _scalar(rng)]),
+        ]
+    )
+    s[kw] = val
+    _FACETS[rng.randrange(len(_FACETS) - 1)](s, rng, depth, defs)
+
+
 _FACETS = [
     _f_type, _f_const_enum, _f_numeric, _f_string, _f_object, _f_object,
     _f_array, _f_array, _f_combinator, _f_combinator, _f_not, _f_conditional,
     _f_unevaluated, _f_unevaluated, _f_ref,
+    _f_annotation,  # keep last: _f_annotation recurses into the others
 ]
 
 
@@ -399,6 +429,115 @@ def gen_instance(rng: random.Random, depth: int, hints) -> object:
     return {k: gen_instance(rng, depth - 1, hints) for k in chosen}
 
 
+# ----------------------------------------------- violation-location parity
+
+# Leaf assertion keywords whose error rows are directly comparable
+# between the engines. Applicator summaries ("/properties", "/anyOf",
+# "/not", boolean-false schema positions…) differ in which get emitted
+# and are excluded; so are unevaluated* (the reference emits ONE
+# object-level summary, we emit one row per offending member — a
+# documented, strictly finer granularity).
+_LEAF_KEYWORDS = {
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "maxItems", "minItems", "uniqueItems", "maxContains", "minContains",
+    "maxProperties", "minProperties", "required", "dependentRequired",
+}
+
+
+def _ref_leaf_set(errors) -> set:
+    out = set()
+    for e in errors:
+        toks = e["keywordLocation"].split("/")
+        # per-element detail under `contains` is reference-only (we
+        # summarize the match count — SURVEY.md §2.9.1)
+        if "contains" in toks[:-1]:
+            continue
+        if toks[-1] in _LEAF_KEYWORDS:
+            out.add((e["instanceLocation"], toks[-1]))
+    return out
+
+
+def _spark_leaf_set(viols) -> set:
+    out = set()
+    for r in viols:
+        toks = r["keyword_path"].split("/")
+        if "contains" in toks[:-1]:
+            continue
+        if toks[-1] in _LEAF_KEYWORDS:
+            out.add((r["instance_path"], toks[-1]))
+    return out
+
+
+# Annotation units comparable 1:1. Excluded dynamic/aliased positions:
+# per-element HOF subtrees aren't traced (items/contains/unevaluated*),
+# multiple struct fields share one trace spath (patternProperties /
+# additionalProperties / propertyNames), and $ref'd subtrees are traced
+# once statically while the reference reports one unit per dynamic
+# path ($ref / $defs / $dynamicRef / $recursiveRef segments).
+_ANNOT_KEYWORDS = {
+    "title", "description", "default", "deprecated", "readOnly",
+    "writeOnly", "examples",
+}
+_ANNOT_EXCLUDE_SEGS = {
+    "items", "contains", "unevaluatedItems", "unevaluatedProperties",
+    "patternProperties", "additionalProperties", "propertyNames",
+    "$ref", "$defs", "$dynamicRef", "$recursiveRef",
+}
+
+
+def _ref_annot_set(annots) -> set:
+    out = set()
+    for a in annots:
+        toks = a["keywordLocation"].split("/")
+        if set(toks[:-1]) & _ANNOT_EXCLUDE_SEGS:
+            continue
+        if toks[-1] in _ANNOT_KEYWORDS:
+            out.add((a["instanceLocation"], toks[-1], json.dumps(a.get("annotation"))))
+    return out
+
+
+def _spark_annot_set(anns) -> set:
+    out = set()
+    for r in anns:
+        toks = (r["keyword_path"] + "/" + r["keyword"]).split("/")
+        if set(toks[:-1]) & _ANNOT_EXCLUDE_SEGS:
+            continue
+        if toks[-1] in _ANNOT_KEYWORDS:
+            out.add((r["instance_path"], r["keyword"], r["value_json"]))
+    return out
+
+
+def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label):
+    """Shared verdict + leaf-violation-location + annotation-unit
+    comparison. ``ref_outputs`` holds each instance's basic-output
+    errors (invalid) or annotations (valid)."""
+    mismatches, skipped = [], 0
+    for d, rv, re_, sr in zip(datas, ref_verdicts, ref_outputs, spark_results):
+        if sr is None:
+            skipped += 1
+            continue
+        sv, sviols, sanns = sr
+        if sv != rv:
+            mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
+            continue
+        if not sv:
+            want, got = _ref_leaf_set(re_), _spark_leaf_set(sviols)
+            if want != got:
+                mismatches.append(
+                    f"  data={d!r}: leaf violation locations differ\n"
+                    f"    reference={sorted(want)}\n    spark    ={sorted(got)}"
+                )
+        else:
+            want, got = _ref_annot_set(re_), _spark_annot_set(sanns)
+            if want != got:
+                mismatches.append(
+                    f"  data={d!r}: annotation units differ\n"
+                    f"    reference={sorted(want)}\n    spark    ={sorted(got)}"
+                )
+    return mismatches, skipped
+
+
 # ---------------------------------------------------------------- the fuzz
 
 SEEDS = list(range(32))
@@ -424,20 +563,22 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
     collect_hints(schema, hints)
     datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
 
-    ref_verdicts = []
+    ref_verdicts, ref_outputs = [], []
     for d in datas:
-        ref_verdicts.append(bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid))
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
 
-    spark_verdicts = evaluate_batch(spark, schema, datas)
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True
+    )
 
-    mismatches = []
-    skipped = 0
-    for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts):
-        if sv is None:
-            skipped += 1
-            continue
-        if sv != rv:
-            mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"seed {seed}"
+    )
     assert not mismatches, (
         f"seed {seed}: Spark engine disagrees with the reference on "
         f"{len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
@@ -477,16 +618,21 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
     collect_hints(schema, hints)
     datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
 
-    ref_verdicts = [
-        bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid) for d in datas
-    ]
-    spark_verdicts = evaluate_batch(spark, schema, datas)
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True
+    )
 
-    mismatches = [
-        f"  data={d!r}: reference={rv} spark={sv}"
-        for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts)
-        if sv is not None and sv != rv
-    ]
+    mismatches, _ = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"ref-fuzz {seed}"
+    )
     assert not mismatches, (
         f"ref-fuzz seed {seed}: Spark engine disagrees with the reference on "
         f"{len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
@@ -544,16 +690,21 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
     collect_hints(schema, hints)
     datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
 
-    ref_verdicts = [
-        bool(compiled_ref.evaluate(JSON(copy.deepcopy(d))).valid) for d in datas
-    ]
-    spark_verdicts = evaluate_batch(spark, schema, datas)
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True
+    )
 
-    mismatches = [
-        f"  data={d!r}: reference={rv} spark={sv}"
-        for d, rv, sv in zip(datas, ref_verdicts, spark_verdicts)
-        if sv is not None and sv != rv
-    ]
+    mismatches, _ = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"2019-09 fuzz {seed}"
+    )
     assert not mismatches, (
         f"2019-09 fuzz seed {seed}: Spark engine disagrees with the reference "
         f"on {len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"

@@ -390,3 +390,29 @@ def test_suite_case_legacy(spark, schema, data, valid, assert_formats):
         check_case(spark, schema, data, valid, assert_formats=assert_formats)
     except Untypeable as e:
         pytest.skip(f"no single Spark type for instance (typed-column delta): {e}")
+
+
+def test_2019_09_additionalItems_discarded_when_tuple_items_fails(spark):
+    """2019-09 additionalItems depends on the items ANNOTATION, which is
+    only set when every tuple index passes (reference legacy.py:76-85);
+    on tuple failure additionalItems is discarded — no assertion and no
+    error rows — while 2020-12 `items` would apply unconditionally.
+    Found by the differential fuzzer (seed 55010)."""
+    from jschon_spark.testing import evaluate_instance
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "items": [{"minLength": 2}],
+        "additionalItems": {"minLength": 4},
+    }
+    # tuple fails on index 0 → additionalItems discarded: no /1 rows
+    valid, viols = evaluate_instance(spark, schema, ["", "x"])
+    assert not valid
+    assert [(v.instance_path, v.keyword) for v in viols] == [("/0", "minLength")]
+    # tuple passes → additionalItems applies and fails on /1
+    valid, viols = evaluate_instance(spark, schema, ["ok", "x"])
+    assert not valid
+    assert [(v.instance_path, v.keyword) for v in viols] == [("/1", "minLength")]
+    # both pass
+    valid, viols = evaluate_instance(spark, schema, ["ok", "long enough"])
+    assert valid and viols == []
