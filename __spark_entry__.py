@@ -473,6 +473,23 @@ def q_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution drift as ONE distributed plan (PSI + two-sample KS
+    # between the click and view event populations' `value` columns) —
+    # the SQL-oracle-checkable sibling of the pipeline's drift_check
+    # (≙ SURVEY §2.10 drift; each side reduces to <=20 bin-count rows
+    # before any cross-side math)
+    from jschon_spark.operators.table_checks import drift_statistics
+
+    ev = _t(spark, sf_dir, "events")
+    return drift_statistics(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+        bin_width=25.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -509,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_doc_words_array": q_validate_doc_words_array,
         "events_props_schema_valid": q_events_props_schema_valid,
         "doc_annotations": q_doc_annotations,
+        "events_value_drift": q_events_value_drift,
     }
 
 
@@ -525,6 +543,29 @@ _STOP_ES = "['el','la','los','las','de','y','es','que','un','una','por','para']"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_value_drift": """
+            WITH cur AS (
+              SELECT floor(value/25.0) AS bin, count(*)::DOUBLE AS n
+              FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+            ), curs AS (SELECT bin, n / (SELECT sum(n) FROM cur) AS p FROM cur),
+            base AS (
+              SELECT floor(value/25.0) AS bin, count(*)::DOUBLE AS n
+              FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+            ), bases AS (SELECT bin, n / (SELECT sum(n) FROM base) AS q FROM base),
+            j AS (
+              SELECT coalesce(curs.bin, bases.bin) AS bin,
+                     coalesce(p, 0.0) AS p, coalesce(q, 0.0) AS q
+              FROM curs FULL OUTER JOIN bases ON curs.bin = bases.bin
+            ), t AS (
+              SELECT
+                (greatest(p, 1e-6) - greatest(q, 1e-6))
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psi_term,
+                abs(sum(p) OVER w - sum(q) OVER w) AS ecdf_gap
+              FROM j
+              WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT round(sum(psi_term), 6) AS psi, round(max(ecdf_gap), 6) AS ks FROM t
+        """,
         "doc_annotations": """
             -- a property-subschema annotation flows only when the
             -- property is PRESENT (jschon has no Result node for an

@@ -99,7 +99,18 @@ def run_clips_pipeline(spark, data_dir: str) -> dict:
         out["audio"].unpersist()
         return time.perf_counter() - t0, stage_times
 
-    warmup_sec, _ = one_pass(False)
+    # warm until steady state (pass-over-pass delta < 30%, max 3
+    # passes): worker spawn, JIT, page-cache fill AND — on this VM —
+    # hypervisor first-touch page-fault storms are one-time costs that
+    # amortize to zero at the 10^12-row design point; under a fault
+    # storm convergence takes 2-3 passes, not 1
+    warmups = []
+    while len(warmups) < 3:
+        w, _ = one_pass(False)
+        if warmups and w > 0.7 * warmups[-1]:
+            warmups.append(w)
+            break
+        warmups.append(w)
     # best-of-2 measured passes: run-to-run noise on this host is ±2-3x
     # (hypervisor co-tenants), and the min is the honest capability number
     e1, st1 = one_pass(True)
@@ -109,7 +120,7 @@ def run_clips_pipeline(spark, data_dir: str) -> dict:
         "n_rows": n,
         "sec": round(elapsed, 3),
         "clips_per_sec": round(n / elapsed, 1),
-        "warmup_sec": round(warmup_sec, 3),
+        "warmup_sec": [round(w, 3) for w in warmups],
         "passes_sec": [round(e1, 3), round(e2, 3)],
         "stages": stage_times,
     }

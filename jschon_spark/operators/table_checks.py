@@ -227,6 +227,62 @@ def psi_statistic(current: pd.DataFrame, baseline: pd.DataFrame, key: str = "bin
     return float(np.sum((p - q) * np.log(p / q)))
 
 
+def drift_statistics(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    bin_width: float,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI + two-sample KS between two DataFrames' distributions of
+    ``col``, as ONE fully-distributed Spark plan (no driver-side numpy
+    — the SQL-oracle-checkable sibling of ``drift_check``). Each side
+    reduces to fixed-width bin counts via map-side combine (the only
+    shuffle ships ≤ #bins rows), the bin tables full-outer join on the
+    bin id, and PSI/KS fold over the joined bins — a window cumsum for
+    the KS ECDFs over ≤ dozens of rows, then one global aggregate.
+    Returns a single row (psi double, ks double), both rounded to 6dp.
+    Scale story: input size only affects the two groupBys; everything
+    after them is O(bins)."""
+    from pyspark.sql import Window
+
+    def bins(df: DataFrame, share_name: str) -> DataFrame:
+        b = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.floor(F.col(col) / F.lit(bin_width)).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        total = b.select(F.sum("n").alias("t"))
+        return b.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("n") / F.col("t")).alias(share_name)
+        )
+
+    joined = (
+        bins(current, "p")
+        .join(bins(baseline, "q"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    per_bin = joined.select(
+        "p",
+        "q",
+        # PSI clamps each share at eps (matches psi_statistic above)
+        (
+            (F.greatest(F.col("p"), F.lit(eps)) - F.greatest(F.col("q"), F.lit(eps)))
+            * F.log(F.greatest(F.col("p"), F.lit(eps)) / F.greatest(F.col("q"), F.lit(eps)))
+        ).alias("psi_term"),
+        F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("ecdf_gap"),
+    )
+    return per_bin.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.max("ecdf_gap"), 6).alias("ks"),
+    )
+
+
 def drift_check(
     df: DataFrame,
     baseline: pd.DataFrame,

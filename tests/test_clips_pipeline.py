@@ -181,3 +181,40 @@ def test_audio_adversarial_payloads(spark):
     # decode failures vs frame-count failures are distinguished
     assert {v.keyword for v in out["clip-ae"].audio_violations} == {"decode"}
     assert {v.keyword for v in out["clip-ah"].audio_violations} == {"frames"}
+
+
+def test_drift_statistics_matches_numpy_reference(spark):
+    """The fully-distributed PSI/KS plan agrees with the driver-side
+    numpy ks_statistic/psi_statistic on the same binned data."""
+    import numpy as np
+    import pandas as pd
+
+    from jschon_spark.operators.table_checks import (
+        drift_statistics,
+        ks_statistic,
+        psi_statistic,
+    )
+
+    rng = np.random.default_rng(7)
+    cur = rng.normal(100.0, 20.0, 4000)
+    base = rng.normal(110.0, 25.0, 5000)
+    width = 10.0
+    cur_df = spark.createDataFrame(pd.DataFrame({"v": cur}))
+    base_df = spark.createDataFrame(pd.DataFrame({"v": base}))
+    row = drift_statistics(cur_df, base_df, "v", width).collect()[0]
+
+    def binned(x):
+        b = np.floor(x / width).astype(int)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin_lo": u.astype(float), "count": c})
+
+    cb, bb = binned(cur), binned(base)
+    ks = ks_statistic(cb, bb)
+    # psi_statistic clamps raw shares; drift_statistics uses the same
+    # eps=1e-6 clamp on shares — compare to 6dp
+    psi = psi_statistic(cb.rename(columns={"bin_lo": "k"}), bb.rename(columns={"bin_lo": "k"}), key="k")
+    assert abs(row["ks"] - ks) < 1e-6, (row["ks"], ks)
+    assert abs(row["psi"] - psi) < 1e-6, (row["psi"], psi)
+    # drift against itself is exactly zero
+    zero = drift_statistics(cur_df, cur_df, "v", width).collect()[0]
+    assert zero["psi"] == 0.0 and zero["ks"] == 0.0
