@@ -490,6 +490,64 @@ def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_clips(spark: SparkSession, n: int = 500, parts: int = 4) -> DataFrame:
+    """Deterministic distributed clips synthesis (fixtures contract,
+    seed-stable): the driver's parquet tables carry no audio payloads,
+    so audio queries generate the BASELINE.json input_hint table shape
+    inline — same generator the clips pipeline and benches use."""
+    from jschon_spark.fixtures import CLIPS_DDL, gen_clips_batch
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_clips_batch(pdf["id"].to_numpy())
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, CLIPS_DDL)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DSP features over decoded PCM/WAV payloads (rows-only: no
+    SQL engine can decode the audio bytes) — level, clipping, activity
+    and spectral measures via the zero-copy mapInArrow kernel. The
+    seeded tone frequency is recovered per row (pytest-asserted in
+    tests/test_audio_features.py against the synthesis contract)."""
+    from jschon_spark.audio.features import with_audio_features
+
+    feats = with_audio_features(_synth_clips(spark))
+    r = lambda c: F.round(F.col(c), 4).alias(c)
+    return feats.select(
+        "clip_id",
+        "features_ok",
+        r("rms_dbfs"),
+        r("peak_dbfs"),
+        r("clipping_ratio"),
+        r("zero_crossing_rate"),
+        r("silence_ratio"),
+        r("dominant_freq_hz"),
+        r("spectral_centroid_hz"),
+        r("spectral_rolloff_hz"),
+        r("spectral_flatness"),
+    )
+
+
+def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation rollup over the DSP features: per-gate
+    fire counts + survivors, one distributed aggregation (map-only
+    feature stage → single partial-aggregated reduce)."""
+    from jschon_spark.audio.features import audio_quality_flags, with_audio_features
+
+    gated = audio_quality_flags(with_audio_features(_synth_clips(spark)))
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias(c)
+    return gated.agg(
+        F.count("*").alias("n_clips"),
+        cnt("features_ok"),
+        cnt("too_quiet"),
+        cnt("clipped"),
+        cnt("mostly_silent"),
+        cnt("rate_implausible"),
+        cnt("keep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -527,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_schema_valid": q_events_props_schema_valid,
         "doc_annotations": q_doc_annotations,
         "events_value_drift": q_events_value_drift,
+        "audio_features": q_audio_features,
+        "audio_quality_gate": q_audio_quality_gate,
     }
 
 

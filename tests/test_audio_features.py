@@ -1,0 +1,178 @@
+"""Real-DSP audio feature extraction: verified against the known
+synthesis contract (fixtures.synth_pcm: one sinusoid at a seeded
+frequency + low-level pseudo-noise) and against hand-built fault
+payloads (silence, clipping, noise)."""
+
+import numpy as np
+import pytest
+
+from jschon_spark import fixtures as fx
+from jschon_spark.audio.features import (
+    DB_FLOOR,
+    audio_quality_flags,
+    clip_features,
+    with_audio_features,
+)
+
+SR = 16000
+
+
+def synth_freq(clip_id: str) -> float:
+    """The tone frequency fixtures.synth_pcm derives from the seed."""
+    s64 = fx.clip_seed(clip_id)
+    return 100.0 + float(fx._splitmix64(np.uint64(s64)) % np.uint64(2000))
+
+
+def feats(x: np.ndarray, sr: int = SR) -> dict:
+    names = [
+        "rms_dbfs",
+        "peak_dbfs",
+        "clipping_ratio",
+        "zero_crossing_rate",
+        "silence_ratio",
+        "dominant_freq_hz",
+        "spectral_centroid_hz",
+        "spectral_rolloff_hz",
+        "spectral_flatness",
+    ]
+    return dict(zip(names, clip_features(x, sr, {})))
+
+
+# ------------------------------------------------------------- kernel math
+
+
+def test_pure_tone_features():
+    f0 = 440.0
+    t = np.arange(SR, dtype=np.float64) / SR
+    x = (0.5 * 32767 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    out = feats(x)
+    # sine RMS = A/sqrt(2): 20*log10(0.5/sqrt(2)) = -9.03 dBFS
+    assert out["rms_dbfs"] == pytest.approx(-9.03, abs=0.1)
+    assert out["peak_dbfs"] == pytest.approx(-6.02, abs=0.1)
+    assert out["clipping_ratio"] == 0.0
+    # 2 crossings per cycle -> 2*f0/sr
+    assert out["zero_crossing_rate"] == pytest.approx(2 * f0 / SR, rel=0.02)
+    assert out["silence_ratio"] == 0.0
+    assert out["dominant_freq_hz"] == pytest.approx(f0, abs=SR / 16384 * 2)
+    assert out["spectral_centroid_hz"] == pytest.approx(f0, rel=0.05)
+    assert out["spectral_flatness"] < 0.05  # tonal
+
+
+def test_silence_and_noise_extremes():
+    silent = feats(np.zeros(SR, dtype=np.int16))
+    assert silent["rms_dbfs"] == DB_FLOOR
+    assert silent["silence_ratio"] == 1.0
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    noise = (rng.uniform(-0.5, 0.5, SR) * 32767).astype(np.int16)
+    out = feats(noise)
+    assert out["spectral_flatness"] > 0.5  # broadband
+    assert out["silence_ratio"] == 0.0
+
+
+def test_clipping_detected():
+    t = np.arange(SR, dtype=np.float64) / SR
+    x = np.clip(1.5 * 32767 * np.sin(2 * np.pi * 200 * t), -32768, 32767).astype(np.int16)
+    out = feats(x)
+    assert out["clipping_ratio"] > 0.2
+    assert out["peak_dbfs"] == pytest.approx(0.0, abs=0.01)
+
+
+def test_fixture_tone_frequency_recovered():
+    """The extractor recovers the fixture generator's seeded tone for
+    arbitrary clips — ties the DSP path to the corpus contract."""
+    for clip_id in ["clip-00deadbeef01", "clip-cafe00000001"]:
+        s64 = fx.clip_seed(clip_id)
+        pcm = fx.synth_pcm(s64, SR, SR)  # 1 s
+        out = feats(pcm)
+        assert out["dominant_freq_hz"] == pytest.approx(
+            synth_freq(clip_id), abs=SR / 16384 * 2
+        )
+        # 0.6 amplitude tone + 0.02 noise: RMS ~= -7.4 dBFS
+        assert out["rms_dbfs"] == pytest.approx(-7.4, abs=0.3)
+        assert out["silence_ratio"] == 0.0
+
+
+def test_empty_and_short_rows():
+    assert feats(np.zeros(0, dtype=np.int16))["silence_ratio"] == 1.0
+    out = feats(np.array([1000, -1000, 500], dtype=np.int16), sr=8000)
+    assert np.isfinite(out["rms_dbfs"])
+
+
+# ------------------------------------------------------------ Spark stage
+
+
+@pytest.fixture(scope="module")
+def clips_features(spark):
+    pdf = fx.gen_clips_batch(np.arange(400), audio=True)
+    df = spark.createDataFrame(pdf, schema=fx.CLIPS_DDL)
+    return with_audio_features(df).toPandas().set_index("clip_id")
+
+
+def test_stage_drops_bytes_and_decodes(clips_features):
+    assert "bytes" not in clips_features.columns
+    # both codecs decode; only unknown/truncation-independent rows fail
+    assert clips_features["features_ok"].mean() > 0.95
+
+
+def test_stage_matches_kernel_row(clips_features):
+    """Distributed result == direct kernel call on the same payload."""
+    pdf = fx.gen_clips_batch(np.arange(10), audio=True)
+    row = pdf.iloc[0]
+    from jschon_spark.audio import decode_pcm
+
+    dec, hdr_sr = decode_pcm(row["bytes"], row["codec"])
+    sr = hdr_sr or int(row["sr_hz"])
+    expected = clip_features(dec, sr, {})
+    got = clips_features.loc[row["clip_id"]]
+    assert got["dominant_freq_hz"] == pytest.approx(expected[5], abs=1e-6)
+    assert got["rms_dbfs"] == pytest.approx(expected[0], abs=1e-9)
+
+
+def test_stage_recovers_synth_tones(clips_features):
+    """Spot-check: per-row dominant frequency equals the seeded tone."""
+    ok = clips_features[clips_features["features_ok"]]
+    sample = ok.head(25)
+    for clip_id, row in sample.iterrows():
+        # frequency resolution = sr / nfft for this row's actual window
+        sr = int(row["sr_hz"])
+        n = min(sr * int(row["dur_ms"]) // 1000, sr * 4)
+        nfft = min(n, 16384)
+        if nfft < 256:  # sub-resolution clips: skip (Hann mainlobe dominates)
+            continue
+        assert row["dominant_freq_hz"] == pytest.approx(
+            synth_freq(str(clip_id)), abs=2.0 * sr / nfft
+        ), clip_id
+
+
+def test_quality_flags(spark):
+    pdf = fx.gen_clips_batch(np.arange(200), audio=True)
+    # fault injection: overwrite row 0 with silence, row 1 with clipping
+    sr0 = int(pdf.loc[0, "sr_hz"])
+    pdf.loc[0, "bytes"] = np.zeros(sr0, dtype=np.int16).tobytes()
+    pdf.loc[0, "codec"] = "pcm_s16le"
+    t = np.arange(int(pdf.loc[1, "sr_hz"]), dtype=np.float64) / int(pdf.loc[1, "sr_hz"])
+    clipped = np.clip(1.6 * 32767 * np.sin(2 * np.pi * 300 * t), -32768, 32767)
+    pdf.loc[1, "bytes"] = clipped.astype(np.int16).tobytes()
+    pdf.loc[1, "codec"] = "pcm_s16le"
+
+    df = spark.createDataFrame(pdf, schema=fx.CLIPS_DDL)
+    featured = with_audio_features(df)
+    # fixture transcripts are not rate-realistic (median 300 ms clips):
+    # the default token-rate gate fires on most rows — assert that
+    # separately, then disable it for the audio-gate survival check
+    with_rate = audio_quality_flags(featured).toPandas()
+    assert with_rate["rate_implausible"].mean() > 0.5
+    out = (
+        audio_quality_flags(featured, max_tokens_per_sec=1e9)
+        .toPandas()
+        .set_index("clip_id")
+    )
+    id0, id1 = pdf.loc[0, "clip_id"], pdf.loc[1, "clip_id"]
+    assert bool(out.loc[id0, "mostly_silent"]) and bool(out.loc[id0, "too_quiet"])
+    assert not bool(out.loc[id0, "keep"])
+    assert bool(out.loc[id1, "clipped"]) and not bool(out.loc[id1, "keep"])
+    # pristine fixture rows with sane metadata survive the gates
+    clean = out.drop(index=[id0, id1])
+    clean = clean[clean["features_ok"] & clean["transcript"].notna()]
+    assert clean["keep"].mean() > 0.9
