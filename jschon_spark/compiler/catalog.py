@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Any, Optional
-from urllib.parse import urldefrag
+from urllib.parse import urldefrag, urljoin
 
 
 class SchemaCatalog:
@@ -22,15 +22,45 @@ class SchemaCatalog:
         self._docs: dict[str, Any] = {}
         self._sources: list[tuple[str, str, str]] = []  # (uri_prefix, dir, suffix)
         self._compiled: dict[str, Any] = {}
+        self._nested: dict[str, str] = {}  # nested-resource uri -> containing doc uri
 
     def add_schema(self, doc: Any, uri: Optional[str] = None) -> str:
-        """Register a schema document under ``uri`` (default: its $id)."""
+        """Register a schema document under ``uri`` (default: its $id).
+
+        Embedded resources (subschemas carrying their own ``$id``) are
+        indexed too, so a $ref that targets a NESTED resource's URI
+        directly resolves without the referrer naming the containing
+        document — the reference registers every schema resource in the
+        catalog as it is constructed (jschon/jsonschema.py $id keyword →
+        catalog.add_schema), and round-3 differential fuzzing caught
+        this exact asymmetry."""
         uri = uri or (doc.get("$id") if isinstance(doc, dict) else None)
         if not uri:
             raise ValueError("schema document needs a $id or an explicit uri")
         key = urldefrag(uri).url
         self._docs[key] = doc
+        self._index_nested(doc, key, key, top=True)
         return key
+
+    def _index_nested(self, node: Any, base: str, root_key: str, top: bool = False) -> None:
+        if isinstance(node, dict):
+            if isinstance(node.get("$id"), str):
+                base = urljoin(base, node["$id"])
+                if not top:
+                    self._nested.setdefault(urldefrag(base).url, root_key)
+            for k, v in node.items():
+                # same non-schema value positions the compiler's _index skips
+                if k in ("enum", "const", "default", "examples"):
+                    continue
+                self._index_nested(v, base, root_key)
+        elif isinstance(node, list):
+            for v in node:
+                self._index_nested(v, base, root_key)
+
+    def containing_document_uri(self, uri: str) -> Optional[str]:
+        """URI of the registered document that EMBEDS ``uri`` as a
+        nested $id resource (None if ``uri`` is unknown or top-level)."""
+        return self._nested.get(urldefrag(uri).url)
 
     def add_directory_source(self, uri_prefix: str, directory: str, suffix: str = ".json") -> None:
         """Map a URI prefix to a local directory: ``{prefix}foo`` loads

@@ -340,6 +340,28 @@ class Compiler:
             self.resource_uri[id(root)] = self.base_uri
             self.resource_dialect[self.base_uri] = (self.enabled_keywords, assert_formats)
             self._index(root, self.base_uri, "", (self.enabled_keywords, assert_formats))
+        # resources declared WITHIN the root document (snapshot before
+        # any catalog document is lazily loaded): ref targets OUTSIDE
+        # this set get site-based /$ref spaths — their document-relative
+        # registry spaths ("" for an external root, "/$defs/x" inside
+        # it) would collide with, or masquerade as, root-document
+        # locations in the trace/violation output (round-3 fuzz find)
+        self.root_doc_resources: set[str] = {self.base_uri} | {
+            u for u in self.registry if "#" not in u
+        }
+
+    def _target_spath(self, ctx: "Ctx", target: Any, spath: str, refkw: str) -> str:
+        """Static location for a resolved ref target. Root-document
+        targets keep their canonical document spath (unique, and the
+        once-per-static-site trace design wants it). Targets in
+        catalog-loaded documents are located under the referring site's
+        ``/$ref`` (or ``/$dynamicRef``) segment — the reference's
+        keywordLocation routes through the ref keyword for them too
+        (jschon/jsonschema.py dynamic path)."""
+        owner = self.enclosing_uri.get(id(target))
+        if owner is None or owner in self.root_doc_resources:
+            return spath
+        return ctx.spath + "/" + refkw
 
     # -- reference registry ------------------------------------------------
 
@@ -402,6 +424,18 @@ class Compiler:
         if self.catalog is None:
             return
         doc = self.catalog.lookup(uri)
+        if doc is None:
+            # the URI may name a NESTED $id resource of a registered
+            # document (the reference registers every embedded resource
+            # at construction time — jschon $id keyword → catalog):
+            # loading the containing document _index-es the whole tree,
+            # which registers ``uri`` with its correct base and spath
+            parent_of = getattr(self.catalog, "containing_document_uri", None)
+            if parent_of is not None:
+                parent = parent_of(uri)
+                if parent and parent != uri and parent not in self.registry:
+                    self._load_external(parent)
+            return
         if doc is not None:
             from jschon_spark.compiler.legacy import rewrite_legacy
             from jschon_spark.compiler.metaschema import check_schema_document
@@ -1269,7 +1303,9 @@ class Compiler:
 
     def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
         target, spath = self.resolve_ref(value, self._site_base(ctx))
-        rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
+        rctx = _replace(
+            ctx, spath=self._target_spath(ctx, target, spath, "$ref"), depth=ctx.depth + 1
+        )
         return self.apply(target, rctx)
 
     def _k_dynamicRef(self, value, schema, ctx: Ctx, results) -> Compiled:
@@ -1316,7 +1352,11 @@ class Compiler:
                 if hit is not None:
                     target, spath = hit
                     break
-        rctx = _replace(ctx, spath=spath, depth=ctx.depth + 1)
+        rctx = _replace(
+            ctx,
+            spath=self._target_spath(ctx, target, spath, "$dynamicRef"),
+            depth=ctx.depth + 1,
+        )
         return self.apply(target, rctx)
 
     # -- format (annotate-only unless enabled; format.py:14-32) ------------

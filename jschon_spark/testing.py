@@ -185,6 +185,7 @@ def evaluate_batch(
     assert_formats: bool = False,
     with_violations: bool = False,
     with_annotations: bool = False,
+    **compile_kw: Any,
 ) -> list:
     """Evaluate MANY instances against ONE schema with as few Spark
     jobs as possible. Returns a list aligned with ``datas``: True /
@@ -196,7 +197,7 @@ def evaluate_batch(
     Instances are greedily grouped into unified Spark types via
     ``_unify_batch`` (presence-preserving), one DataFrame + one collect
     per group; the compiled plan is shared across groups."""
-    compiled = compile_schema(schema, assert_formats=assert_formats)
+    compiled = compile_schema(schema, assert_formats=assert_formats, **compile_kw)
     results: list = [None] * len(datas)
 
     def _dtype_size(dt: T.DataType) -> int:

@@ -35,6 +35,15 @@ Instances with no single Spark type (heterogeneous arrays etc.) are
 skipped on the Spark side only — the documented typed-column delta
 (SURVEY.md §2.9.1); the skip rate is asserted bounded so the fuzz
 can't silently degrade into skipping everything.
+
+Round-3 families: format annotations, unevaluated* layered over
+array/conditional/$ref bases, and EXTERNAL-CATALOG pairs (a main
+document referencing a separately registered document through
+absolute/relative/anchor/pointer/nested-resource URI forms) — the
+external family found two real bugs on its first run: nested $id
+resources of catalog documents were not directly addressable, and
+external targets' trace locations collided with root-document spaths
+(both fixed in compiler/catalog.py + core.py this round).
 """
 
 from __future__ import annotations
@@ -220,8 +229,27 @@ def _f_conditional(s, rng, depth, defs):
 
 
 def _f_unevaluated(s, rng, depth, defs):
-    # layer over an in-place applicator so there is evaluation to track
-    _f_combinator(s, rng, depth, defs)
+    # layer over an in-place applicator so there is evaluation to track —
+    # vary the base: combinators, direct array keywords (prefixItems /
+    # items / contains feed unevaluatedItems coverage), conditionals
+    # (coverage gated on the branch guard), or a $ref carrier
+    base = rng.randrange(4)
+    if base == 0:
+        _f_array(s, rng, depth, defs)
+    elif base == 1:
+        _f_conditional(s, rng, depth, defs)
+    elif base == 2 and defs:
+        _f_ref(s, rng, depth, defs)
+    else:
+        _f_combinator(s, rng, depth, defs)
+    if rng.random() < 0.15:  # both trackers at once
+        s["unevaluatedProperties"] = (
+            rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
+        )
+        s["unevaluatedItems"] = (
+            rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
+        )
+        return
     if rng.random() < 0.5:
         s["unevaluatedProperties"] = (
             rng.choice([True, False]) if rng.random() < 0.5 else gen_schema(rng, depth - 1, defs)
@@ -252,6 +280,7 @@ def _f_annotation(s, rng, depth, defs):
             ("deprecated", True),
             ("readOnly", rng.choice([True, False])),
             ("examples", [_scalar(rng), _scalar(rng)]),
+            ("format", rng.choice(["email", "date-time", "uuid", "ipv4", "x-fuzz"])),
         ]
     )
     s[kw] = val
@@ -477,7 +506,7 @@ def _spark_leaf_set(viols) -> set:
 # path ($ref / $defs / $dynamicRef / $recursiveRef segments).
 _ANNOT_KEYWORDS = {
     "title", "description", "default", "deprecated", "readOnly",
-    "writeOnly", "examples",
+    "writeOnly", "examples", "format",
 }
 _ANNOT_EXCLUDE_SEGS = {
     "items", "contains", "unevaluatedItems", "unevaluatedProperties",
@@ -710,3 +739,96 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
         f"on {len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
         + "\n".join(mismatches)
     )
+
+
+# ------------------------------------------ external-catalog fuzzing
+
+EXT_SEEDS = list(range(10))
+
+
+def gen_external_pair(rng: random.Random, seed: int) -> tuple[dict, dict, list]:
+    """An EXTERNAL document (ref-heavy: anchors, nested $id resources,
+    internal refs, sometimes a $dynamicAnchor extension) plus a MAIN
+    document whose refs cross the document boundary in every URI form:
+    absolute, absolute+anchor, absolute+pointer, nested-resource URI,
+    and RELATIVE references resolved against the main document's base —
+    the resolution+coverage chain where round-2's external-scope bug
+    lived (ADVICE r2 #1; fix in core.py _resolve_source_ref)."""
+    ext = gen_ref_heavy_schema(rng, seed)
+    ext_base = ext["$id"]  # https://fuzz.example/<seed>/root
+    pool = [ext_base, f"{ext_base}#", "root"]  # whole-doc forms
+    for name, sub in ext["$defs"].items():
+        if not isinstance(sub, dict):
+            continue
+        if "$anchor" in sub:
+            pool.append(f"{ext_base}#{sub['$anchor']}")
+            pool.append(f"root#{sub['$anchor']}")  # relative + anchor
+        elif "$id" in sub:
+            pool.append(sub["$id"])  # relative: resolves vs main base
+            pool.append(f"https://fuzz.example/{seed}/{sub['$id']}")
+        else:
+            pool.append(f"{ext_base}#/$defs/{name}")
+    main = gen_schema(rng, 3, pool)
+    if not isinstance(main, dict):
+        main = {"allOf": [main]}
+    # force at least one cross-document hop even if the generator
+    # didn't draw _f_ref
+    main.setdefault("allOf", []).append({"$ref": rng.choice(pool)})
+    main["$id"] = f"https://fuzz.example/{seed}/main"
+    return main, ext, pool
+
+
+@pytest.mark.parametrize("seed", EXT_SEEDS)
+def test_fuzz_external_catalog_matches_reference(spark, ref, seed):
+    rng = random.Random(77_000 + seed)
+    main, ext, _pool = gen_external_pair(rng, seed)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    cacheid = f"extfuzz-{seed}"
+    try:
+        # registering the external document under its $id is the
+        # reference's add-to-catalog path (JSONSchema.__init__ →
+        # catalog.add_schema)
+        JSONSchema(
+            copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+            metaschema_uri=URI(_META),
+        ).validate()
+        compiled_ref = JSONSchema(
+            copy.deepcopy(main), catalog=ref["catalog"], cacheid=cacheid,
+            metaschema_uri=URI(_META),
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated pair not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(main, hints)
+    collect_hints(ext, hints)
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+
+    from jschon_spark.compiler.catalog import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(copy.deepcopy(ext))
+    spark_results = evaluate_batch(
+        spark, main, datas, with_violations=True, with_annotations=True, catalog=cat
+    )
+
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"ext fuzz {seed}"
+    )
+    assert not mismatches, (
+        f"external-catalog fuzz seed {seed}: Spark engine disagrees with the "
+        f"reference on {len(mismatches)}/{len(datas)} instances\n"
+        f"main={main!r}\next={ext!r}\n" + "\n".join(mismatches)
+    )
+    assert skipped <= len(datas) * 0.5

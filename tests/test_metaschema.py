@@ -75,6 +75,10 @@ def test_rewrite_tuple_items():
     assert out == {
         "prefixItems": [{"type": "integer"}, {"type": "string"}],
         "items": False,
+        # marker for 2019-09 additionalItems discard semantics (the
+        # rewritten `items` contributes nothing when tuple items fails);
+        # inert unknown keyword in the 2020-12 pipeline
+        "x-legacy-additionalItems": True,
     }
     # additionalItems without tuple items is dropped (legacy.py:113-121)
     assert rewrite_legacy({"items": {}, "additionalItems": False}) == {"items": {}}

@@ -159,3 +159,33 @@ def test_map_entries_subschema_compiled_once(spark):
     finally:
         core_mod.Compiler.apply = orig
     assert calls["n"] == 1, calls["n"]
+
+
+def test_feature_stage_projects_only_needed_columns(spark, clips_path):
+    """The DSP feature stage passes non-bytes columns through, so the
+    caller's pre-projection must reach the parquet scan: selecting
+    3 metadata columns + bytes before with_audio_features must NOT
+    read transcript (large string) from disk."""
+    from jschon_spark.audio.features import with_audio_features
+
+    clips = spark.read.parquet(clips_path).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    feats = with_audio_features(clips)
+    plan = _plan(feats)
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "transcript" not in read_schema, read_schema
+    assert "bytes" in read_schema  # the payload itself IS read here
+
+
+def test_feature_stage_is_map_only(spark, clips_path):
+    """No shuffle anywhere in the feature-extraction plan — the stage
+    must stay embarrassingly parallel at the design scale."""
+    from jschon_spark.audio.features import with_audio_features
+
+    clips = spark.read.parquet(clips_path).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    plan = _plan(with_audio_features(clips))
+    assert "Exchange" not in plan, plan

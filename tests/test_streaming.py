@@ -167,3 +167,73 @@ def test_streaming_exact_dedup(spark, tmp_path):
     kept = sorted(out["doc_id"].tolist())
     assert len(kept) == 2 and 2 in kept
     assert kept[0] in (0, 1)  # exactly one of the duplicate pair
+
+
+# ---------------------------------------------- audio payload streaming
+
+
+@pytest.fixture(scope="module")
+def clips_stream_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    from jschon_spark import fixtures as fx
+
+    d = tmp_path_factory.mktemp("clips_stream")
+    pdf = fx.gen_clips_batch(np.arange(500), audio=True)
+    spark.createDataFrame(pdf, schema=fx.CLIPS_DDL).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def test_streaming_audio_invariant(spark, clips_stream_dir, tmp_path):
+    """The zero-copy audio invariant (mapInArrow) is a stateless map,
+    so the SAME stage runs under Structured Streaming unchanged: decode
+    + SNR per micro-batch, bytes never leave the stage."""
+    from jschon_spark import fixtures as fx
+    from jschon_spark.audio import with_audio_invariant
+
+    stream = spark.readStream.schema(fx.CLIPS_DDL).parquet(clips_stream_dir)
+    assert stream.isStreaming
+    checked = with_audio_invariant(stream).select("clip_id", "audio_valid", "snr_db")
+    q = (
+        checked.writeStream.format("memory")
+        .queryName("audio_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_audio"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from audio_sink").toPandas()
+    finally:
+        q.stop()
+    assert len(out) == 500
+    # injected faults among ids 0..499: SLOT_MAX=4 (frame count),
+    # SLOT_SNR=8 (noise burst), SLOT_TRUNC=9 (truncated payload)
+    assert int((~out["audio_valid"]).sum()) == 3
+
+
+def test_streaming_audio_features(spark, clips_stream_dir, tmp_path):
+    """DSP feature extraction + quality gates stream the same way."""
+    from jschon_spark import fixtures as fx
+    from jschon_spark.audio.features import audio_quality_flags, with_audio_features
+
+    stream = spark.readStream.schema(fx.CLIPS_DDL).parquet(clips_stream_dir)
+    gated = audio_quality_flags(with_audio_features(stream), max_tokens_per_sec=1e9)
+    q = (
+        gated.select("clip_id", "features_ok", "dominant_freq_hz", "keep")
+        .writeStream.format("memory")
+        .queryName("feat_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_feat"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from feat_sink").toPandas()
+    finally:
+        q.stop()
+    assert len(out) == 500
+    assert out["features_ok"].mean() > 0.95
+    assert out["keep"].mean() > 0.8
