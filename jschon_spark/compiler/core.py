@@ -1391,14 +1391,27 @@ class Compiler:
         at runtime for the source's annotations to be collected —
         mirroring jschon's rule that annotations flow only from *valid*
         results (jsonschema.py:515-524, applicator.py:97-116):
-        anyOf/oneOf/allOf branches guard on the branch itself
-        succeeding; `then` guards on `if` AND `then` succeeding; `else`
-        on `if` failing (negate) AND `else` succeeding;
-        dependentSchemas[name] guards on the property being present
-        (encoded as a {"required": [name]} guard schema) AND the
-        subschema succeeding. `not` never contributes. The _seen stack
-        guards $ref cycles without blocking re-visits via different
-        branches."""
+        anyOf branches guard on the branch itself succeeding; allOf /
+        oneOf / dependentSchemas branches guard on the APPLICATOR
+        NODE's own validity (a synthetic one-keyword schema: jschon
+        prunes the whole subtree at an invalid /allOf or double-match
+        /oneOf node even when this branch passed — jsonschema.py:518);
+        `then` guards on `if` AND `then` succeeding; `else` on `if`
+        failing (negate) AND `else` succeeding; dependentSchemas[name]
+        additionally guards on the property being present (encoded as
+        a {"required": [name]} guard schema).
+
+        `not` DOES contribute: the reference evaluates the subschema
+        into the /not result node itself and then inverts only that
+        node's validity (applicator.py:77-86), so when `not` PASSES
+        (inner failed) the inner schema's individually-valid keyword
+        nodes still annotate — e.g. {"not": {"additionalProperties":
+        true, "dependentRequired": ...}} covers every property
+        whenever the dependentRequired fails. The inner schema is a
+        source guarded on ITSELF failing (negate=True); consumers must
+        then gate each keyword's own node validity (see
+        _source_needs_kw_gate). The _seen stack guards $ref cycles
+        without blocking re-visits via different branches."""
         if _seen is None:
             _seen = set()
         if not isinstance(schema, dict) or id(schema) in _seen:
@@ -1416,10 +1429,26 @@ class Compiler:
         try:
             out: list[tuple[list[tuple[Any, bool]], Any]] = [(list(_guards), schema)]
             for kw in ("allOf", "anyOf", "oneOf"):
-                for sub in schema.get(kw) or []:
-                    out.extend(
-                        self._coverage_sources(sub, scope, _seen, _guards + ((sub, False),))
-                    )
+                subs = schema.get(kw) or []
+                for sub in subs:
+                    if kw == "anyOf":
+                        # branch validity implies the anyOf node passed
+                        g = _guards + ((sub, False),)
+                    elif kw == "allOf":
+                        # the /allOf node fails when ANY branch fails and
+                        # then contributes nothing, even from valid
+                        # branches; node validity implies branch validity
+                        g = _guards + (({"allOf": subs}, False),)
+                    else:
+                        # /oneOf double-match: node invalid, both valid
+                        # branches pruned — need node AND branch
+                        g = _guards + (({"oneOf": subs}, False), (sub, False))
+                    out.extend(self._coverage_sources(sub, scope, _seen, g))
+            if isinstance(schema.get("not"), dict):
+                sub = schema["not"]
+                out.extend(
+                    self._coverage_sources(sub, scope, _seen, _guards + ((sub, True),))
+                )
             if "if" in schema:
                 if_s = schema["if"]
                 out.extend(self._coverage_sources(if_s, scope, _seen, _guards + ((if_s, False),)))
@@ -1437,11 +1466,16 @@ class Compiler:
                             _guards + ((if_s, True), (schema["else"], False)),
                         )
                     )
-            for name, sub in (schema.get("dependentSchemas") or {}).items():
+            dep = schema.get("dependentSchemas") or {}
+            for name, sub in dep.items():
+                # /dependentSchemas node validity = ALL applicable deps
+                # valid (a failed sibling dep prunes this one's
+                # annotations too); applicability of THIS dep = name
+                # present
                 out.extend(
                     self._coverage_sources(
                         sub, scope, _seen,
-                        _guards + (({"required": [name]}, False), (sub, False)),
+                        _guards + (({"required": [name]}, False), ({"dependentSchemas": dep}, False)),
                     )
                 )
             for refkw in ("$ref", "$dynamicRef"):
@@ -1489,6 +1523,20 @@ class Compiler:
                 return init_target
         target, _ = self.resolve_ref(value, site_base)
         return target
+
+    @staticmethod
+    def _source_needs_kw_gate(guards: list[tuple[Any, bool]], src: Any, schema: Any) -> bool:
+        """True when the source's own overall success is NOT implied by
+        its guards, so each covering keyword's node validity must be
+        checked individually: the self source (its guards are empty —
+        siblings prune per-keyword, jsonschema.py:518) and a
+        `not`-inner source (guarded on itself FAILING: the /not node is
+        valid precisely because the inner schema failed overall, yet
+        its individually-valid keyword nodes still annotate,
+        applicator.py:77-86)."""
+        if src is schema:
+            return True
+        return bool(guards) and guards[-1][1] and guards[-1][0] is src
 
     def _guard_cond(self, ctx: Ctx, guards: list[tuple[Any, bool]]) -> Column:
         """Runtime conjunction of a coverage source's guards. Guard
@@ -1552,10 +1600,10 @@ class Compiler:
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
-            self_src = src is schema
+            kw_gate = self._source_needs_kw_gate(guards, src, schema)
             cond = self._guard_cond(ctx, guards)
 
-            def _kwv(kw: str, base=cond, s=src, own=self_src) -> Column:
+            def _kwv(kw: str, base=cond, s=src, own=kw_gate) -> Column:
                 return base & self._kw_valid(kw, s, ctx) if own else base
 
             names = list((src.get("properties") or {}).keys())
@@ -1567,7 +1615,7 @@ class Compiler:
             if "additionalProperties" in src:
                 sources.append((_kwv("additionalProperties"), "additional", names, pats))
             if "unevaluatedProperties" in src and src is not schema:
-                sources.append((cond, "all", [], []))
+                sources.append((_kwv("unevaluatedProperties"), "all", [], []))
 
         def covered_key(k: Column) -> Column:
             cov = F.lit(False)
@@ -1630,12 +1678,13 @@ class Compiler:
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
-            self_src = src is schema
+            kw_gate = self._source_needs_kw_gate(guards, src, schema)
 
             def _kwv(kw: str) -> Column:
-                # keyword-node validity gates coverage only for the
-                # self source; branch/ref guards subsume it elsewhere
-                return self._kw_valid(kw, src, ctx) if self_src else F.lit(True)
+                # keyword-node validity gates coverage for the self
+                # source and for `not`-inner sources; branch/ref guards
+                # subsume it elsewhere
+                return self._kw_valid(kw, src, ctx) if kw_gate else F.lit(True)
 
             terms: list[Column] = []
             in_props = name in (src.get("properties") or {})
@@ -1649,7 +1698,7 @@ class Compiler:
             if "additionalProperties" in src and not in_props and not pat_hit:
                 terms.append(_kwv("additionalProperties"))
             if "unevaluatedProperties" in src and src is not schema:
-                terms.append(F.lit(True))
+                terms.append(_kwv("unevaluatedProperties"))
             if not terms:
                 continue
             term = terms[0]
@@ -1672,7 +1721,7 @@ class Compiler:
         for guards, src in self._coverage_sources(schema, ctx.scope):
             if not isinstance(src, dict):
                 continue
-            self_src = src is schema
+            kw_gate = self._source_needs_kw_gate(guards, src, schema)
             n_prefix = len(src.get("prefixItems") or [])
             has_items = "items" in src
             nested_unev = "unevaluatedItems" in src and src is not schema
@@ -1681,22 +1730,23 @@ class Compiler:
                 continue
             cond = self._guard_cond(ctx, guards)
             # each keyword's annotation is pruned independently when
-            # that keyword's own application failed (self source only —
-            # branch guards already imply keyword success)
+            # that keyword's own application failed (self and not-inner
+            # sources — branch guards already imply keyword success)
             if has_items:
-                c = cond & self._kw_valid("items", src, ctx) if self_src else cond
-                if self_src and src.get(_LEGACY_ADDITIONAL_ITEMS) and n_prefix > 0:
+                c = cond & self._kw_valid("items", src, ctx) if kw_gate else cond
+                if kw_gate and src.get(_LEGACY_ADDITIONAL_ITEMS) and n_prefix > 0:
                     # rewritten 2019-09 additionalItems: discarded (no
                     # annotation → no coverage) when the tuple failed
                     c = c & self._kw_valid("prefixItems", src, ctx)
                 all_covered = all_covered | c
             if nested_unev:
-                all_covered = all_covered | cond
+                c = cond & self._kw_valid("unevaluatedItems", src, ctx) if kw_gate else cond
+                all_covered = all_covered | c
             if n_prefix > 0:
-                c = cond & self._kw_valid("prefixItems", src, ctx) if self_src else cond
+                c = cond & self._kw_valid("prefixItems", src, ctx) if kw_gate else cond
                 partial.append((c, n_prefix, None))
             if contains_sub is not None:
-                c = cond & self._kw_valid("contains", src, ctx) if self_src else cond
+                c = cond & self._kw_valid("contains", src, ctx) if kw_gate else cond
                 partial.append((c, 0, contains_sub))
 
         def skip_fn(x: Column, i: Column) -> Column:

@@ -143,6 +143,68 @@ REF_CASES = [
 ]
 
 # unevaluated* — applicator.py:190-232, 333-365 (static closure, SURVEY §2.2)
+# annotations flow OUT of a passing `not`: the reference evaluates the
+# subschema into the /not result node itself and inverts only that
+# node's validity (applicator.py:77-86), so when `not` passes (inner
+# FAILED overall) its individually-valid keyword nodes still annotate
+# and cover for sibling unevaluated*. Every case here was verified
+# against the reference live (round-3 fuzz seed 1 found the family).
+NOT_COVERAGE_CASES = [
+    # inner fails via required; additionalProperties:true still covers
+    ({"not": {"additionalProperties": True, "required": ["zz"]},
+      "unevaluatedProperties": False}, {"a": 1}, True),
+    # `not` itself fails (inner passed) → /not node invalid → no flow
+    ({"not": {"additionalProperties": True},
+      "unevaluatedProperties": False}, {"a": 1}, False),
+    # a failed /allOf node prunes even its valid branches (node-validity
+    # chain, jsonschema.py:518)
+    ({"not": {"allOf": [{"properties": {"a": {"type": "integer"}}}, False]},
+      "unevaluatedProperties": False}, {"a": 1}, False),
+    # a valid anyOf branch inside the failed inner still flows
+    ({"not": {"anyOf": [{"properties": {"a": True}}], "required": ["zz"]},
+      "unevaluatedProperties": False}, {"a": 1}, True),
+    # oneOf double-match: /oneOf node invalid → both valid branches pruned
+    ({"not": {"oneOf": [{"properties": {"a": True}}, {"type": "object"}]},
+      "unevaluatedProperties": False}, {"a": 1}, False),
+    # prefixItems inside failed inner covers indices < len
+    ({"not": {"prefixItems": [True, True], "minItems": 99},
+      "unevaluatedItems": False}, [1, 2], True),
+    # contains inside failed inner covers ONLY matched elements
+    ({"not": {"contains": {"minimum": 2}, "minItems": 99},
+      "unevaluatedItems": False}, [1, 2], False),
+    # items keyword that itself failed contributes nothing
+    ({"not": {"items": {"minimum": 2}}, "unevaluatedItems": False}, [1, 2], False),
+    ({"not": {"items": {"minimum": 2}, "minItems": 99},
+      "unevaluatedItems": False}, [2, 3], True),
+    # a failed sibling dependency prunes the whole /dependentSchemas node
+    ({"not": {"dependentSchemas": {
+        "a": {"properties": {"a": True, "b": True}},
+        "b": {"type": "string"}}},
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, False),
+    ({"not": {"dependentSchemas": {
+        "a": {"properties": {"a": True, "b": True}}},
+      "required": ["zz"]},
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, True),
+    # nested not-not: inner-inner PASSED → inner /not node invalid → no flow
+    ({"not": {"not": {"properties": {"a": True}, "required": ["zz"]}},
+      "unevaluatedProperties": False}, {"a": 1}, False),
+    # nested unevaluatedProperties inside failed inner covers everything
+    ({"not": {"unevaluatedProperties": True, "required": ["zz"]},
+      "unevaluatedProperties": False}, {"a": 1}, True),
+    ({"not": {"patternProperties": {"^a": True}, "required": ["zz"]},
+      "unevaluatedProperties": False}, {"a1": 1, "b": 2}, False),
+]
+
+# node-validity pruning in POSITIVE context: a failed applicator node
+# contributes no coverage, so unevaluated* reports the members too —
+# the violation set (not just the verdict) matches the reference
+POSITIVE_NODE_PRUNE_CASES = [
+    ({"oneOf": [{"properties": {"a": True}}, {"type": "object"}],
+      "unevaluatedProperties": False}, {"a": 1}, False),
+    ({"allOf": [{"properties": {"a": True}}, False],
+      "unevaluatedProperties": False}, {"a": 1}, False),
+]
+
 UNEVALUATED_CASES = [
     ({"properties": {"a": {}}, "unevaluatedProperties": False}, {"a": 1}, True),
     ({"properties": {"a": {}}, "unevaluatedProperties": False}, {"a": 1, "b": 2}, False),
@@ -307,12 +369,27 @@ UNEVALUATED_CASES = [
         OBJECT_APPLICATOR_CASES,
         REF_CASES,
         UNEVALUATED_CASES,
+        NOT_COVERAGE_CASES,
+        POSITIVE_NODE_PRUNE_CASES,
     ],
-    ids=["combinators", "conditionals", "dependentSchemas", "arrays", "objects", "refs", "unevaluated"],
+    ids=["combinators", "conditionals", "dependentSchemas", "arrays", "objects", "refs", "unevaluated", "not-coverage", "node-prune"],
 )
 def test_applicators(spark, block):
     for schema, data, valid in block:
         check_case(spark, schema, data, valid)
+
+
+def test_node_prune_violation_sets(spark):
+    """A failed /oneOf (double-match) or /allOf node prunes coverage, so
+    the unevaluatedProperties violation ALSO appears — the reference
+    reports both errors (verified live, jsonschema.py:518 pruning)."""
+    from jschon_spark.testing import evaluate_instance
+
+    for schema, data, _ in POSITIVE_NODE_PRUNE_CASES:
+        valid, viols = evaluate_instance(spark, schema, data)
+        assert not valid
+        kw_paths = {v["keyword_path"] for v in viols}
+        assert "/unevaluatedProperties" in kw_paths, (schema, sorted(kw_paths))
 
 
 def test_format_annotate_vs_assert(spark):
