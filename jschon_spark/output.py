@@ -362,6 +362,84 @@ def _expand_array_subtrees(
         node.setdefault("results", []).extend(expanded)
 
 
+def _applicator_node_gates(entries):
+    """Extra gate Columns for applicator NODES that have no trace entry
+    of their own: jschon prunes annotation collection at the /allOf
+    node (invalid when ANY branch fails), the /oneOf node (invalid
+    unless EXACTLY one branch passes — a double-match prunes both valid
+    branches), and the /dependentSchemas node (invalid when any APPLIED
+    dependency fails) — jsonschema.py:518. The trace only records the
+    branch schema nodes, so derive each group node's validity from its
+    sibling entries. Returns {group_spath: Column}; a consumer conjoins
+    the gates for every group on an entry's ancestor chain."""
+    from jschon_spark.compiler.context import escape_pointer
+
+    gates: dict[str, "F.Column"] = {}
+    by_spath = dict(entries)
+
+    def branch_valid(child_spath: str, sub) -> "F.Column | None":
+        v = by_spath.get(child_spath)
+        if v is not None:
+            return F.coalesce(v[2].valid, F.lit(True))
+        # boolean / empty subschemas short-circuit in apply() and are
+        # never traced — their validity is static
+        if sub is True or sub == {}:
+            return F.lit(True)
+        if sub is False:
+            return F.lit(False)
+        return None  # untraced dict branch: bail out of this group
+
+    for spath, (node_schema, _pc, _c, _a) in entries:
+        if not isinstance(node_schema, dict):
+            continue
+        for kw in ("allOf", "oneOf", "dependentSchemas"):
+            subs = node_schema.get(kw)
+            if not subs:
+                continue
+            q = f"{spath}/{kw}"
+            if q in gates:
+                continue
+            if kw == "dependentSchemas":
+                # every APPLIED dep must be valid; boolean dep schemas
+                # have no trace entry carrying the applied condition, so
+                # skip the gate (conservative: no pruning)
+                terms = []
+                for name, sub in subs.items():
+                    v = by_spath.get(f"{q}/{escape_pointer(name)}")
+                    if v is None:
+                        terms = None
+                        break
+                    val = F.coalesce(v[2].valid, F.lit(True))
+                    applied = v[3]
+                    terms.append(val if applied is None else (~applied | val))
+                if not terms:
+                    continue
+                g = terms[0]
+                for t in terms[1:]:
+                    g = g & t
+            else:
+                valids = []
+                for i, sub in enumerate(subs):
+                    bv = branch_valid(f"{q}/{i}", sub)
+                    if bv is None:
+                        valids = None
+                        break
+                    valids.append(bv)
+                if not valids:
+                    continue
+                if kw == "allOf":
+                    g = valids[0]
+                    for v in valids[1:]:
+                        g = g & v
+                else:  # oneOf: EXACTLY one branch valid
+                    n = F.when(valids[0], F.lit(1)).otherwise(F.lit(0))
+                    for v in valids[1:]:
+                        n = n + F.when(v, F.lit(1)).otherwise(F.lit(0))
+                    g = n == F.lit(1)
+            gates[q] = g
+    return gates
+
+
 def annotation_array(trace) -> "F.Column":
     """array<struct<instance_path,keyword_path,keyword,value_json>> of
     the annotation units a traced compilation contributes for one
@@ -379,6 +457,7 @@ def annotation_array(trace) -> "F.Column":
 
     units = []
     entries = sorted(trace.items())
+    node_gates = _applicator_node_gates(entries)
     for spath, (node_schema, path_col, compiled, applied) in entries:
         if not isinstance(node_schema, dict):
             continue
@@ -392,6 +471,13 @@ def annotation_array(trace) -> "F.Column":
                 and (p == "" or spath[len(p)] == "/")
             ):
                 gate = gate & pv[2].valid
+        # applicator GROUP nodes (/allOf, /oneOf, /dependentSchemas) on
+        # the ancestor chain have no trace entry; gate on their derived
+        # node validity (jschon prunes at invalid nodes even when this
+        # branch passed)
+        for q, qg in node_gates.items():
+            if spath.startswith(q + "/") or spath == q:
+                gate = gate & qg
         for k in _ANNOTATION_KEYS:
             if k in node_schema:
                 units.append(

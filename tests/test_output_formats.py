@@ -238,6 +238,36 @@ def test_annotation_output_distributed(spark):
     assert 2 not in by_id and 3 not in by_id
 
 
+def test_annotation_applicator_node_pruning(spark):
+    """jschon prunes annotation collection at invalid applicator GROUP
+    nodes (jsonschema.py:518): a double-match /oneOf or failed /allOf
+    node contributes nothing even from its individually-valid branches,
+    while annotations DO flow out of a passing `not` whose inner failed
+    (applicator.py:77-86 inverts only the /not node). All expectations
+    verified against the reference live (round 3)."""
+    from jschon_spark.output import annotation_output
+
+    df = spark.createDataFrame([(1, 7)], "id long, a long")
+
+    def titles(schema):
+        rows = annotation_output(schema, df, instance_columns=["a"], id_cols=["id"]).collect()
+        return sorted(r.keyword_path for r in rows if r.keyword == "title")
+
+    # oneOf double-match under a passing not: branch titles pruned
+    assert titles({"not": {"oneOf": [{"title": "T"}, {"type": "object"}],
+                           "required": ["zz"]}}) == []
+    # failed /allOf node under a passing not: valid branch title pruned
+    assert titles({"not": {"allOf": [{"title": "T"}, False]}}) == []
+    # valid anyOf branch inside the failed not-inner still flows
+    assert titles({"not": {"anyOf": [{"title": "T"}], "required": ["zz"]}}) == ["/not/anyOf/0"]
+    # failed sibling dependency prunes the whole /dependentSchemas node
+    assert titles({"not": {"dependentSchemas": {
+        "a": {"title": "T"}, "b": {"type": "string"}}}}) == []
+    # positive-context sanity: single-match oneOf and passing allOf flow
+    assert titles({"oneOf": [{"title": "T", "type": "object"}, {"type": "string"}]}) == ["/oneOf/0"]
+    assert titles({"allOf": [{"title": "T"}, {"type": "object"}]}) == ["/allOf/0"]
+
+
 def test_verbose_output_per_entry_map_subtree(spark):
     """Map-entry subtrees also expand per entry in verbose output (the
     map analogue of the r3 array expansion)."""
