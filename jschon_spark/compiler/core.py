@@ -1470,12 +1470,21 @@ class Compiler:
             for name, sub in dep.items():
                 # /dependentSchemas node validity = ALL applicable deps
                 # valid (a failed sibling dep prunes this one's
-                # annotations too); applicability of THIS dep = name
-                # present
+                # annotations too); applicability of THIS dep = the
+                # instance IS AN OBJECT carrying the name. The explicit
+                # "type":"object" matters: bare required/dependentSchemas
+                # guards are vacuously VALID on arrays, which wrongly let
+                # a dep-sourced nested unevaluatedItems cover array
+                # elements jschon never evaluates (ref-fuzz seed 3;
+                # DependentSchemasKeyword is object-scoped,
+                # applicator.py instance_types)
                 out.extend(
                     self._coverage_sources(
                         sub, scope, _seen,
-                        _guards + (({"required": [name]}, False), ({"dependentSchemas": dep}, False)),
+                        _guards + (
+                            ({"type": "object", "required": [name]}, False),
+                            ({"dependentSchemas": dep}, False),
+                        ),
                     )
                 )
             for refkw in ("$ref", "$dynamicRef"):

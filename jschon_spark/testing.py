@@ -301,9 +301,17 @@ def evaluate_batch(
                 results[r["id"]] = _outcome(r)
         for i, data in spill:
             # guard tripped under the unified dtype — evaluate solo
-            dt = infer_spark_type(data)
+            try:
+                dt = infer_spark_type(data)
+                row = Row(value=_to_row(data, dt))
+            except Untypeable:
+                # absence-vs-null can be unrepresentable even within a
+                # SINGLE instance (an array whose elements unify to a
+                # struct with a NullType field one element omits) —
+                # same documented typed-column delta, skip
+                continue
             df = spark.createDataFrame(
-                [Row(value=_to_row(data, dt))],
+                [row],
                 T.StructType([T.StructField("value", dt, True)]),
             )
             c = compiled.columns(dt, F.col("value"))

@@ -195,6 +195,21 @@ NOT_COVERAGE_CASES = [
       "unevaluatedProperties": False}, {"a1": 1, "b": 2}, False),
 ]
 
+# dependentSchemas is OBJECT-scoped (the keyword never evaluates on an
+# array — reference applicator.py instance_types), so a dep-sourced
+# items/unevaluatedItems contributes NO array coverage even though bare
+# required/dependentSchemas keywords are vacuously valid on arrays
+# (ref-fuzz seed 3; verified against the reference live)
+OBJECT_SCOPED_SOURCE_CASES = [
+    ({"dependentSchemas": {"d": {"items": True}}, "unevaluatedItems": False},
+     [1, 2], False),
+    ({"anyOf": [{"dependentSchemas": {"d": {"unevaluatedItems": True}}}],
+      "unevaluatedItems": False}, [1, 2], False),
+    # ... while on an object instance the dep DOES apply and passes
+    ({"dependentSchemas": {"d": {"items": True}}, "unevaluatedItems": False},
+     {"d": 1}, True),
+]
+
 # node-validity pruning in POSITIVE context: a failed applicator node
 # contributes no coverage, so unevaluated* reports the members too —
 # the violation set (not just the verdict) matches the reference
@@ -371,8 +386,9 @@ UNEVALUATED_CASES = [
         UNEVALUATED_CASES,
         NOT_COVERAGE_CASES,
         POSITIVE_NODE_PRUNE_CASES,
+        OBJECT_SCOPED_SOURCE_CASES,
     ],
-    ids=["combinators", "conditionals", "dependentSchemas", "arrays", "objects", "refs", "unevaluated", "not-coverage", "node-prune"],
+    ids=["combinators", "conditionals", "dependentSchemas", "arrays", "objects", "refs", "unevaluated", "not-coverage", "node-prune", "object-scoped-sources"],
 )
 def test_applicators(spark, block):
     for schema, data, valid in block:
