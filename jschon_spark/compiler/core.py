@@ -62,6 +62,12 @@ class CompileError(Exception):
 # (import deferred in legacy.py to avoid a cycle — keep in sync)
 _LEGACY_ADDITIONAL_ITEMS = "x-legacy-additionalItems"
 
+# rewrite_legacy marks unevaluatedItems carriers in 2019-09 resources:
+# that dialect's keyword reads items/additionalItems/unevaluatedItems
+# annotations but NOT contains (reference legacy.py:114-137), so
+# contains-matched elements stay unevaluated (keep in sync w/ legacy.py)
+_LEGACY_UNEV_NO_CONTAINS = "x-legacy-unevaluatedItemsNoContains"
+
 # Keyword evaluation order ≙ jschon's depends_on toposort
 # (jschon/jsonschema.py:168-185). Static order suffices because the
 # dependency graph is fixed in 2020-12.
@@ -1725,6 +1731,10 @@ class Compiler:
         guard (branch/if-then-else validity)."""
         if not isinstance(ctx.dtype, T.ArrayType):
             return None
+        # a 2019-09 consumer never reads contains annotations — from ANY
+        # source (reference legacy.py:114-137 collects only items /
+        # additionalItems / unevaluatedItems)
+        no_contains = bool(schema.get(_LEGACY_UNEV_NO_CONTAINS))
         all_covered = F.lit(False)  # whole-array coverage, hoisted out of the HOF
         partial: list[tuple[Column, int, Any]] = []  # (cond, n_prefix, contains_sub)
         for guards, src in self._coverage_sources(schema, ctx.scope):
@@ -1734,7 +1744,7 @@ class Compiler:
             n_prefix = len(src.get("prefixItems") or [])
             has_items = "items" in src
             nested_unev = "unevaluatedItems" in src and src is not schema
-            contains_sub = src["contains"] if "contains" in src else None
+            contains_sub = src["contains"] if "contains" in src and not no_contains else None
             if not has_items and not nested_unev and n_prefix == 0 and contains_sub is None:
                 continue
             cond = self._guard_cond(ctx, guards)

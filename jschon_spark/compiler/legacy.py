@@ -48,10 +48,26 @@ _SUB_ARRAY = {"prefixItems", "allOf", "anyOf", "oneOf"}
 _SUB_OBJECT = {"properties", "patternProperties", "dependentSchemas", "$defs", "definitions"}
 
 
-def rewrite_legacy(schema: Any) -> Any:
-    """Recursively normalized copy of ``schema`` (input not mutated)."""
+# marker for 2019-09 unevaluatedItems: that dialect's keyword collects
+# only items/additionalItems/unevaluatedItems annotations — NOT
+# contains (reference legacy.py:114-137 vs applicator.py:235-265), so
+# contains-matched elements stay unevaluated. Inert unknown keyword in
+# the 2020-12 pipeline.
+_UNEV_ITEMS_NO_CONTAINS_MARKER = "x-legacy-unevaluatedItemsNoContains"
+
+_1909_URI = "https://json-schema.org/draft/2019-09/schema"
+
+
+def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
+    """Recursively normalized copy of ``schema`` (input not mutated).
+    ``dialect_uri`` is the governing $schema of the enclosing resource
+    (updated wherever a node declares its own $schema) — it drives the
+    dialect-SEMANTIC markers, while the shape rewrites stay
+    shape-driven."""
     if not isinstance(schema, dict):
         return schema
+    if isinstance(schema.get("$schema"), str):
+        dialect_uri = schema["$schema"]
 
     # draft-04 boolean exclusive bounds: {"maximum": M,
     # "exclusiveMaximum": true} means value < M — rewrite to the
@@ -66,12 +82,12 @@ def rewrite_legacy(schema: Any) -> Any:
     for k, v in schema.items():
         if k == "items":
             if isinstance(v, list):
-                out["prefixItems"] = [rewrite_legacy(s) for s in v]
+                out["prefixItems"] = [rewrite_legacy(s, dialect_uri) for s in v]
             else:
-                out["items"] = rewrite_legacy(v)
+                out["items"] = rewrite_legacy(v, dialect_uri)
         elif k == "additionalItems":
             if isinstance(schema.get("items"), list):
-                out["items"] = rewrite_legacy(v)
+                out["items"] = rewrite_legacy(v, dialect_uri)
                 # 2019-09 additionalItems is DISCARDED (no assertion, no
                 # annotation) when the tuple `items` fails — the items
                 # annotation it depends on is only set on success
@@ -85,7 +101,7 @@ def rewrite_legacy(schema: Any) -> Any:
             # (reference legacy.py:113-121)
         elif k == "dependencies" and isinstance(v, dict):
             req = {n: d for n, d in v.items() if isinstance(d, list)}
-            schemas = {n: rewrite_legacy(d) for n, d in v.items() if not isinstance(d, list)}
+            schemas = {n: rewrite_legacy(d, dialect_uri) for n, d in v.items() if not isinstance(d, list)}
             if req:
                 out.setdefault("dependentRequired", {}).update(req)
             if schemas:
@@ -96,20 +112,28 @@ def rewrite_legacy(schema: Any) -> Any:
         elif k == "$recursiveRef":
             out["$dynamicRef"] = "#" + _RECURSIVE_NAME if v == "#" else v
         elif k in _SUB:
-            out[k] = rewrite_legacy(v)
+            out[k] = rewrite_legacy(v, dialect_uri)
         elif k in _SUB_ARRAY and isinstance(v, list):
-            out[k] = [rewrite_legacy(s) for s in v]
+            out[k] = [rewrite_legacy(s, dialect_uri) for s in v]
         elif k == "dependentSchemas" and isinstance(v, dict):
             # MERGE with any dependencies-derived entries (explicit
             # names win) — plain assignment would drop them when
             # 'dependencies' precedes this key in document order
             out.setdefault("dependentSchemas", {}).update(
-                {n: rewrite_legacy(s) for n, s in v.items()}
+                {n: rewrite_legacy(s, dialect_uri) for n, s in v.items()}
             )
         elif k == "dependentRequired" and isinstance(v, dict):
             out.setdefault("dependentRequired", {}).update(v)
         elif k in _SUB_OBJECT and isinstance(v, dict):
-            out[k] = {n: rewrite_legacy(s) for n, s in v.items()}
+            out[k] = {n: rewrite_legacy(s, dialect_uri) for n, s in v.items()}
         else:
             out[k] = v
+    if (
+        "unevaluatedItems" in out
+        and isinstance(dialect_uri, str)
+        and dialect_uri.rstrip("#") == _1909_URI
+    ):
+        # 2019-09 unevaluatedItems never sees contains annotations —
+        # the compiler's coverage model must skip contains sources here
+        out[_UNEV_ITEMS_NO_CONTAINS_MARKER] = True
     return out

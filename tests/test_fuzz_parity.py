@@ -620,6 +620,100 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
     )
 
 
+# ------------------------------------------------- negation-coverage fuzzing
+# annotations flow OUT of a passing `not` (the reference evaluates the
+# subschema into the /not node and inverts only that node's validity,
+# applicator.py:77-86), and invalid applicator GROUP nodes prune even
+# their valid branches. Round-3 seed 1 found the family; this generator
+# hammers it: unevaluated* siblings of not-wrapped annotation producers,
+# with a toggle keyword so `not` flips both ways across instances.
+
+NEG_SEEDS = list(range(20))
+
+
+def gen_negation_schema(rng: random.Random, depth: int = 3) -> dict:
+    defs: list = []
+    inner: dict = {}
+    if rng.random() < 0.5:
+        _f_object(inner, rng, depth - 1, defs)
+    else:
+        _f_array(inner, rng, depth - 1, defs)
+    # a toggle that decides per-instance whether the inner fails
+    # (making `not` pass and its annotations flow)
+    toggle = rng.choice(
+        [
+            {"required": [rng.choice("abcd")]},
+            {"minProperties": rng.randint(1, 3)},
+            {"minItems": rng.randint(1, 3)},
+            {"type": rng.choice(["object", "array", "string", "number"])},
+            {},
+        ]
+    )
+    inner.update(toggle)
+    s: dict = {"not": inner}
+    wrap = rng.random()
+    if wrap < 0.25:
+        s = {"anyOf": [s, gen_schema(rng, depth - 1, defs)]}
+    elif wrap < 0.40:
+        s = {"allOf": [s, gen_schema(rng, depth - 1, defs)]}
+    elif wrap < 0.50:
+        s = {"not": s}  # double negation: inner-not node inverts back
+    def tracker():
+        if rng.random() < 0.6:
+            return rng.choice([True, False])
+        return gen_schema(rng, depth - 1, defs)
+    if rng.random() < 0.6:
+        s["unevaluatedProperties"] = tracker()
+    if rng.random() < 0.6:
+        s["unevaluatedItems"] = tracker()
+    if "unevaluatedProperties" not in s and "unevaluatedItems" not in s:
+        s["unevaluatedProperties"] = False
+    return s
+
+
+@pytest.mark.parametrize("seed", NEG_SEEDS)
+def test_fuzz_negation_coverage_matches_reference(spark, ref, seed):
+    rng = random.Random(310_000 + seed)
+    schema = gen_negation_schema(rng)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    try:
+        compiled_ref = JSONSchema(
+            schema, catalog=ref["catalog"], cacheid=f"negfuzz-{seed}", metaschema_uri=URI(_META)
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated schema not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(schema, hints)
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True
+    )
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"neg seed {seed}"
+    )
+    assert not mismatches, (
+        f"negation-coverage seed {seed}: Spark engine disagrees with the reference "
+        f"on {len(mismatches)}/{len(datas)} instances\nschema={schema!r}\n"
+        + "\n".join(mismatches)
+    )
+    assert skipped <= len(datas) * 0.5, (
+        f"neg seed {seed}: {skipped}/{len(datas)} skipped as untypeable"
+    )
+
+
 # ------------------------------------------------- ref-resolution fuzzing
 
 REF_SEEDS = list(range(12))

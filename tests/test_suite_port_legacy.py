@@ -392,6 +392,28 @@ def test_suite_case_legacy(spark, schema, data, valid, assert_formats):
         pytest.skip(f"no single Spark type for instance (typed-column delta): {e}")
 
 
+def test_2019_09_unevaluatedItems_ignores_contains(spark):
+    """2019-09 unevaluatedItems collects only items / additionalItems /
+    unevaluatedItems annotations — NOT contains (reference
+    legacy.py:114-137), so contains-matched elements stay unevaluated;
+    2020-12 added contains to the coverage set (applicator.py:235-265).
+    Verified against the reference live (round 3)."""
+    from jschon_spark.testing import evaluate_instance
+
+    s19 = {**D19, "contains": {"minimum": 2}, "unevaluatedItems": False}
+    s20 = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+           "contains": {"minimum": 2}, "unevaluatedItems": False}
+    # every element contains-matched: 2019-09 still rejects, 2020-12 accepts
+    assert evaluate_instance(spark, s19, [2, 3])[0] is False
+    assert evaluate_instance(spark, s20, [2, 3])[0] is True
+    # an unmatched element fails under both
+    assert evaluate_instance(spark, s19, [1, 2])[0] is False
+    assert evaluate_instance(spark, s20, [1, 2])[0] is False
+    # the delta also blocks contains coverage from BRANCH sources
+    s19b = {**D19, "allOf": [{"contains": {"minimum": 2}}], "unevaluatedItems": False}
+    assert evaluate_instance(spark, s19b, [2, 3])[0] is False
+
+
 def test_2019_09_additionalItems_discarded_when_tuple_items_fails(spark):
     """2019-09 additionalItems depends on the items ANNOTATION, which is
     only set when every tuple index passes (reference legacy.py:76-85);
