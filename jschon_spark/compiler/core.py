@@ -62,6 +62,13 @@ class CompileError(Exception):
 # (import deferred in legacy.py to avoid a cycle — keep in sync)
 _LEGACY_ADDITIONAL_ITEMS = "x-legacy-additionalItems"
 
+# rewrite_legacy marks pre-2019-09 schema objects containing $ref:
+# in draft-04/-06/-07 every sibling keyword of $ref is IGNORED
+# (draft-07 core §8.3; suite draft7/ref.json "ref overrides any sibling
+# keywords") — siblings stay addressable for JSON-pointer refs but do
+# not assert (keep in sync w/ legacy.py)
+_LEGACY_REF_ONLY = "x-legacy-refOnly"
+
 # rewrite_legacy marks unevaluatedItems carriers in 2019-09 resources:
 # that dialect's keyword reads items/additionalItems/unevaluatedItems
 # annotations but NOT contains (reference legacy.py:114-137), so
@@ -569,9 +576,12 @@ class Compiler:
         results: dict[str, Compiled] = {}
         parts: list[Compiled] = []
         enabled = self._enabled_at(ctx)
+        ref_only = bool(schema.get(_LEGACY_REF_ONLY))
         for kw in _ORDER:
             if kw not in schema:
                 continue
+            if ref_only and kw != "$ref":
+                continue  # pre-2019-09: $ref ignores every sibling
             if enabled is not None and kw not in enabled:
                 continue  # outside the dialect's vocabularies → annotation
             handler = getattr(self, "_k_" + kw.lstrip("$").replace("-", "_"), None)

@@ -55,7 +55,18 @@ _SUB_OBJECT = {"properties", "patternProperties", "dependentSchemas", "$defs", "
 # the 2020-12 pipeline.
 _UNEV_ITEMS_NO_CONTAINS_MARKER = "x-legacy-unevaluatedItemsNoContains"
 
+# marker for draft-04/-06/-07 $ref: in those dialects a schema object
+# containing $ref behaves as a pure reference — every sibling keyword
+# is IGNORED (draft-07 core §8.3; official suite draft7/ref.json
+# "ref overrides any sibling keywords"). 2019-09 made $ref a regular
+# keyword evaluated alongside siblings. Siblings stay in the document
+# (JSON-pointer refs may address into them) but do not assert.
+_REF_ONLY_MARKER = "x-legacy-refOnly"
+
 _1909_URI = "https://json-schema.org/draft/2019-09/schema"
+_PRE_1909_URIS = frozenset(
+    f"http://json-schema.org/draft-0{n}/schema" for n in (4, 6, 7)
+)
 
 
 def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
@@ -136,4 +147,12 @@ def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
         # 2019-09 unevaluatedItems never sees contains annotations —
         # the compiler's coverage model must skip contains sources here
         out[_UNEV_ITEMS_NO_CONTAINS_MARKER] = True
+    if (
+        "$ref" in out
+        and isinstance(dialect_uri, str)
+        and dialect_uri.rstrip("#") in _PRE_1909_URIS
+        and len(out) > 1
+    ):
+        # pre-2019-09 $ref ignores every sibling keyword
+        out[_REF_ONLY_MARKER] = True
     return out

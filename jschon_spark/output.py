@@ -367,11 +367,16 @@ def _applicator_node_gates(entries):
     of their own: jschon prunes annotation collection at the /allOf
     node (invalid when ANY branch fails), the /oneOf node (invalid
     unless EXACTLY one branch passes — a double-match prunes both valid
-    branches), and the /dependentSchemas node (invalid when any APPLIED
-    dependency fails) — jsonschema.py:518. The trace only records the
-    branch schema nodes, so derive each group node's validity from its
-    sibling entries. Returns {group_spath: Column}; a consumer conjoins
-    the gates for every group on an entry's ancestor chain."""
+    branches), the /dependentSchemas node (invalid when any APPLIED
+    dependency fails), and likewise the /prefixItems and /properties
+    keyword nodes (invalid when any APPLIED child fails — an absent
+    property / out-of-range index is vacuous) — jsonschema.py:518. The
+    trace only records the child schema nodes, so derive each group
+    node's validity from them. Returns {group_spath: Column}; a
+    consumer conjoins the gates for every group on an entry's ancestor
+    chain. Groups with untraced dict/boolean children whose
+    applied-ness is unknowable (a boolean prefixItems entry) skip the
+    gate — conservative: no pruning."""
     from jschon_spark.compiler.context import escape_pointer
 
     gates: dict[str, "F.Column"] = {}
@@ -389,29 +394,51 @@ def _applicator_node_gates(entries):
             return F.lit(False)
         return None  # untraced dict branch: bail out of this group
 
+    def applied_term(v) -> "F.Column":
+        val = F.coalesce(v[2].valid, F.lit(True))
+        applied = v[3]
+        return val if applied is None else (~applied | val)
+
     for spath, (node_schema, _pc, _c, _a) in entries:
         if not isinstance(node_schema, dict):
             continue
-        for kw in ("allOf", "oneOf", "dependentSchemas"):
+        for kw in ("allOf", "oneOf", "dependentSchemas", "properties", "prefixItems"):
             subs = node_schema.get(kw)
             if not subs:
                 continue
             q = f"{spath}/{kw}"
             if q in gates:
                 continue
-            if kw == "dependentSchemas":
-                # every APPLIED dep must be valid; boolean dep schemas
-                # have no trace entry carrying the applied condition, so
-                # skip the gate (conservative: no pruning)
+            if kw in ("dependentSchemas", "properties"):
+                # every APPLIED child must be valid; untraced (boolean)
+                # children have no applied condition → skip the gate.
+                # A non-empty dict child with no entry is a property
+                # name absent from the typed column — never applied,
+                # vacuously valid, skip just that name.
                 terms = []
                 for name, sub in subs.items():
                     v = by_spath.get(f"{q}/{escape_pointer(name)}")
                     if v is None:
+                        if kw == "properties" and isinstance(sub, dict) and sub:
+                            continue
                         terms = None
                         break
-                    val = F.coalesce(v[2].valid, F.lit(True))
-                    applied = v[3]
-                    terms.append(val if applied is None else (~applied | val))
+                    terms.append(applied_term(v))
+                if not terms:
+                    continue
+                g = terms[0]
+                for t in terms[1:]:
+                    g = g & t
+            elif kw == "prefixItems":
+                # applied = index < len(array); untraced boolean entries
+                # would need the array column → skip the gate
+                terms = []
+                for i in range(len(subs)):
+                    v = by_spath.get(f"{q}/{i}")
+                    if v is None:
+                        terms = None
+                        break
+                    terms.append(applied_term(v))
                 if not terms:
                     continue
                 g = terms[0]

@@ -266,6 +266,24 @@ def test_annotation_applicator_node_pruning(spark):
     # positive-context sanity: single-match oneOf and passing allOf flow
     assert titles({"oneOf": [{"title": "T", "type": "object"}, {"type": "string"}]}) == ["/oneOf/0"]
     assert titles({"allOf": [{"title": "T"}, {"type": "object"}]}) == ["/allOf/0"]
+    # keyword GROUP nodes prune the same way: a /prefixItems node with a
+    # failed index, or a /properties node with a failed member, drops
+    # even its valid children's annotations (negation fuzz seed 19)
+    arr = spark.createDataFrame([(1, [1, 2])], "id long, a array<bigint>")
+    obj = spark.createDataFrame([(1, 1, 2)], "id long, a long, b long")
+
+    def titles_on(df, cols, schema):
+        rows = annotation_output(schema, df, instance_columns=cols, id_cols=["id"]).collect()
+        return sorted(r.keyword_path for r in rows if r.keyword == "title")
+
+    wrap = {"type": "array", "minItems": 99}
+    assert titles_on(arr, ["a"], {"properties": {"a": {"not": {
+        "prefixItems": [{"title": "T"}, {"type": "object"}], **wrap}}}}) == []
+    assert titles_on(arr, ["a"], {"properties": {"a": {"not": {
+        "prefixItems": [{"title": "T"}, {"type": "integer"}], **wrap}}}}) == [
+        "/properties/a/not/prefixItems/0"]
+    assert titles_on(obj, ["a", "b"], {"not": {
+        "properties": {"a": {"title": "T"}, "b": {"type": "string"}}}}) == []
 
 
 def test_verbose_output_per_entry_map_subtree(spark):

@@ -392,6 +392,25 @@ def test_suite_case_legacy(spark, schema, data, valid, assert_formats):
         pytest.skip(f"no single Spark type for instance (typed-column delta): {e}")
 
 
+def test_draft7_ref_overrides_siblings(spark):
+    """Pre-2019-09 $ref ignores every sibling keyword (draft-07 core
+    §8.3; official suite draft7/ref.json 'ref overrides any sibling
+    keywords') — siblings stay addressable for JSON-pointer refs but do
+    not assert. 2019-09 made $ref a regular keyword."""
+    from jschon_spark.testing import evaluate_instance
+
+    s7 = {**D7,
+          "definitions": {"reffed": {"type": "array"}},
+          "properties": {"foo": {"$ref": "#/definitions/reffed", "maxItems": 2}}}
+    assert evaluate_instance(spark, s7, {"foo": [1, 2, 3]})[0] is True  # maxItems ignored
+    assert evaluate_instance(spark, s7, {"foo": "string"})[0] is False  # ref still asserts
+    # 2019-09: the sibling asserts alongside $ref
+    s19 = {**D19,
+           "$defs": {"reffed": {"type": "array"}},
+           "properties": {"foo": {"$ref": "#/$defs/reffed", "maxItems": 2}}}
+    assert evaluate_instance(spark, s19, {"foo": [1, 2, 3]})[0] is False
+
+
 def test_2019_09_unevaluatedItems_ignores_contains(spark):
     """2019-09 unevaluatedItems collects only items / additionalItems /
     unevaluatedItems annotations — NOT contains (reference
