@@ -212,6 +212,35 @@ _reg_vocab(
 )
 
 
+# pre-2019-09 dialect keyword sets, expressed in POST-REWRITE (2020-12)
+# names — legacy.py rewrites tuple items → prefixItems(+items) and
+# dependencies → dependentRequired/dependentSchemas before gating, so
+# the rewritten names are what _enabled_at sees. Keywords a dialect
+# never defined (unevaluated*, min/maxContains, $dynamicRef) are
+# unknown there and must NOT assert (draft-07 core §6.5: unknown
+# keywords are ignored). NB draft-04's exclusive bounds are boolean
+# modifiers rewritten into the numeric form under the same names, so
+# exclusiveMaximum/Minimum stay enabled for all three.
+_D7_KEYWORDS = frozenset(
+    {
+        "$ref", "type", "enum", "const", "multipleOf", "maximum",
+        "exclusiveMaximum", "minimum", "exclusiveMinimum", "maxLength",
+        "minLength", "pattern", "maxItems", "minItems", "uniqueItems",
+        "maxProperties", "minProperties", "required", "dependentRequired",
+        "format", "properties", "patternProperties", "additionalProperties",
+        "propertyNames", "prefixItems", "items", "contains",
+        "dependentSchemas", "allOf", "anyOf", "oneOf", "not",
+        "if", "then", "else",
+    }
+)
+_D6_KEYWORDS = _D7_KEYWORDS - {"if", "then", "else"}
+_D4_KEYWORDS = _D6_KEYWORDS - {"const", "contains", "propertyNames"}
+_LEGACY_DIALECT_KEYWORDS = {
+    "http://json-schema.org/draft-07/schema": _D7_KEYWORDS,
+    "http://json-schema.org/draft-06/schema": _D6_KEYWORDS,
+    "http://json-schema.org/draft-04/schema": _D4_KEYWORDS,
+}
+
 _KNOWN_DIALECTS = (
     "https://json-schema.org/draft/2020-12/schema",
     "https://json-schema.org/draft/2019-09/schema",
@@ -232,6 +261,9 @@ def _dialect_for(schema_uri: str, catalog: Optional[Any]) -> tuple[Optional[froz
     for an unrecognized dialect or an unknown required vocabulary
     (2020-12 §8.1.2)."""
     uri = schema_uri.rstrip("#")
+    if uri in _LEGACY_DIALECT_KEYWORDS:
+        # static sets for dialects older than vocabularies existed
+        return _LEGACY_DIALECT_KEYWORDS[uri], False
     meta_doc = catalog.lookup(uri) if catalog is not None else None
     if uri not in _KNOWN_DIALECTS and meta_doc is None:
         raise CompileError(

@@ -392,6 +392,31 @@ def test_suite_case_legacy(spark, schema, data, valid, assert_formats):
         pytest.skip(f"no single Spark type for instance (typed-column delta): {e}")
 
 
+def test_legacy_dialect_keyword_gating(spark):
+    """Keywords a pre-2019-09 dialect never defined are unknown there
+    and must be IGNORED, not asserted (draft-07 core §6.5): draft-07
+    has no unevaluated*, draft-06 no if/then/else, draft-04 no
+    const/contains/propertyNames. Static per-dialect keyword sets in
+    _dialect_for (post-rewrite names)."""
+    from jschon_spark.testing import evaluate_instance
+
+    D6 = {"$schema": "http://json-schema.org/draft-06/schema#"}
+    D4 = {"$schema": "http://json-schema.org/draft-04/schema#"}
+    cases = [
+        ({**D7, "properties": {"a": {}}, "unevaluatedProperties": False},
+         {"a": 1, "b": 2}, True),
+        ({**D6, "if": {"type": "integer"}, "then": {"minimum": 5}}, 1, True),
+        ({**D7, "if": {"type": "integer"}, "then": {"minimum": 5}}, 1, False),
+        ({**D4, "const": 5}, 1, True),
+        ({**D6, "const": 5}, 1, False),
+        ({**D7, "contains": {"minimum": 5}}, [1, 2], False),
+        ({**D4, "contains": {"minimum": 5}}, [1, 2], True),
+    ]
+    for schema, data, want in cases:
+        got, viols = evaluate_instance(spark, schema, data)
+        assert got is want, (schema, data, got, viols)
+
+
 def test_draft7_ref_overrides_siblings(spark):
     """Pre-2019-09 $ref ignores every sibling keyword (draft-07 core
     §8.3; official suite draft7/ref.json 'ref overrides any sibling
