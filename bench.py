@@ -156,11 +156,22 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     session_warmup = round(time.perf_counter() - t0, 3)
 
+    # best-of-2 per query: run-to-run noise on this host is ±2-3x
+    # (hypervisor co-tenants; one observed window inflated a 7 s query
+    # to 123 s), and the min is the honest capability number — same
+    # protocol the clips pipeline below already uses
     timings: dict[str, float] = {}
-    for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        _noop(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    pass_totals = []
+    for _ in range(2):
+        pass_total = 0.0
+        for name, fn in entry.queries().items():
+            t0 = time.perf_counter()
+            _noop(fn(spark, sf_dir))
+            sec = round(time.perf_counter() - t0, 3)
+            pass_total += sec
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+        pass_totals.append(round(pass_total, 3))
 
     clips: dict = {}
     if CLIPS_ROWS > 0:
@@ -178,6 +189,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "query_pass_totals_sec": pass_totals,
                 "session_warmup_sec": session_warmup,
                 "clips": clips,
             }

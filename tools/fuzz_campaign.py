@@ -1,0 +1,209 @@
+"""Out-of-band differential fuzz CAMPAIGN against the in-sandbox reference.
+
+tests/test_fuzz_parity.py runs a bounded seed set (86 schemas) inside
+pytest so CI stays fast; this script reuses the exact same generators,
+oracles and comparison logic to sweep THOUSANDS of additional seeds and
+write every disagreement to a JSONL report. Run it in the background,
+then turn each recorded mismatch into (a) a fix and (b) a pinned
+regression seed in the pytest ranges.
+
+Usage:
+    python tools/fuzz_campaign.py --families main,neg,ref,legacy,ext \
+        --start 1000 --count 200 --out /tmp/fuzz_campaign.jsonl
+
+The report is append-only and the (family, seed) pairs already present
+are skipped, so the campaign is resumable. Seed namespaces match the
+pytest module exactly (main=98_000+, neg=310_000+, ref/ext=77_000+,
+legacy=55_000+), so a mismatch found here reproduces verbatim by adding
+the raw seed to the corresponding SEEDS list in tests/test_fuzz_parity.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import random
+import sys
+import time
+import traceback
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+sys.path.insert(0, os.path.join(_REPO, "tests", "ref_oracle"))
+sys.path.insert(0, "/root/reference")
+
+import test_fuzz_parity as fz  # noqa: E402  (the generators + comparator)
+from jschon_spark.session import get_session  # noqa: E402
+from jschon_spark.testing import evaluate_batch  # noqa: E402
+
+_META = fz._META
+_META_1909 = "https://json-schema.org/draft/2019-09/schema"
+
+
+def _load_ref():
+    """Reference catalog, loaded exactly like the pytest `ref`/`ref19`
+    fixtures (shimmed metaschema sources, no network)."""
+    from jschon import JSON, JSONSchema, URI
+    from jschon.catalog import Catalog, LocalSource, _2019_09, _2020_12
+
+    meta20 = os.path.join(_REPO, "tests", "ref_oracle", "json-schema-2020-12")
+    meta19 = os.path.join(_REPO, "tests", "ref_oracle", "json-schema-2019-09")
+    orig20, orig19 = _2020_12.LocalSource, _2019_09.LocalSource
+    _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta20, **kw)
+    _2019_09.LocalSource = lambda base_dir, **kw: LocalSource(meta19, **kw)
+    try:
+        catalog = Catalog(name="campaign")
+        _2020_12.initialize(catalog)
+        _2019_09.initialize(catalog)
+    finally:
+        _2020_12.LocalSource = orig20
+        _2019_09.LocalSource = orig19
+    return {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema, "URI": URI}
+
+
+def _ref_eval(ref, compiled_ref, datas):
+    JSON = ref["JSON"]
+    verdicts, outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        outputs.append(out.get("annotations", []) if res.valid else out.get("errors", []))
+    return verdicts, outputs
+
+
+def _run_one(spark, ref, family, seed):
+    """Returns (status, payload): status in {ok, skip, mismatch, error}."""
+    JSONSchema, URI = ref["JSONSchema"], ref["URI"]
+    cacheid = f"campaign-{family}-{seed}"
+    catalog_obj = None
+
+    if family == "main":
+        rng = random.Random(98_000 + seed)
+        schema = fz.gen_root_schema(rng)
+        meta = _META
+    elif family == "neg":
+        rng = random.Random(310_000 + seed)
+        schema = fz.gen_negation_schema(rng)
+        meta = _META
+    elif family == "ref":
+        rng = random.Random(77_000 + seed)
+        schema = fz.gen_ref_heavy_schema(rng, seed)
+        meta = _META
+    elif family == "legacy":
+        rng = random.Random(55_000 + seed)
+        schema = fz.to_2019_09(fz.gen_root_schema(rng))
+        schema["$schema"] = _META_1909
+        if rng.random() < 0.4:
+            schema["$recursiveAnchor"] = True
+            schema.setdefault("properties", {})["a"] = {"$recursiveRef": "#"}
+        meta = None  # $schema picks the dialect
+    elif family == "ext":
+        rng = random.Random(77_000 + seed)
+        main, ext, _pool = fz.gen_external_pair(rng, seed)
+        try:
+            JSONSchema(
+                copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+                metaschema_uri=URI(_META),
+            ).validate()
+        except Exception as e:
+            return "skip", f"ext doc rejected: {e}"
+        from jschon_spark.compiler.catalog import SchemaCatalog
+
+        catalog_obj = SchemaCatalog()
+        catalog_obj.add_schema(copy.deepcopy(ext))
+        schema = main
+        meta = _META
+        hints = {"values": [], "keys": []}
+        fz.collect_hints(main, hints)
+        fz.collect_hints(ext, hints)
+    else:
+        raise ValueError(family)
+
+    try:
+        kw = {"metaschema_uri": URI(meta)} if meta else {}
+        compiled_ref = JSONSchema(
+            copy.deepcopy(schema), catalog=ref["catalog"], cacheid=cacheid, **kw
+        )
+        compiled_ref.validate()
+        if family == "ref":
+            compiled_ref.evaluate(ref["JSON"]({"a": 1}))
+    except Exception as e:
+        return "skip", f"schema rejected by reference: {e}"
+
+    if family != "ext":
+        hints = {"values": [], "keys": []}
+        fz.collect_hints(schema, hints)
+    datas = [fz.gen_instance(rng, 2, hints) for _ in range(fz.INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True,
+        catalog=catalog_obj,
+    )
+    mismatches, skipped = fz._compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"{family} {seed}"
+    )
+    if mismatches:
+        return "mismatch", {"schema": schema, "detail": mismatches[:5],
+                            "n_bad": len(mismatches), "n": len(datas)}
+    return "ok", {"skipped": skipped, "n": len(datas)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="main,neg,ref,legacy,ext")
+    ap.add_argument("--start", type=int, default=1000)
+    ap.add_argument("--count", type=int, default=200)
+    ap.add_argument("--out", default="/tmp/fuzz_campaign.jsonl")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done.add((r["family"], r["seed"]))
+                except Exception:
+                    pass
+
+    spark = get_session(cpus=args.cpus, app_name="fuzz_campaign",
+                        shuffle_partitions=args.cpus)
+    ref = _load_ref()
+    families = args.families.split(",")
+    stats = {f: {"ok": 0, "skip": 0, "mismatch": 0, "error": 0} for f in families}
+    t0 = time.time()
+    with open(args.out, "a", buffering=1) as out:
+        for seed in range(args.start, args.start + args.count):
+            for family in families:
+                if (family, seed) in done:
+                    continue
+                try:
+                    status, payload = _run_one(spark, ref, family, seed)
+                except RecursionError:
+                    # the REFERENCE blows its stack on unboundedly
+                    # recursive generated schemas — its limitation
+                    status, payload = "skip", "reference RecursionError"
+                except Exception:
+                    status, payload = "error", traceback.format_exc()[-2000:]
+                stats[family][status] += 1
+                rec = {"family": family, "seed": seed, "status": status}
+                if status in ("mismatch", "error"):
+                    rec["payload"] = payload
+                out.write(json.dumps(rec, default=str) + "\n")
+            if (seed - args.start) % 10 == 9:
+                el = time.time() - t0
+                print(f"[{el:7.1f}s] through seed {seed}: " + " ".join(
+                    f"{f}={s['ok']}ok/{s['skip']}sk/{s['mismatch']}MM/{s['error']}E"
+                    for f, s in stats.items()), flush=True)
+    print("DONE", json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
