@@ -174,8 +174,8 @@ def verbose_output(
     selected at row scope, so for the sampled documents they are
     RE-EVALUATED per element — one batched Spark job per array node
     (the elements become rows), giving the reference's full
-    per-element result tree (jschon/output.py:106-126). Map-entry
-    subtrees remain summarized by their parent. Driver-side and
+    per-element result tree (jschon/output.py:106-126); MapType
+    property subtrees are expanded the same way per entry. Driver-side and
     sampled by design: the flat violations DataFrame is the at-scale
     product; this is the human-debugging view.
     """
