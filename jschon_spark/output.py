@@ -212,7 +212,14 @@ def verbose_output(
             if isinstance(node_schema, dict) and node["valid"]:
                 # verbose units carry annotations only on VALID nodes
                 # (invalid ones carry errors — ref output.py verbose)
-                ann = {k: node_schema[k] for k in _ANNOTATION_KEYS if k in node_schema}
+                # a null-valued annotation (e.g. ``"default": null``) is
+                # stored but invisible in output: reference output.py:52
+                # filters on ``msgval is not None``
+                ann = {
+                    k: node_schema[k]
+                    for k in _ANNOTATION_KEYS
+                    if k in node_schema and node_schema[k] is not None
+                }
                 if ann:
                     node["annotations"] = ann
             index[spath] = node
@@ -328,7 +335,13 @@ def _expand_array_subtrees(
                     "instanceLocation": er[f"__p{j}"] or "",
                 }
                 if isinstance(ns, dict) and child["valid"]:
-                    ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
+                    # null-valued annotations are invisible in output
+                    # (reference output.py:52 ``msgval is not None``)
+                    ann = {
+                        k: ns[k]
+                        for k in _ANNOTATION_KEYS
+                        if k in ns and ns[k] is not None
+                    }
                     if ann:
                         child["annotations"] = ann
                 sub_index[sp] = child
@@ -506,7 +519,10 @@ def annotation_array(trace) -> "F.Column":
             if spath.startswith(q + "/") or spath == q:
                 gate = gate & qg
         for k in _ANNOTATION_KEYS:
-            if k in node_schema:
+            # null-valued annotations (``"default": null``) are stored by
+            # the reference but filtered out of every output format
+            # (output.py:52 ``msgval is not None``) — skip them here too
+            if k in node_schema and node_schema[k] is not None:
                 units.append(
                     F.when(
                         gate,
@@ -638,7 +654,13 @@ def _expand_map_subtrees(
                     "instanceLocation": er[f"__p{j}"] or "",
                 }
                 if isinstance(ns, dict) and child["valid"]:
-                    ann = {k: ns[k] for k in _ANNOTATION_KEYS if k in ns}
+                    # null-valued annotations are invisible in output
+                    # (reference output.py:52 ``msgval is not None``)
+                    ann = {
+                        k: ns[k]
+                        for k in _ANNOTATION_KEYS
+                        if k in ns and ns[k] is not None
+                    }
                     if ann:
                         child["annotations"] = ann
                 sub_index[sp] = child

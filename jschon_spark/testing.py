@@ -271,13 +271,30 @@ def evaluate_batch(
             cols.append(_ann_col(dtype, col).alias("anns"))
         return df.select(*(["id"] if "id" in df.columns else []), *cols)
 
+    # Plan CONSTRUCTION stays serial (compiled.columns / _ann_col share
+    # the Compiler's mutable trace and hammer the single py4j gateway),
+    # but each group's collect() — where Catalyst analysis, Janino
+    # codegen and execution actually happen, the dominant cost for big
+    # fuzz schemas — runs on a thread pool: Spark supports concurrent
+    # actions on one session, and per-group plans are independent.
+    pending: list = []  # (selected_df, handler(rows))
+
     if null_group:
         dtype = T.StructType([T.StructField("value", T.NullType(), True)])
         df = spark.createDataFrame([Row(value=None)], dtype)
         c = compiled.columns(T.NullType(), F.col("value"))
-        out = _outcome(_select(df, c, T.NullType(), F.col("value")).collect()[0])
-        for i in null_group:
-            results[i] = out
+        sel = _select(df, c, T.NullType(), F.col("value"))
+
+        def _null_handler(rows, _idxs=tuple(null_group)):
+            out = _outcome(rows[0])
+            for i in _idxs:
+                results[i] = out
+
+        pending.append((sel, _null_handler))
+
+    def _group_handler(rows):
+        for r in rows:
+            results[r["id"]] = _outcome(r)
 
     for dtype, members in groups:
         rows, spill = [], []
@@ -297,8 +314,7 @@ def evaluate_batch(
                 ),
             )
             c = compiled.columns(dtype, F.col("value"))
-            for r in _select(df, c, dtype, F.col("value")).collect():
-                results[r["id"]] = _outcome(r)
+            pending.append((_select(df, c, dtype, F.col("value")), _group_handler))
         for i, data in spill:
             # guard tripped under the unified dtype — evaluate solo
             try:
@@ -315,7 +331,23 @@ def evaluate_batch(
                 T.StructType([T.StructField("value", dt, True)]),
             )
             c = compiled.columns(dt, F.col("value"))
-            results[i] = _outcome(_select(df, c, dt, F.col("value")).collect()[0])
+
+            def _solo_handler(rows, _i=i):
+                results[_i] = _outcome(rows[0])
+
+            pending.append((_select(df, c, dt, F.col("value")), _solo_handler))
+
+    if len(pending) == 1:
+        sel, handler = pending[0]
+        handler(sel.collect())
+    elif pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(pending))) as pool:
+            for (_, handler), rows in zip(
+                pending, pool.map(lambda p: p[0].collect(), pending)
+            ):
+                handler(rows)
     return results
 
 

@@ -238,6 +238,38 @@ def test_annotation_output_distributed(spark):
     assert 2 not in by_id and 3 not in by_id
 
 
+def test_null_valued_annotations_invisible_in_output(spark):
+    """An annotation whose value is JSON null (``"default": null``) is
+    stored by the reference but filtered out of every output format —
+    reference output.py:52 yields a unit only when ``msgval is not
+    None``. Found by differential fuzzing (ref family, seed 1001)."""
+    from jschon_spark.output import annotation_output, verbose_output
+
+    schema = {
+        "default": None,
+        "description": "desc",
+        "properties": {"a": {"default": None, "title": "A"}},
+    }
+    df = spark.createDataFrame([(1, 5)], "id long, a long")
+    rows = annotation_output(schema, df, instance_columns=["a"], id_cols=["id"]).collect()
+    units = {(r.keyword_path, r.keyword) for r in rows}
+    assert ("", "description") in units
+    assert ("/properties/a", "title") in units
+    assert not any(k == "default" for _, k in units)
+
+    out = verbose_output(schema, df, instance_columns=["a"], id_cols=["id"], max_rows=1)
+
+    def walk(node):
+        yield node
+        for c in node.get("results", []) or []:
+            yield from walk(c)
+
+    seen = list(walk(out[0]["result"]))
+    assert any(n.get("annotations", {}).get("title") == "A" for n in seen)
+    for node in seen:
+        assert "default" not in (node.get("annotations") or {}), node
+
+
 def test_annotation_applicator_node_pruning(spark):
     """jschon prunes annotation collection at invalid applicator GROUP
     nodes (jsonschema.py:518): a double-match /oneOf or failed /allOf
