@@ -394,6 +394,25 @@ class Compiler:
         self.root_doc_resources: set[str] = {self.base_uri} | {
             u for u in self.registry if "#" not in u
         }
+        # Memo for coverage-guard RE-applications (unevaluated* keywords
+        # re-derive sibling/branch validity at the SAME instance column):
+        # (id(subschema), id(ctx.col), ctx.scope[, kw]) → validity
+        # Column. Without it, _prop_covered re-applies every guard
+        # subschema per struct field and nested unevaluated* multiply —
+        # plan-construction cost exponential in nesting depth (a fuzz
+        # schema took 100+ s/group; profiled at 94% inside _guard_cond).
+        # Safe because the key pins the schema node, the exact instance
+        # column object, and the resolution scope — the only inputs the
+        # validity expression depends on (viols, which embed the
+        # instance path, are never memoized). Values keep a strong ref
+        # to the keyed schema node so its id() can't be recycled.
+        self._reapply_cache: dict[tuple, tuple[Any, Column]] = {}
+        # Top-level _coverage_sources results per (id(schema), scope):
+        # the walk synthesizes guard dicts ({"allOf": subs}…) — caching
+        # the whole result list makes those guard objects STABLE across
+        # the per-field calls of _prop_covered, which is what lets
+        # _reapply_cache actually hit (and keeps the ids alive).
+        self._coverage_cache: dict[tuple, tuple[Any, list]] = {}
 
     def _target_spath(self, ctx: "Ctx", target: Any, spath: str, refkw: str) -> str:
         """Static location for a resolved ref target. Root-document
@@ -1460,6 +1479,12 @@ class Compiler:
         then gate each keyword's own node validity (see
         _source_needs_kw_gate). The _seen stack guards $ref cycles
         without blocking re-visits via different branches."""
+        top_key = None
+        if _seen is None and not _guards:
+            top_key = (id(schema), scope)
+            hit = self._coverage_cache.get(top_key)
+            if hit is not None:
+                return hit[1]
         if _seen is None:
             _seen = set()
         if not isinstance(schema, dict) or id(schema) in _seen:
@@ -1549,6 +1574,10 @@ class Compiler:
                     )
         finally:
             _seen.discard(id(schema))
+        if top_key is not None:
+            # value holds `schema` so the keyed id stays valid, and the
+            # result list so synthesized guard dicts stay alive/stable
+            self._coverage_cache[top_key] = (schema, out)
         return out
 
     def _resolve_source_ref(self, refkw: str, value: str, scope: tuple = ()) -> Any:
@@ -1601,8 +1630,16 @@ class Compiler:
         its verbose-trace slot (no_trace)."""
         cond = F.lit(True)
         for guard, negate in guards:
-            gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
-            g = self.apply(guard, gctx).valid
+            key = (id(guard), id(ctx.col), ctx.scope)
+            hit = self._reapply_cache.get(key)
+            if hit is None:
+                gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
+                g = self.apply(guard, gctx).valid
+                # hold guard AND col so neither keyed id can be recycled
+                # while the entry lives (Columns are transient per-apply)
+                self._reapply_cache[key] = (guard, ctx.col, g)
+            else:
+                g = hit[2]
             cond = cond & (~g if negate else g)
         return cond
 
@@ -1615,12 +1652,16 @@ class Compiler:
         subschemas ran. Only needed for the SELF source: for branch /
         ref sources the (subschema, False) guard already implies every
         asserting keyword in it passed."""
+        key = (id(src), id(ctx.col), ctx.scope, kw)
+        cached = self._reapply_cache.get(key)
+        if cached is not None:
+            return cached[2]
         handler = getattr(self, "_k_" + kw)
         gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
         out = handler(src[kw], src, gctx, {})
-        if out is None:
-            return F.lit(True)
-        return F.coalesce(out.valid, F.lit(True))
+        v = F.lit(True) if out is None else F.coalesce(out.valid, F.lit(True))
+        self._reapply_cache[key] = (src, ctx.col, v)
+        return v
 
     def _k_unevaluatedProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.StructType):

@@ -498,26 +498,67 @@ def annotation_array(trace) -> "F.Column":
     units = []
     entries = sorted(trace.items())
     node_gates = _applicator_node_gates(entries)
+
+    # Ancestor-chain gates, memoized along the schema-path tree. A node's
+    # gate conjoins (a) the validity of every TRACED proper ancestor and
+    # (b) the derived validity of every applicator GROUP node (/allOf,
+    # /oneOf, /dependentSchemas, /properties, /prefixItems — no trace
+    # entry of their own; jschon prunes at invalid nodes even when this
+    # branch passed) on the chain, group nodes applying to themselves
+    # too. Because all prefixes of a path form a chain, the conjunction
+    # at a node is its deepest prefix point's inheritable gate plus that
+    # point's own contribution — one ``&`` per point instead of the
+    # O(n²) per-entry ancestor rescan this replaced (the rescan made
+    # annotation plans quadratic in schema size: ~90k py4j Column ops
+    # for a 300-node fuzz schema).
+    points: dict[str, tuple] = {}
+    for p, pv in entries:
+        points[p] = ("entry", pv[2].valid)
+    for q, qg in node_gates.items():
+        points[q] = ("group", qg)
+
+    def _conj(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a & b
+
+    at: dict[str, "F.Column | None"] = {}  # gate applying AT this point
+    down: dict[str, "F.Column | None"] = {}  # gate inherited by strict descendants
+    for p in sorted(points):  # lexicographic → every prefix before its extensions
+        kind, contrib = points[p]
+        anc = None
+        segs = [s for s in p.split("/") if s != ""]
+        prefix = ""
+        if p != "" and "" in points:
+            anc = ""
+        for s in segs[:-1]:
+            prefix = f"{prefix}/{s}"
+            if prefix in points:
+                anc = prefix
+        base = down.get(anc) if anc is not None else None
+        if kind == "group":
+            # a group's own gate applies to the group node itself
+            at[p] = _conj(base, contrib)
+            down[p] = at[p]
+        else:
+            at[p] = base
+            down[p] = _conj(base, contrib)
+
     for spath, (node_schema, path_col, compiled, applied) in entries:
         if not isinstance(node_schema, dict):
+            continue
+        if not any(
+            k in node_schema and node_schema[k] is not None for k in _ANNOTATION_KEYS
+        ):
             continue
         gate = compiled.valid
         if applied is not None:
             gate = gate & applied
-        for p, pv in entries:
-            if (
-                p != spath
-                and spath.startswith(p)
-                and (p == "" or spath[len(p)] == "/")
-            ):
-                gate = gate & pv[2].valid
-        # applicator GROUP nodes (/allOf, /oneOf, /dependentSchemas) on
-        # the ancestor chain have no trace entry; gate on their derived
-        # node validity (jschon prunes at invalid nodes even when this
-        # branch passed)
-        for q, qg in node_gates.items():
-            if spath.startswith(q + "/") or spath == q:
-                gate = gate & qg
+        extra = at.get(spath)
+        if extra is not None:
+            gate = gate & extra
         for k in _ANNOTATION_KEYS:
             # null-valued annotations (``"default": null``) are stored by
             # the reference but filtered out of every output format

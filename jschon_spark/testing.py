@@ -245,9 +245,14 @@ def evaluate_batch(
             return (bool(row["v"]), list(row["viols"]))
         return bool(row["v"])
 
-    def _ann_col(dtype, col):
-        # annotation units need a TRACED compilation (one per group
-        # dtype); reuse the already-built Compiler with a scratch trace
+    def _apply(dtype, col):
+        """ONE application of the compiled schema per group. When
+        annotation units are wanted the apply runs TRACED (scratch trace
+        on the shared Compiler) and valid/viols/anns all derive from that
+        single pass — big fuzz schemas pay the expression-tree build
+        exactly once instead of twice."""
+        if not with_annotations:
+            return compiled.columns(dtype, col), None
         from jschon_spark.output import annotation_array
 
         comp = compiled.compiler
@@ -261,14 +266,15 @@ def evaluate_batch(
         finally:
             comp.trace = saved
         # jschon drops every annotation of a failed evaluation
-        return F.when(root.valid, arr)
+        return root, F.when(root.valid, arr)
 
-    def _select(df, c, dtype, col):
+    def _select(df, dtype, col):
+        c, ann = _apply(dtype, col)
         cols = [c.valid.alias("v")]
         if with_violations:
             cols.append(c.viols.alias("viols"))
         if with_annotations:
-            cols.append(_ann_col(dtype, col).alias("anns"))
+            cols.append(ann.alias("anns"))
         return df.select(*(["id"] if "id" in df.columns else []), *cols)
 
     # Plan CONSTRUCTION stays serial (compiled.columns / _ann_col share
@@ -282,8 +288,7 @@ def evaluate_batch(
     if null_group:
         dtype = T.StructType([T.StructField("value", T.NullType(), True)])
         df = spark.createDataFrame([Row(value=None)], dtype)
-        c = compiled.columns(T.NullType(), F.col("value"))
-        sel = _select(df, c, T.NullType(), F.col("value"))
+        sel = _select(df, T.NullType(), F.col("value"))
 
         def _null_handler(rows, _idxs=tuple(null_group)):
             out = _outcome(rows[0])
@@ -313,8 +318,7 @@ def evaluate_batch(
                     ]
                 ),
             )
-            c = compiled.columns(dtype, F.col("value"))
-            pending.append((_select(df, c, dtype, F.col("value")), _group_handler))
+            pending.append((_select(df, dtype, F.col("value")), _group_handler))
         for i, data in spill:
             # guard tripped under the unified dtype — evaluate solo
             try:
@@ -330,12 +334,10 @@ def evaluate_batch(
                 [row],
                 T.StructType([T.StructField("value", dt, True)]),
             )
-            c = compiled.columns(dt, F.col("value"))
-
             def _solo_handler(rows, _i=i):
                 results[_i] = _outcome(rows[0])
 
-            pending.append((_select(df, c, dt, F.col("value")), _solo_handler))
+            pending.append((_select(df, dt, F.col("value")), _solo_handler))
 
     if len(pending) == 1:
         sel, handler = pending[0]
