@@ -926,3 +926,160 @@ def test_fuzz_external_catalog_matches_reference(spark, ref, seed):
         f"main={main!r}\next={ext!r}\n" + "\n".join(mismatches)
     )
     assert skipped <= len(datas) * 0.5
+
+
+# ------------------------------------------------- deep-equality fuzzing
+# enum/const/uniqueItems use the reference's DEEP structural equality
+# with cross-type numeric comparison (1 == 1.0, json.py:277-289). The
+# engines agree only if Spark-side struct/array equality plus the
+# numeric unification in evaluate_batch's type inference reproduce it —
+# this family hammers exactly that with compound values and near-miss
+# perturbations (int<->float swaps, key drops, element reorders, dups).
+
+EQ_SEEDS = list(range(16))
+
+
+def _eq_compound(rng: random.Random, depth: int) -> object:
+    if depth <= 0 or rng.random() < 0.3:
+        return rng.choice([1, 2, 2.5, 1.0, "a", "bb", True, False, None])
+    if rng.random() < 0.5:
+        gen = rng.choice(
+            [
+                lambda: rng.choice([1, 2, 3]),
+                lambda: rng.choice([1.5, 2.0]),
+                lambda: rng.choice(["a", "b", "cc"]),
+                lambda: _eq_compound(rng, depth - 1),
+            ]
+        )
+        return [gen() for _ in range(rng.randint(0, 3))]
+    return {
+        k: _eq_compound(rng, depth - 1)
+        for k in rng.sample(["a", "b", "c", "d"], rng.randint(1, 3))
+    }
+
+
+def _eq_perturb(rng: random.Random, v: object) -> object:
+    """A near-miss (or exact) variant of ``v``: numeric cross-type
+    swaps, dropped/extra keys, reordered/duplicated elements."""
+    v = copy.deepcopy(v)
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, int):
+        return rng.choice([float(v), v + 1, v])
+    if isinstance(v, float):
+        return int(v) if v == int(v) and rng.random() < 0.6 else v
+    if isinstance(v, str):
+        return rng.choice([v, v + "x", v[:-1] or "x"])
+    if isinstance(v, list):
+        if not v:
+            return v
+        act = rng.randrange(4)
+        if act == 0:
+            return v + [copy.deepcopy(rng.choice(v))]
+        if act == 1:
+            return list(reversed(v))
+        if act == 2:
+            i = rng.randrange(len(v))
+            v[i] = _eq_perturb(rng, v[i])
+            return v
+        return v[:-1]
+    if isinstance(v, dict):
+        if not v:
+            return v
+        act = rng.randrange(3)
+        ks = list(v)
+        if act == 0:
+            v.pop(rng.choice(ks))
+            return v
+        if act == 1:
+            k = rng.choice(ks)
+            v[k] = _eq_perturb(rng, v[k])
+            return v
+        v["zz"] = rng.choice([1, 1.0, "z"])
+        return v
+    return v
+
+
+def gen_equality_schema(rng: random.Random) -> tuple:
+    """Returns (schema, value_pool)."""
+    vals = [_eq_compound(rng, 2) for _ in range(rng.randint(1, 4))]
+    mode = rng.randrange(5)
+    if mode == 0:
+        s: dict = {"enum": vals}
+    elif mode == 1:
+        s = {"const": rng.choice(vals)}
+    elif mode == 2:
+        s = {"type": "array", "uniqueItems": True}
+        if rng.random() < 0.5:
+            s["minItems"] = 1
+    elif mode == 3:
+        s = {"properties": {"x": {"enum": vals}}, "required": ["x"]}
+    else:
+        s = {"items": {"const": rng.choice(vals)}}
+        if rng.random() < 0.5:
+            s["uniqueItems"] = True
+    return s, vals
+
+
+def gen_eq_instance(rng: random.Random, vals: list) -> object:
+    r = rng.random()
+    if r < 0.30 and vals:
+        return copy.deepcopy(rng.choice(vals))
+    if r < 0.60 and vals:
+        return _eq_perturb(rng, rng.choice(vals))
+    if r < 0.75 and vals:
+        # arrays drawn from the pool — uniqueItems food (dup with 60%)
+        pool = [copy.deepcopy(rng.choice(vals)) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.6:
+            pool.append(copy.deepcopy(pool[0]))
+        if rng.random() < 0.4:
+            pool = [_eq_perturb(rng, x) for x in pool]
+        return pool
+    if r < 0.85 and vals:
+        return {"x": copy.deepcopy(rng.choice(vals))}
+    return gen_instance(rng, 2, {"values": vals, "keys": ["x"]})
+
+
+@pytest.mark.parametrize("seed", EQ_SEEDS)
+def test_fuzz_deep_equality_matches_reference(spark, ref, seed):
+    rng = random.Random(210_000 + seed)
+    schema, vals = gen_equality_schema(rng)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    try:
+        compiled_ref = JSONSchema(
+            copy.deepcopy(schema), catalog=ref["catalog"],
+            cacheid=f"eqfuzz-{seed}", metaschema_uri=URI(_META),
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated schema not accepted by reference: {e}")
+
+    datas = [gen_eq_instance(rng, vals) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+
+    spark_results = evaluate_batch(
+        spark, schema, datas, with_violations=True, with_annotations=True
+    )
+
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"eq fuzz {seed}"
+    )
+    assert not mismatches, (
+        f"deep-equality fuzz seed {seed}: Spark engine disagrees with the "
+        f"reference on {len(mismatches)}/{len(datas)} instances\n"
+        f"schema={schema!r}\n" + "\n".join(mismatches)
+    )
+    # compound values mix types freely; allow a higher untypeable share
+    # than the main family but keep the family mostly effective
+    assert skipped <= len(datas) * 0.7, (
+        f"eq fuzz seed {seed}: {skipped}/{len(datas)} untypeable"
+    )

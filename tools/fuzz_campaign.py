@@ -94,6 +94,10 @@ def _run_one(spark, ref, family, seed):
         rng = random.Random(77_000 + seed)
         schema = fz.gen_ref_heavy_schema(rng, seed)
         meta = _META
+    elif family == "eq":
+        rng = random.Random(210_000 + seed)
+        schema, eq_vals = fz.gen_equality_schema(rng)
+        meta = _META
     elif family == "legacy":
         rng = random.Random(55_000 + seed)
         schema = fz.to_2019_09(fz.gen_root_schema(rng))
@@ -135,10 +139,13 @@ def _run_one(spark, ref, family, seed):
     except Exception as e:
         return "skip", f"schema rejected by reference: {e}"
 
-    if family != "ext":
-        hints = {"values": [], "keys": []}
-        fz.collect_hints(schema, hints)
-    datas = [fz.gen_instance(rng, 2, hints) for _ in range(fz.INSTANCES_PER_SCHEMA)]
+    if family == "eq":
+        datas = [fz.gen_eq_instance(rng, eq_vals) for _ in range(fz.INSTANCES_PER_SCHEMA)]
+    else:
+        if family != "ext":
+            hints = {"values": [], "keys": []}
+            fz.collect_hints(schema, hints)
+        datas = [fz.gen_instance(rng, 2, hints) for _ in range(fz.INSTANCES_PER_SCHEMA)]
 
     ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
     spark_results = evaluate_batch(
