@@ -2892,6 +2892,199 @@ ANCHOR_ID = [
     ),
 ]
 
+# ref.json URN-base-URI family + id.json / anchor.json / dynamicRef.json
+# scope-discipline cases (suite files ref.json, id.json, anchor.json,
+# dynamicRef.json; consumed by /root/reference/tests/test_suite.py:143-158).
+URN_AND_SCOPE = [
+    (
+        "simple URN base URI with $ref via the URN",
+        {
+            "$comment": "URIs do not have to have HTTP(s) schemes",
+            "$id": "urn:uuid:deadbeef-1234-ffff-ffff-4321feebdaed",
+            "minimum": 30,
+            "properties": {
+                "foo": {"$ref": "urn:uuid:deadbeef-1234-ffff-ffff-4321feebdaed"}
+            },
+        },
+        [
+            ("valid under the URN IDed schema", {"foo": 37}, True),
+            ("invalid under the URN IDed schema", {"foo": 12}, False),
+        ],
+    ),
+    (
+        "URN base URI with JSON pointer ref",
+        {
+            "$id": "urn:uuid:deadbeef-1234-00ff-ff00-4321feebdaed",
+            "properties": {"foo": {"$ref": "#/$defs/bar"}},
+            "$defs": {"bar": {"type": "string"}},
+        },
+        [
+            ("a string is valid", {"foo": "bar"}, True),
+            ("a non-string is invalid", {"foo": 12}, False),
+        ],
+    ),
+    (
+        "URN base URI with URN and JSON pointer ref",
+        {
+            "$id": "urn:uuid:deadbeef-1234-0000-0000-4321feebdaed",
+            "properties": {
+                "foo": {
+                    "$ref": "urn:uuid:deadbeef-1234-0000-0000-4321feebdaed#/$defs/bar"
+                }
+            },
+            "$defs": {"bar": {"type": "string"}},
+        },
+        [
+            ("a string is valid", {"foo": "bar"}, True),
+            ("a non-string is invalid", {"foo": 12}, False),
+        ],
+    ),
+    (
+        "URN base URI with URN and anchor ref",
+        {
+            "$id": "urn:uuid:deadbeef-1234-ff00-00ff-4321feebdaed",
+            "properties": {
+                "foo": {
+                    "$ref": "urn:uuid:deadbeef-1234-ff00-00ff-4321feebdaed#something"
+                }
+            },
+            "$defs": {"bar": {"$anchor": "something", "type": "string"}},
+        },
+        [
+            ("a string is valid", {"foo": "bar"}, True),
+            ("a non-string is invalid", {"foo": 12}, False),
+        ],
+    ),
+    (
+        "relative refs with absolute uris and defs",
+        {
+            "$id": "http://example.com/schema-relative-uri-defs1.json",
+            "properties": {
+                "foo": {
+                    "$id": "schema-relative-uri-defs2.json",
+                    "$defs": {
+                        "inner": {"properties": {"bar": {"type": "string"}}}
+                    },
+                    "$ref": "#/$defs/inner",
+                }
+            },
+            "$ref": "schema-relative-uri-defs2.json",
+        },
+        [
+            ("invalid on inner field", {"foo": {"bar": 1}}, False),
+            ("valid on both fields", {"foo": {"bar": "a"}, "bar": "a"}, True),
+        ],
+    ),
+    (
+        "$id must be resolved against nearest parent, not just immediate parent",
+        {
+            "$id": "http://example.com/a.json",
+            "$defs": {
+                "x": {
+                    "$id": "http://example.com/b/c.json",
+                    "not": {
+                        "$defs": {"y": {"$id": "d.json", "type": "number"}}
+                    },
+                }
+            },
+            "allOf": [{"$ref": "http://example.com/b/d.json"}],
+        },
+        [
+            ("number is valid", 1, True),
+            ("non-number is invalid", "a", False),
+        ],
+    ),
+    (
+        "non-schema object containing an $id property",
+        {
+            "$defs": {"const_not_id": {"const": {"$id": "not_a_real_id"}}},
+            "if": {"const": "skip not_a_real_id"},
+            "then": True,
+            "else": {"$ref": "#/$defs/const_not_id"},
+        },
+        [
+            ("skip traversing definition for a valid result", "skip not_a_real_id", True),
+            ("const at const_not_id does not match", 1, False),
+        ],
+    ),
+    (
+        "$anchor inside an enum is not a real identifier",
+        {
+            "$defs": {
+                "anchor_in_enum": {
+                    "enum": [{"$anchor": "my_anchor", "type": "null"}]
+                },
+                "real_identifier_in_schema": {
+                    "$anchor": "my_anchor",
+                    "type": "string",
+                },
+                "zzz_anchor_in_const": {
+                    "const": {"$anchor": "my_anchor", "type": "null"}
+                },
+            },
+            "anyOf": [
+                {"$ref": "#/$defs/anchor_in_enum"},
+                {"$ref": "#my_anchor"},
+            ],
+        },
+        [
+            (
+                "exact match to enum, and type matches",
+                {"$anchor": "my_anchor", "type": "null"},
+                True,
+            ),
+            ("in implementations that strip $anchor, this may match either $def", None, False),
+            ("match $ref to $anchor", "a string to match #/$defs/anchor_in_enum", True),
+            ("no match on enum or $ref to $anchor", 1, False),
+        ],
+    ),
+    (
+        "after leaving a dynamic scope, it is not used by a $dynamicRef",
+        {
+            "$id": "https://test.json-schema.org/dynamic-ref-leaving-dynamic-scope/main",
+            "if": {
+                "$id": "first_scope",
+                "$defs": {
+                    "thingy": {
+                        "$comment": "this is first_scope#thingy",
+                        "$dynamicAnchor": "thingy",
+                        "type": "number",
+                    }
+                },
+            },
+            "then": {
+                "$id": "second_scope",
+                "$ref": "start",
+                "$defs": {
+                    "thingy": {
+                        "$comment": "this is second_scope#thingy, the final destination of the $dynamicRef",
+                        "$dynamicAnchor": "thingy",
+                        "type": "null",
+                    }
+                },
+            },
+            "$defs": {
+                "start": {
+                    "$comment": "this is the landing spot from $ref",
+                    "$id": "start",
+                    "$dynamicRef": "inner_scope#thingy",
+                },
+                "thingy": {
+                    "$comment": "this is the first stop for the $dynamicRef",
+                    "$id": "inner_scope",
+                    "$dynamicAnchor": "thingy",
+                    "type": "string",
+                },
+            },
+        },
+        [
+            ("string matches /$defs/thingy, but the $dynamicRef does not stop here", "a string", False),
+            ("first_scope is not in dynamic scope for the $dynamicRef", 42, False),
+            ("/then/$defs/thingy is the final stop for the $dynamicRef", None, True),
+        ],
+    ),
+]
+
 SUITE = (
     [("boolean_schema", *g) for g in BOOLEAN_SCHEMA]
     + [("type", *g) for g in TYPE]
@@ -2914,6 +3107,7 @@ SUITE = (
     + [("unevaluatedItems", *g) for g in UNEVALUATED_ITEMS]
     + [("misc", *g) for g in MISC]
     + [("anchor-id", *g) for g in ANCHOR_ID]
+    + [("urn-scope", *g) for g in URN_AND_SCOPE]
 )
 
 CASES = [
