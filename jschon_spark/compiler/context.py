@@ -148,10 +148,25 @@ class Compiled:
     viols -- Column of VIOLATION_DDL; empty array iff no asserted keyword
              failed. Kept separate from ``valid`` so the hot path (flag
              output) can use the cheap boolean conjunction alone.
+    cond  -- violations from noassert ``if`` subtrees PENDING the gate of
+             the nearest enclosing RESULT-TREE node. In the reference, a
+             subschema applied by an applicator gets no result node of
+             its own — its keyword results attach directly to the
+             applicator keyword's node (JSONSchema.evaluate runs with
+             the applicator's result as parent, jschon/jsonschema.py:
+             191-220) — and the basic-output error walk descends only
+             through INVALID nodes (output.py:47-60). A failed `if`
+             never asserts, so its errors surface iff the applicator
+             node itself is invalid, NOT iff the containing subschema
+             application is. Handlers therefore export these viols
+             unresolved and each applicator folds them in via
+             ``resolve_node`` under its own node-validity gate.
+             None ≡ empty (zero cost for if-free schemas).
     """
 
     valid: Column
     viols: Column
+    cond: Optional[Column] = None
 
     @staticmethod
     def passed() -> "Compiled":
@@ -197,13 +212,48 @@ def concat_viols(*cols: Column) -> Column:
 
 def combine(parts: list[Compiled]) -> Compiled:
     """Fold sibling keyword results: node fails iff any asserted keyword
-    failed (jschon/jsonschema.py:213-218)."""
+    failed (jschon/jsonschema.py:213-218). Pending noassert-if viols
+    (``cond``) are merged, not resolved — the caller owns the gate."""
     if not parts:
         return Compiled.passed()
     valid = parts[0].valid
     for p in parts[1:]:
         valid = valid & p.valid
-    return Compiled(valid, concat_viols(*[p.viols for p in parts]))
+    conds = [p.cond for p in parts if p.cond is not None]
+    return Compiled(
+        valid,
+        concat_viols(*[p.viols for p in parts]),
+        concat_viols(*conds) if conds else None,
+    )
+
+
+def gate_compiled(c: Compiled, cond: Column) -> Compiled:
+    """Gate a subschema application on ``cond`` (presence / index-in-range
+    / applicability): when false the application vacuously passes and —
+    matching the reference, where an unapplied subschema has no result
+    nodes at all — contributes neither viols nor pending if-viols."""
+    return Compiled(
+        F.when(cond, c.valid).otherwise(F.lit(True)),
+        F.when(cond, c.viols).otherwise(empty_violations()),
+        None if c.cond is None else F.when(cond, c.cond).otherwise(empty_violations()),
+    )
+
+
+def resolve_node(c: Compiled) -> Compiled:
+    """Fold pending noassert-if viols into this RESULT NODE's viols,
+    gated on the node being invalid (the basic-output error walk
+    descends only through invalid result nodes, jschon/output.py:47-60;
+    subschema keyword results attach directly to the applicator's node,
+    jschon/jsonschema.py:191-220)."""
+    if c.cond is None:
+        return c
+    return Compiled(
+        c.valid,
+        concat_viols(
+            c.viols, F.when(~c.valid, c.cond).otherwise(empty_violations())
+        ),
+        None,
+    )
 
 
 # ---------------------------------------------------------------------------

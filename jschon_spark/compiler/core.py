@@ -36,11 +36,13 @@ from jschon_spark.compiler.context import (
     empty_violations,
     escape_pointer,
     escape_pointer_col,
+    gate_compiled,
     is_integral,
     is_numeric,
     jtype_of,
     leaf,
     make_violation,
+    resolve_node,
 )
 
 
@@ -656,20 +658,27 @@ class Compiler:
             # `if` never asserts, but the reference's output walk still
             # reports a FAILED if-subtree's errors whenever every node
             # on the ancestor chain is invalid (collect_errors descends
-            # only through invalid result nodes, jsonschema.py:526-536;
-            # verified live: {'if':{'minimum':3},'else':...} emits
-            # /if/minimum iff the containing node is invalid). Gating on
-            # ~walk_valid reproduces the chain rule, because parents
-            # only surface a child's viols when the walk reaches it.
+            # only through invalid result nodes, jsonschema.py:526-536).
+            # The nearest ancestor RESULT node is NOT this subschema
+            # application (subschemas get no node of their own —
+            # their keywords attach to the enclosing applicator's node,
+            # jsonschema.py:191-220), so export the failed-if viols as
+            # PENDING (`cond`); the enclosing applicator — or the root —
+            # resolves them under its own node-validity gate
+            # (resolve_node). The if node itself gates its subtree:
+            # both its keywords' viols and any deeper pending if-viols
+            # surface only when the if outcome is invalid.
             iff = results["if"]
+            pending = F.when(
+                ~iff.valid,
+                concat_viols(iff.viols, iff.cond)
+                if iff.cond is not None
+                else iff.viols,
+            ).otherwise(empty_violations())
             node = Compiled(
                 node.valid,
-                concat_viols(
-                    node.viols,
-                    F.when(~walk_valid & ~iff.valid, iff.viols).otherwise(
-                        empty_violations()
-                    ),
-                ),
+                node.viols,
+                pending if node.cond is None else concat_viols(node.cond, pending),
             )
         if self.trace is not None and not ctx.no_trace:
             traced = Compiled(walk_valid, node.viols) if negate_result else node
@@ -955,12 +964,9 @@ class Compiler:
             child_ctx = ctx.field(name).with_applied(present)
             child_ctx = _replace(child_ctx, spath=ctx.spath + f"/properties/{escape_pointer(name)}")
             c = self.apply(sub, child_ctx)
-            parts.append(
-                Compiled(
-                    F.when(present, c.valid).otherwise(F.lit(True)),
-                    F.when(present, c.viols).otherwise(empty_violations()),
-                )
-            )
+            # per-property subresult node (applicator.py:262): pending
+            # if-viols resolve under this one application's outcome
+            parts.append(gate_compiled(resolve_node(c), present))
         return combine(parts) if parts else None
 
 
@@ -995,17 +1001,13 @@ class Compiler:
                     child_ctx = ctx.field(f.name).with_applied(present)
                     child_ctx = _replace(child_ctx, spath=ctx.spath + f"/patternProperties/{escape_pointer(regex)}")
                     c = self.apply(sub, child_ctx)
-                    parts.append(
-                        Compiled(
-                            F.when(present, c.valid).otherwise(F.lit(True)),
-                            F.when(present, c.viols).otherwise(empty_violations()),
-                        )
-                    )
+                    # per-(item, regex) subresult node (applicator.py:285)
+                    parts.append(gate_compiled(resolve_node(c), present))
             return combine(parts) if parts else None
         if isinstance(ctx.dtype, T.MapType):
             parts = []
             for regex, sub in value.items():
-                parts.append(self._map_entries_check(ctx, sub, f"/patternProperties/{escape_pointer(regex)}", include_key_rlike=regex))
+                parts.append(self._map_entries_check(ctx, sub, f"/patternProperties/{escape_pointer(regex)}", include_key_rlike=regex, resolve_per_entry=True))
             return combine(parts) if parts else None
         return None
 
@@ -1017,9 +1019,18 @@ class Compiler:
         include_key_rlike: Optional[str] = None,
         exclude_keys: Optional[set[str]] = None,
         exclude_rlikes: Optional[list[str]] = None,
+        resolve_per_entry: bool = False,
     ) -> Compiled:
         """Apply ``sub`` to every map value whose key matches the
-        include/exclude filters, via HOFs over map_entries."""
+        include/exclude filters, via HOFs over map_entries.
+
+        ``resolve_per_entry``: True when the reference opens a subresult
+        node PER APPLICATION (patternProperties, applicator.py:285) —
+        pending noassert-if viols then resolve under each entry's own
+        outcome. False when applications evaluate directly into the
+        keyword's node (additionalProperties, applicator.py:320) — the
+        pending viols are exported via ``cond`` for the caller to
+        resolve under the whole keyword node's validity."""
 
         def key_selected(k: Column) -> Column:
             cond = F.lit(True)
@@ -1048,14 +1059,26 @@ class Compiler:
             # compiled expression tree inside the lambda (Catalyst CSE
             # does not dedupe lambda subtrees)
             c = child(e)
-            return F.struct(c.valid.alias("ok"), c.viols.alias("v"))
+            if resolve_per_entry:
+                c = resolve_node(c)
+            return F.struct(
+                c.valid.alias("ok"),
+                c.viols.alias("v"),
+                (c.cond if c.cond is not None else empty_violations()).alias("cv"),
+            )
 
         entries = F.map_entries(ctx.col)
         per_entry = F.transform(
             entries,
             lambda e: F.when(
                 key_selected(e.getField("key")), entry_struct(e)
-            ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))),
+            ).otherwise(
+                F.struct(
+                    F.lit(True).alias("ok"),
+                    empty_violations().alias("v"),
+                    empty_violations().alias("cv"),
+                )
+            ),
         )
         valid = F.coalesce(
             F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True)
@@ -1064,10 +1087,15 @@ class Compiler:
             F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
             empty_violations(),
         )
+        cond = F.coalesce(
+            F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
+            empty_violations(),
+        )
         applies = ctx.col.isNotNull()
         return Compiled(
             F.when(applies, valid).otherwise(F.lit(True)),
             F.when(applies, viols).otherwise(empty_violations()),
+            F.when(applies, cond).otherwise(empty_violations()),
         )
 
     def _k_additionalProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1084,21 +1112,16 @@ class Compiler:
                 child_ctx = ctx.field(f.name).with_applied(present)
                 child_ctx = _replace(child_ctx, spath=ctx.spath + "/additionalProperties")
                 c = self.apply(value, child_ctx)
-                parts.append(
-                    Compiled(
-                        F.when(present, c.valid).otherwise(F.lit(True)),
-                        F.when(present, c.viols).otherwise(empty_violations()),
-                    )
-                )
-            return combine(parts) if parts else None
+                parts.append(gate_compiled(c, present))
+            return resolve_node(combine(parts)) if parts else None
         if isinstance(ctx.dtype, T.MapType):
-            return self._map_entries_check(
+            return resolve_node(self._map_entries_check(
                 ctx,
                 value,
                 "/additionalProperties",
                 exclude_keys=known,
                 exclude_rlikes=patterns,
-            )
+            ))
         return None
 
     def _k_propertyNames(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1113,28 +1136,35 @@ class Compiler:
                 )
                 c = self.apply(value, name_ctx)
                 present = self._has_prop(ctx, f.name)
-                parts.append(
-                    Compiled(
-                        F.when(present, c.valid).otherwise(F.lit(True)),
-                        F.when(present, c.viols).otherwise(empty_violations()),
-                    )
-                )
-            return combine(parts) if parts else None
+                parts.append(gate_compiled(c, present))
+            return resolve_node(combine(parts)) if parts else None
         if isinstance(ctx.dtype, T.MapType):
-            def child(k: Column) -> Compiled:
+            def child(k: Column) -> Column:
                 cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), escape_pointer_col(k)), "/propertyNames")
-                return self.apply(value, _replace(cctx, no_trace=True))
+                c = self.apply(value, _replace(cctx, no_trace=True))
+                return F.struct(
+                    c.valid.alias("ok"),
+                    c.viols.alias("v"),
+                    (c.cond if c.cond is not None else empty_violations()).alias("cv"),
+                )
 
-            keys = F.map_keys(ctx.col)
-            valid = F.coalesce(F.forall(keys, lambda k: child(k).valid), F.lit(True))
+            per_key = F.transform(F.map_keys(ctx.col), child)
+            valid = F.coalesce(F.forall(per_key, lambda s: s.getField("ok")), F.lit(True))
             viols = F.coalesce(
-                F.flatten(F.transform(keys, lambda k: child(k).viols)),
+                F.flatten(F.transform(per_key, lambda s: s.getField("v"))),
+                empty_violations(),
+            )
+            cond = F.coalesce(
+                F.flatten(F.transform(per_key, lambda s: s.getField("cv"))),
                 empty_violations(),
             )
             applies = ctx.col.isNotNull()
-            return Compiled(
-                F.when(applies, valid).otherwise(F.lit(True)),
-                F.when(applies, viols).otherwise(empty_violations()),
+            return resolve_node(
+                Compiled(
+                    F.when(applies, valid).otherwise(F.lit(True)),
+                    F.when(applies, viols).otherwise(empty_violations()),
+                    F.when(applies, cond).otherwise(empty_violations()),
+                )
             )
         return None
 
@@ -1154,12 +1184,8 @@ class Compiler:
                 f"/prefixItems/{i}",
             ).with_applied(applies)
             c = self.apply(sub, cctx)
-            parts.append(
-                Compiled(
-                    F.when(applies, c.valid).otherwise(F.lit(True)),
-                    F.when(applies, c.viols).otherwise(empty_violations()),
-                )
-            )
+            # per-index subresult node (applicator.py:151)
+            parts.append(gate_compiled(resolve_node(c), applies))
         return combine(parts) if parts else None
 
     def _per_element(
@@ -1169,9 +1195,11 @@ class Compiler:
         spath_suffix: str,
         start: int = 0,
         skip_fn: Optional[Callable[[Column, Column], Column]] = None,
-    ) -> tuple[Column, Column]:
-        """(valid, viols) of ``sub`` applied to elements [start:] —
-        single HOF pass building struct(ok, v) per element.
+    ) -> tuple[Column, Column, Column]:
+        """(valid, viols, cond) of ``sub`` applied to elements [start:] —
+        single HOF pass building struct(ok, v, cv) per element. ``cond``
+        carries the elements' pending noassert-if viols (Compiled.cond);
+        the CALLER is the result node and owns their invalid gate.
 
         ``skip_fn(x, i)`` — optional per-element gate: elements for which
         it returns true pass vacuously (used by unevaluatedItems to skip
@@ -1181,7 +1209,11 @@ class Compiler:
             cctx = ctx.element(x, i)
             cctx = _replace(cctx, spath=ctx.spath + spath_suffix, no_trace=True)
             c = self.apply(sub, cctx)
-            body = F.struct(c.valid.alias("ok"), c.viols.alias("v"))
+            body = F.struct(
+                c.valid.alias("ok"),
+                c.viols.alias("v"),
+                (c.cond if c.cond is not None else empty_violations()).alias("cv"),
+            )
             gate: Optional[Column] = (i >= start) if start > 0 else None
             if skip_fn is not None:
                 not_skipped = ~F.coalesce(skip_fn(x, i), F.lit(False))
@@ -1189,7 +1221,13 @@ class Compiler:
             if gate is not None:
                 return F.when(
                     gate, body
-                ).otherwise(F.struct(F.lit(True).alias("ok"), empty_violations().alias("v")))
+                ).otherwise(
+                    F.struct(
+                        F.lit(True).alias("ok"),
+                        empty_violations().alias("v"),
+                        empty_violations().alias("cv"),
+                    )
+                )
             return body
 
         per = F.transform(ctx.col, mk)
@@ -1197,22 +1235,28 @@ class Compiler:
         viols = F.coalesce(
             F.flatten(F.transform(per, lambda s: s.getField("v"))), empty_violations()
         )
-        return valid, viols
+        cond = F.coalesce(
+            F.flatten(F.transform(per, lambda s: s.getField("cv"))), empty_violations()
+        )
+        return valid, viols, cond
 
     def _k_items(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
         if not isinstance(ctx.dtype, T.ArrayType):
             return None
         start = len(schema.get("prefixItems") or [])
-        valid, viols = self._per_element(ctx, value, "/items", start=start)
+        valid, viols, cond = self._per_element(ctx, value, "/items", start=start)
         applies = ctx.col.isNotNull()
         if schema.get(_LEGACY_ADDITIONAL_ITEMS) and "prefixItems" in results:
             # rewritten 2019-09 additionalItems: discarded entirely when
             # the tuple items failed (the items annotation it depends on
             # is only set on success — reference legacy.py:76-85, 88-94)
             applies = applies & results["prefixItems"].valid
-        return Compiled(
-            F.when(applies, valid).otherwise(F.lit(True)),
-            F.when(applies, viols).otherwise(empty_violations()),
+        return resolve_node(
+            Compiled(
+                F.when(applies, valid).otherwise(F.lit(True)),
+                F.when(applies, viols).otherwise(empty_violations()),
+                F.when(applies, cond).otherwise(empty_violations()),
+            )
         )
 
     def _contains_count(self, ctx: Ctx, schema: dict, results: dict) -> Column:
@@ -1264,10 +1308,16 @@ class Compiler:
         return out
 
     def _k_allOf(self, value, schema, ctx: Ctx, results) -> Compiled:
-        return combine(self._branches(ctx, "allOf", value))
+        # each branch gets its OWN subresult node (applicator.py:34 —
+        # `with result(instance, str(index))`), so a branch's pending
+        # noassert-if viols resolve under THAT BRANCH's outcome: a
+        # passing branch's failed `if` is never reported, even when a
+        # sibling branch fails the allOf
+        return combine([resolve_node(b) for b in self._branches(ctx, "allOf", value)])
 
     def _k_anyOf(self, value, schema, ctx: Ctx, results) -> Compiled:
-        branches = self._branches(ctx, "anyOf", value)
+        # per-branch subresult nodes (applicator.py:49) — see _k_allOf
+        branches = [resolve_node(b) for b in self._branches(ctx, "anyOf", value)]
         valid = branches[0].valid
         for b in branches[1:]:
             valid = valid | b.valid
@@ -1282,7 +1332,8 @@ class Compiler:
         return Compiled(valid, viols)
 
     def _k_oneOf(self, value, schema, ctx: Ctx, results) -> Compiled:
-        branches = self._branches(ctx, "oneOf", value)
+        # per-branch subresult nodes (applicator.py:65) — see _k_allOf
+        branches = [resolve_node(b) for b in self._branches(ctx, "oneOf", value)]
         n = branches[0].valid.cast("int")
         for b in branches[1:]:
             n = n + b.valid.cast("int")
@@ -1306,13 +1357,16 @@ class Compiler:
         c = self.apply(value, nctx)
         valid = ~c.valid
         # on failure (subschema PASSED), the walk descends into the
-        # subschema's keyword results — which are all valid except
-        # noassert `if` subtrees, whose viols c.viols then carries
+        # subschema's keyword results — all valid except noassert `if`
+        # subtrees, whose pending viols (c.cond) surface here: the not
+        # node IS their nearest result node, invalid exactly when the
+        # subschema passed
         viols = F.when(
             ~valid,
             concat_viols(
                 F.array(make_violation(ctx, "not", "the instance must not validate against the subschema")),
                 c.viols,
+                c.cond,
             ),
         ).otherwise(empty_violations())
         return Compiled(valid, viols)
@@ -1327,9 +1381,13 @@ class Compiler:
         cond = results["if"].valid
         tctx = _replace(ctx, spath=ctx.spath + "/then", depth=ctx.depth + 1).with_applied(cond)
         c = self.apply(value, tctx)
+        # unapplied → discarded result node (applicator.py:105): nothing
+        # reported; applied → this node resolves its subtree's pending
+        # if-viols under its own (= the subschema's) validity
+        inner = resolve_node(c).viols
         return Compiled(
             F.when(cond, c.valid).otherwise(F.lit(True)),
-            F.when(cond, c.viols).otherwise(empty_violations()),
+            F.when(cond, inner).otherwise(empty_violations()),
         )
 
     def _k_else(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1338,9 +1396,10 @@ class Compiler:
         cond = results["if"].valid
         ectx = _replace(ctx, spath=ctx.spath + "/else", depth=ctx.depth + 1).with_applied(~cond)
         c = self.apply(value, ectx)
+        inner = resolve_node(c).viols
         return Compiled(
             F.when(~cond, c.valid).otherwise(F.lit(True)),
-            F.when(~cond, c.viols).otherwise(empty_violations()),
+            F.when(~cond, inner).otherwise(empty_violations()),
         )
 
     def _k_dependentSchemas(self, value: dict, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1355,12 +1414,8 @@ class Compiler:
                 ctx, spath=ctx.spath + f"/dependentSchemas/{escape_pointer(name)}", depth=ctx.depth + 1
             ).with_applied(present)
             c = self.apply(sub, dctx)
-            parts.append(
-                Compiled(
-                    F.when(present, c.valid).otherwise(F.lit(True)),
-                    F.when(present, c.viols).otherwise(empty_violations()),
-                )
-            )
+            # per-name subresult node (applicator.py:128)
+            parts.append(gate_compiled(resolve_node(c), present))
         return combine(parts) if parts else None
 
     # -- references --------------------------------------------------------
@@ -1373,7 +1428,10 @@ class Compiler:
         rctx = _replace(
             ctx, spath=self._target_spath(ctx, target, spath, "$ref"), depth=ctx.depth + 1
         )
-        return self.apply(target, rctx)
+        # the $ref node is a result node (target keywords attach to it,
+        # RefKeyword.evaluate core.py:82-103): resolve the target's
+        # pending if-viols under the ref outcome's own gate
+        return resolve_node(self.apply(target, rctx))
 
     def _k_dynamicRef(self, value, schema, ctx: Ctx, results) -> Compiled:
         """$dynamicRef: resolves like $ref, then rebinds to the
@@ -1424,7 +1482,7 @@ class Compiler:
             spath=self._target_spath(ctx, target, spath, "$dynamicRef"),
             depth=ctx.depth + 1,
         )
-        return self.apply(target, rctx)
+        return resolve_node(self.apply(target, rctx))
 
     # -- format (annotate-only unless enabled; format.py:14-32) ------------
 
@@ -1675,13 +1733,8 @@ class Compiler:
             child_ctx = _replace(child_ctx, spath=ctx.spath + "/unevaluatedProperties")
             c = self.apply(value, child_ctx)
             applies = self._has_prop(ctx, f.name) & ~covered
-            parts.append(
-                Compiled(
-                    F.when(applies, c.valid).otherwise(F.lit(True)),
-                    F.when(applies, c.viols).otherwise(empty_violations()),
-                )
-            )
-        return combine(parts) if parts else None
+            parts.append(gate_compiled(c, applies))
+        return resolve_node(combine(parts)) if parts else None
 
     def _unevaluated_props_map(self, value, schema: dict, ctx: Ctx) -> Compiled:
         """unevaluatedProperties over an open MapType column: the key
@@ -1746,13 +1799,21 @@ class Compiler:
             )
             return self.apply(value, _replace(cctx, no_trace=True))
 
-        pass_struct = F.struct(F.lit(True).alias("ok"), empty_violations().alias("v"))
+        pass_struct = F.struct(
+            F.lit(True).alias("ok"),
+            empty_violations().alias("v"),
+            empty_violations().alias("cv"),
+        )
 
         def entry_struct(e: Column) -> Column:
             c = child(e)  # compile the subschema ONCE per entry
             return F.when(
                 ~F.coalesce(covered_key(e.getField("key")), F.lit(False)),
-                F.struct(c.valid.alias("ok"), c.viols.alias("v")),
+                F.struct(
+                    c.valid.alias("ok"),
+                    c.viols.alias("v"),
+                    (c.cond if c.cond is not None else empty_violations()).alias("cv"),
+                ),
             ).otherwise(pass_struct)
 
         per_entry = F.transform(F.map_entries(ctx.col), entry_struct)
@@ -1761,10 +1822,17 @@ class Compiler:
             F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
             empty_violations(),
         )
+        cond = F.coalesce(
+            F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
+            empty_violations(),
+        )
         applies = ctx.col.isNotNull()
-        return Compiled(
-            F.when(applies, valid).otherwise(F.lit(True)),
-            F.when(applies, viols).otherwise(empty_violations()),
+        return resolve_node(
+            Compiled(
+                F.when(applies, valid).otherwise(F.lit(True)),
+                F.when(applies, viols).otherwise(empty_violations()),
+                F.when(applies, cond).otherwise(empty_violations()),
+            )
         )
 
     def _prop_covered(self, schema: dict, ctx: Ctx, name: str) -> Column:
@@ -1864,13 +1932,16 @@ class Compiler:
                 cov = cov | (cond & here)
             return cov
 
-        valid_elems, viols_elems = self._per_element(
+        valid_elems, viols_elems, cond_elems = self._per_element(
             ctx, value, "/unevaluatedItems", skip_fn=skip_fn if partial else None
         )
         applies = ctx.col.isNotNull() & ~all_covered
-        return Compiled(
-            F.when(applies, valid_elems).otherwise(F.lit(True)),
-            F.when(applies, viols_elems).otherwise(empty_violations()),
+        return resolve_node(
+            Compiled(
+                F.when(applies, valid_elems).otherwise(F.lit(True)),
+                F.when(applies, viols_elems).otherwise(empty_violations()),
+                F.when(applies, cond_elems).otherwise(empty_violations()),
+            )
         )
 
 
@@ -1967,7 +2038,10 @@ class CompiledSchema:
         self.schema = self.compiler.root
 
     def apply(self, ctx: Ctx) -> Compiled:
-        return self.compiler.apply(self.schema, ctx)
+        # the root IS a result node: pending noassert-if viols resolve
+        # under the overall outcome (basic output reports errors only
+        # for invalid instances, jschon/output.py:46-70)
+        return resolve_node(self.compiler.apply(self.schema, ctx))
 
     def columns(self, dtype: T.DataType, col: Column) -> Compiled:
         return self.apply(Ctx(col=col, dtype=dtype, path=F.lit(""), spath=""))

@@ -259,8 +259,14 @@ def evaluate_batch(
         saved = comp.trace
         comp.trace = {}
         try:
-            root = comp.apply(
-                compiled.schema, Ctx(col=col, dtype=dtype, path=F.lit(""), spath="")
+            from jschon_spark.compiler.context import resolve_node
+
+            # raw Compiler.apply: resolve the root's pending noassert-if
+            # viols exactly as CompiledSchema.apply does
+            root = resolve_node(
+                comp.apply(
+                    compiled.schema, Ctx(col=col, dtype=dtype, path=F.lit(""), spath="")
+                )
             )
             arr = annotation_array(comp.trace)
         finally:

@@ -526,18 +526,31 @@ def _ref_annot_set(annots) -> set:
     return out
 
 
-def _spark_annot_set(anns) -> set:
+def _spark_annot_set(anns, exclude_extra: frozenset = frozenset()) -> set:
     out = set()
+    exclude = _ANNOT_EXCLUDE_SEGS | exclude_extra
     for r in anns:
         toks = (r["keyword_path"] + "/" + r["keyword"]).split("/")
-        if set(toks[:-1]) & _ANNOT_EXCLUDE_SEGS:
+        if set(toks[:-1]) & exclude:
             continue
         if toks[-1] in _ANNOT_KEYWORDS:
             out.add((r["instance_path"], r["keyword"], r["value_json"]))
     return out
 
 
-def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label):
+# For LEGACY-dialect (2019-09/draft-07) comparisons only: tuple-form
+# `items` compiles as `prefixItems` on the Spark side (legacy.py
+# rewrite), so a reference unit at .../items/0/... — excluded by the
+# "items" segment above — reappears at .../prefixItems/0/... in the
+# Spark trace. Genuine 2019-09 schemas cannot contain a real
+# prefixItems keyword, so excluding the segment on the Spark side is
+# exactly the symmetric filter. (2020-12 comparisons keep prefixItems
+# units comparable on both sides.)
+_LEGACY_SPARK_EXCLUDE = frozenset({"prefixItems"})
+
+
+def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
+                  spark_annot_exclude: frozenset = frozenset()):
     """Shared verdict + leaf-violation-location + annotation-unit
     comparison. ``ref_outputs`` holds each instance's basic-output
     errors (invalid) or annotations (valid)."""
@@ -558,7 +571,7 @@ def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label):
                     f"    reference={sorted(want)}\n    spark    ={sorted(got)}"
                 )
         else:
-            want, got = _ref_annot_set(re_), _spark_annot_set(sanns)
+            want, got = _ref_annot_set(re_), _spark_annot_set(sanns, spark_annot_exclude)
             if want != got:
                 mismatches.append(
                     f"  data={d!r}: annotation units differ\n"
@@ -628,7 +641,10 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
 # hammers it: unevaluated* siblings of not-wrapped annotation producers,
 # with a toggle keyword so `not` flips both ways across instances.
 
-NEG_SEEDS = list(range(20))
+# 5004: campaign-found — noassert-if viols under items/unevaluatedItems
+# elements gated on the wrong result node (fixed by the Compiled.cond
+# pending-viols stream; see context.py resolve_node)
+NEG_SEEDS = list(range(20)) + [5004]
 
 
 def gen_negation_schema(rng: random.Random, depth: int = 3) -> dict:
@@ -765,7 +781,9 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
 
 # ------------------------------------------------- 2019-09 legacy fuzzing
 
-LEGACY_SEEDS = list(range(12))
+# 5014: campaign-found — comparator asymmetry on legacy tuple-items
+# rewritten to prefixItems (fixed by _LEGACY_SPARK_EXCLUDE)
+LEGACY_SEEDS = list(range(12)) + [5014]
 _META_1909 = "https://json-schema.org/draft/2019-09/schema"
 
 
@@ -826,7 +844,8 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
     )
 
     mismatches, _ = _compare_case(
-        datas, ref_verdicts, ref_outputs, spark_results, f"2019-09 fuzz {seed}"
+        datas, ref_verdicts, ref_outputs, spark_results, f"2019-09 fuzz {seed}",
+        spark_annot_exclude=_LEGACY_SPARK_EXCLUDE,
     )
     assert not mismatches, (
         f"2019-09 fuzz seed {seed}: Spark engine disagrees with the reference "

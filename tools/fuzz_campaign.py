@@ -153,7 +153,10 @@ def _run_one(spark, ref, family, seed):
         catalog=catalog_obj,
     )
     mismatches, skipped = fz._compare_case(
-        datas, ref_verdicts, ref_outputs, spark_results, f"{family} {seed}"
+        datas, ref_verdicts, ref_outputs, spark_results, f"{family} {seed}",
+        spark_annot_exclude=(
+            fz._LEGACY_SPARK_EXCLUDE if family == "legacy" else frozenset()
+        ),
     )
     if mismatches:
         return "mismatch", {"schema": schema, "detail": mismatches[:5],
