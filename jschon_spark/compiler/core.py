@@ -1053,7 +1053,12 @@ class Compiler:
             )
             return self.apply(sub, _replace(cctx, no_trace=True))
 
-        def entry_struct(e: Column) -> Column:
+        # cv-field presence decided statically at expression build —
+        # if-free subschemas skip the extra field + flatten (see
+        # _per_element)
+        state: dict[str, bool] = {}
+
+        def entry(e: Column) -> Column:
             # compile the subschema ONCE per entry — calling child(e)
             # for .valid and .viols separately would duplicate the whole
             # compiled expression tree inside the lambda (Catalyst CSE
@@ -1061,25 +1066,17 @@ class Compiler:
             c = child(e)
             if resolve_per_entry:
                 c = resolve_node(c)
-            return F.struct(
-                c.valid.alias("ok"),
-                c.viols.alias("v"),
-                (c.cond if c.cond is not None else empty_violations()).alias("cv"),
-            )
+            state["has_cond"] = has_cond = c.cond is not None
+            fields = [c.valid.alias("ok"), c.viols.alias("v")]
+            pass_fields = [F.lit(True).alias("ok"), empty_violations().alias("v")]
+            if has_cond:
+                fields.append(c.cond.alias("cv"))
+                pass_fields.append(empty_violations().alias("cv"))
+            return F.when(
+                key_selected(e.getField("key")), F.struct(*fields)
+            ).otherwise(F.struct(*pass_fields))
 
-        entries = F.map_entries(ctx.col)
-        per_entry = F.transform(
-            entries,
-            lambda e: F.when(
-                key_selected(e.getField("key")), entry_struct(e)
-            ).otherwise(
-                F.struct(
-                    F.lit(True).alias("ok"),
-                    empty_violations().alias("v"),
-                    empty_violations().alias("cv"),
-                )
-            ),
-        )
+        per_entry = F.transform(F.map_entries(ctx.col), entry)
         valid = F.coalesce(
             F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True)
         )
@@ -1087,15 +1084,19 @@ class Compiler:
             F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
             empty_violations(),
         )
-        cond = F.coalesce(
-            F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
-            empty_violations(),
-        )
         applies = ctx.col.isNotNull()
+        if state.get("has_cond"):
+            cond = F.coalesce(
+                F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
+                empty_violations(),
+            )
+            cond = F.when(applies, cond).otherwise(empty_violations())
+        else:
+            cond = None
         return Compiled(
             F.when(applies, valid).otherwise(F.lit(True)),
             F.when(applies, viols).otherwise(empty_violations()),
-            F.when(applies, cond).otherwise(empty_violations()),
+            cond,
         )
 
     def _k_additionalProperties(self, value, schema, ctx: Ctx, results) -> Optional[Compiled]:
@@ -1139,14 +1140,16 @@ class Compiler:
                 parts.append(gate_compiled(c, present))
             return resolve_node(combine(parts)) if parts else None
         if isinstance(ctx.dtype, T.MapType):
+            state: dict[str, bool] = {}
+
             def child(k: Column) -> Column:
                 cctx = ctx.child(k, T.StringType(), F.concat(ctx.path, F.lit("/"), escape_pointer_col(k)), "/propertyNames")
                 c = self.apply(value, _replace(cctx, no_trace=True))
-                return F.struct(
-                    c.valid.alias("ok"),
-                    c.viols.alias("v"),
-                    (c.cond if c.cond is not None else empty_violations()).alias("cv"),
-                )
+                state["has_cond"] = c.cond is not None
+                fields = [c.valid.alias("ok"), c.viols.alias("v")]
+                if c.cond is not None:
+                    fields.append(c.cond.alias("cv"))
+                return F.struct(*fields)
 
             per_key = F.transform(F.map_keys(ctx.col), child)
             valid = F.coalesce(F.forall(per_key, lambda s: s.getField("ok")), F.lit(True))
@@ -1154,16 +1157,20 @@ class Compiler:
                 F.flatten(F.transform(per_key, lambda s: s.getField("v"))),
                 empty_violations(),
             )
-            cond = F.coalesce(
-                F.flatten(F.transform(per_key, lambda s: s.getField("cv"))),
-                empty_violations(),
-            )
             applies = ctx.col.isNotNull()
+            if state.get("has_cond"):
+                cond = F.coalesce(
+                    F.flatten(F.transform(per_key, lambda s: s.getField("cv"))),
+                    empty_violations(),
+                )
+                cond = F.when(applies, cond).otherwise(empty_violations())
+            else:
+                cond = None
             return resolve_node(
                 Compiled(
                     F.when(applies, valid).otherwise(F.lit(True)),
                     F.when(applies, viols).otherwise(empty_violations()),
-                    F.when(applies, cond).otherwise(empty_violations()),
+                    cond,
                 )
             )
         return None
@@ -1195,7 +1202,7 @@ class Compiler:
         spath_suffix: str,
         start: int = 0,
         skip_fn: Optional[Callable[[Column, Column], Column]] = None,
-    ) -> tuple[Column, Column, Column]:
+    ) -> tuple[Column, Column, Optional[Column]]:
         """(valid, viols, cond) of ``sub`` applied to elements [start:] —
         single HOF pass building struct(ok, v, cv) per element. ``cond``
         carries the elements' pending noassert-if viols (Compiled.cond);
@@ -1205,29 +1212,30 @@ class Compiler:
         it returns true pass vacuously (used by unevaluatedItems to skip
         elements covered by sibling annotations)."""
 
+        # HOF lambdas are built ONCE (symbolic variable), so whether the
+        # subschema produces pending if-viols is known statically after
+        # the first build — if-free subschemas (the common case) skip
+        # the cv field and its flatten pass entirely
+        state: dict[str, bool] = {}
+
         def mk(x: Column, i: Column) -> Column:
             cctx = ctx.element(x, i)
             cctx = _replace(cctx, spath=ctx.spath + spath_suffix, no_trace=True)
             c = self.apply(sub, cctx)
-            body = F.struct(
-                c.valid.alias("ok"),
-                c.viols.alias("v"),
-                (c.cond if c.cond is not None else empty_violations()).alias("cv"),
-            )
+            state["has_cond"] = has_cond = c.cond is not None
+            fields = [c.valid.alias("ok"), c.viols.alias("v")]
+            if has_cond:
+                fields.append(c.cond.alias("cv"))
+            body = F.struct(*fields)
             gate: Optional[Column] = (i >= start) if start > 0 else None
             if skip_fn is not None:
                 not_skipped = ~F.coalesce(skip_fn(x, i), F.lit(False))
                 gate = not_skipped if gate is None else gate & not_skipped
             if gate is not None:
-                return F.when(
-                    gate, body
-                ).otherwise(
-                    F.struct(
-                        F.lit(True).alias("ok"),
-                        empty_violations().alias("v"),
-                        empty_violations().alias("cv"),
-                    )
-                )
+                pass_fields = [F.lit(True).alias("ok"), empty_violations().alias("v")]
+                if has_cond:
+                    pass_fields.append(empty_violations().alias("cv"))
+                return F.when(gate, body).otherwise(F.struct(*pass_fields))
             return body
 
         per = F.transform(ctx.col, mk)
@@ -1235,8 +1243,13 @@ class Compiler:
         viols = F.coalesce(
             F.flatten(F.transform(per, lambda s: s.getField("v"))), empty_violations()
         )
-        cond = F.coalesce(
-            F.flatten(F.transform(per, lambda s: s.getField("cv"))), empty_violations()
+        cond = (
+            F.coalesce(
+                F.flatten(F.transform(per, lambda s: s.getField("cv"))),
+                empty_violations(),
+            )
+            if state.get("has_cond")
+            else None
         )
         return valid, viols, cond
 
@@ -1255,7 +1268,7 @@ class Compiler:
             Compiled(
                 F.when(applies, valid).otherwise(F.lit(True)),
                 F.when(applies, viols).otherwise(empty_violations()),
-                F.when(applies, cond).otherwise(empty_violations()),
+                None if cond is None else F.when(applies, cond).otherwise(empty_violations()),
             )
         )
 
@@ -1799,22 +1812,20 @@ class Compiler:
             )
             return self.apply(value, _replace(cctx, no_trace=True))
 
-        pass_struct = F.struct(
-            F.lit(True).alias("ok"),
-            empty_violations().alias("v"),
-            empty_violations().alias("cv"),
-        )
+        state: dict[str, bool] = {}
 
         def entry_struct(e: Column) -> Column:
             c = child(e)  # compile the subschema ONCE per entry
+            state["has_cond"] = has_cond = c.cond is not None
+            fields = [c.valid.alias("ok"), c.viols.alias("v")]
+            pass_fields = [F.lit(True).alias("ok"), empty_violations().alias("v")]
+            if has_cond:
+                fields.append(c.cond.alias("cv"))
+                pass_fields.append(empty_violations().alias("cv"))
             return F.when(
                 ~F.coalesce(covered_key(e.getField("key")), F.lit(False)),
-                F.struct(
-                    c.valid.alias("ok"),
-                    c.viols.alias("v"),
-                    (c.cond if c.cond is not None else empty_violations()).alias("cv"),
-                ),
-            ).otherwise(pass_struct)
+                F.struct(*fields),
+            ).otherwise(F.struct(*pass_fields))
 
         per_entry = F.transform(F.map_entries(ctx.col), entry_struct)
         valid = F.coalesce(F.forall(per_entry, lambda s: s.getField("ok")), F.lit(True))
@@ -1822,16 +1833,20 @@ class Compiler:
             F.flatten(F.transform(per_entry, lambda s: s.getField("v"))),
             empty_violations(),
         )
-        cond = F.coalesce(
-            F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
-            empty_violations(),
-        )
         applies = ctx.col.isNotNull()
+        if state.get("has_cond"):
+            cond = F.coalesce(
+                F.flatten(F.transform(per_entry, lambda s: s.getField("cv"))),
+                empty_violations(),
+            )
+            cond = F.when(applies, cond).otherwise(empty_violations())
+        else:
+            cond = None
         return resolve_node(
             Compiled(
                 F.when(applies, valid).otherwise(F.lit(True)),
                 F.when(applies, viols).otherwise(empty_violations()),
-                F.when(applies, cond).otherwise(empty_violations()),
+                cond,
             )
         )
 
@@ -1940,7 +1955,9 @@ class Compiler:
             Compiled(
                 F.when(applies, valid_elems).otherwise(F.lit(True)),
                 F.when(applies, viols_elems).otherwise(empty_violations()),
-                F.when(applies, cond_elems).otherwise(empty_violations()),
+                None
+                if cond_elems is None
+                else F.when(applies, cond_elems).otherwise(empty_violations()),
             )
         )
 
