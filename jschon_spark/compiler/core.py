@@ -76,6 +76,8 @@ _LEGACY_REF_ONLY = "x-legacy-refOnly"
 # annotations but NOT contains (reference legacy.py:114-137), so
 # contains-matched elements stay unevaluated (keep in sync w/ legacy.py)
 _LEGACY_UNEV_NO_CONTAINS = "x-legacy-unevaluatedItemsNoContains"
+# boolean-form 2019-09 `items` never annotates (legacy.py rewrite marker)
+_LEGACY_BOOL_ITEMS = "x-legacy-boolItemsNoAnnotation"
 
 # Keyword evaluation order ≙ jschon's depends_on toposort
 # (jschon/jsonschema.py:168-185). Static order suffices because the
@@ -1908,7 +1910,9 @@ class Compiler:
                 continue
             kw_gate = self._source_needs_kw_gate(guards, src, schema)
             n_prefix = len(src.get("prefixItems") or [])
-            has_items = "items" in src
+            # a boolean-form 2019-09 `items` evaluates but NEVER
+            # annotates (reference legacy.py:63-64) → no coverage
+            has_items = "items" in src and not src.get(_LEGACY_BOOL_ITEMS)
             nested_unev = "unevaluatedItems" in src and src is not schema
             contains_sub = src["contains"] if "contains" in src and not no_contains else None
             if not has_items and not nested_unev and n_prefix == 0 and contains_sub is None:
@@ -1923,9 +1927,18 @@ class Compiler:
                     # rewritten 2019-09 additionalItems: discarded (no
                     # annotation → no coverage) when the tuple failed
                     c = c & self._kw_valid("prefixItems", src, ctx)
+                # items annotates True only when it actually evaluated
+                # an element beyond the source's prefix — a VACUOUSLY
+                # valid items (array no longer than the prefix) leaves
+                # annotation None (applicator.py:174-187 loop never
+                # runs; 2019-09 legacy.py:60-61 empty-array return)
+                c = c & (F.size(ctx.col) > F.lit(n_prefix))
                 all_covered = all_covered | c
             if nested_unev:
                 c = cond & self._kw_valid("unevaluatedItems", src, ctx) if kw_gate else cond
+                # same vacuity rule: annotates True only having
+                # evaluated ≥1 element (applicator.py:218-232)
+                c = c & (F.size(ctx.col) > 0)
                 all_covered = all_covered | c
             if n_prefix > 0:
                 c = cond & self._kw_valid("prefixItems", src, ctx) if kw_gate else cond

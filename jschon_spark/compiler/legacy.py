@@ -55,6 +55,14 @@ _SUB_OBJECT = {"properties", "patternProperties", "dependentSchemas", "$defs", "
 # the 2020-12 pipeline.
 _UNEV_ITEMS_NO_CONTAINS_MARKER = "x-legacy-unevaluatedItemsNoContains"
 
+# marker for a BOOLEAN-form 2019-09 `items`: that dialect's keyword
+# evaluates the whole array against the boolean schema but NEVER
+# annotates (reference legacy.py:63-64 — no result.annotate call,
+# unlike the schema form at legacy.py:66-71), so it contributes no
+# unevaluatedItems coverage. The 2020-12 `items` it rewrites to DOES
+# annotate; the compiler's coverage model skips marked sources.
+_BOOL_ITEMS_NO_ANNOT_MARKER = "x-legacy-boolItemsNoAnnotation"
+
 # marker for draft-04/-06/-07 $ref: in those dialects a schema object
 # containing $ref behaves as a pure reference — every sibling keyword
 # is IGNORED (draft-07 core §8.3; official suite draft7/ref.json
@@ -96,6 +104,11 @@ def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
                 out["prefixItems"] = [rewrite_legacy(s, dialect_uri) for s in v]
             else:
                 out["items"] = rewrite_legacy(v, dialect_uri)
+                if isinstance(v, bool) and isinstance(dialect_uri, str) and (
+                    dialect_uri.rstrip("#") == _1909_URI
+                    or dialect_uri.rstrip("#") in _PRE_1909_URIS
+                ):
+                    out[_BOOL_ITEMS_NO_ANNOT_MARKER] = True
         elif k == "additionalItems":
             if isinstance(schema.get("items"), list):
                 out["items"] = rewrite_legacy(v, dialect_uri)

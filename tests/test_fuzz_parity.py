@@ -644,7 +644,10 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
 # 5004: campaign-found — noassert-if viols under items/unevaluatedItems
 # elements gated on the wrong result node (fixed by the Compiled.cond
 # pending-viols stream; see context.py resolve_node)
-NEG_SEEDS = list(range(20)) + [5004]
+# 5068: campaign-found — a VACUOUSLY valid `items` (array no longer
+# than the prefix) annotates nothing, so it must not cover elements
+# for unevaluatedItems
+NEG_SEEDS = list(range(20)) + [5004, 5068]
 
 
 def gen_negation_schema(rng: random.Random, depth: int = 3) -> dict:
@@ -783,7 +786,9 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
 
 # 5014: campaign-found — comparator asymmetry on legacy tuple-items
 # rewritten to prefixItems (fixed by _LEGACY_SPARK_EXCLUDE)
-LEGACY_SEEDS = list(range(12)) + [5014]
+# 5061: campaign-found — boolean-form 2019-09 `items` never annotates
+# (reference legacy.py:63-64), so it gives no unevaluatedItems coverage
+LEGACY_SEEDS = list(range(12)) + [5014, 5061]
 _META_1909 = "https://json-schema.org/draft/2019-09/schema"
 
 
