@@ -179,7 +179,10 @@ def main():
             for line in f:
                 try:
                     r = json.loads(line)
-                    done.add((r["family"], r["seed"]))
+                    # errored seeds are RETRIED on resume (e.g. a
+                    # driver-heap OOM poisons every later seed of a run)
+                    if r.get("status") != "error":
+                        done.add((r["family"], r["seed"]))
                 except Exception:
                     pass
 
@@ -189,11 +192,21 @@ def main():
     families = args.families.split(",")
     stats = {f: {"ok": 0, "skip": 0, "mismatch": 0, "error": 0} for f in families}
     t0 = time.time()
+    ran = 0
     with open(args.out, "a", buffering=1) as out:
         for seed in range(args.start, args.start + args.count):
             for family in families:
                 if (family, seed) in done:
                     continue
+                ran += 1
+                if ran % 200 == 0:
+                    # hundreds of compiled fuzz schemas accumulate plan
+                    # objects in the JVM driver heap; recycle the
+                    # session periodically (measured: heap OOM ~2000
+                    # schemas into a run at the default 1g driver)
+                    spark.stop()
+                    spark = get_session(cpus=args.cpus, app_name="fuzz_campaign",
+                                        shuffle_partitions=args.cpus)
                 try:
                     status, payload = _run_one(spark, ref, family, seed)
                 except RecursionError:
