@@ -308,6 +308,7 @@ class Compiler:
         max_depth: int = _MAX_DEPTH,
         catalog: Optional[Any] = None,
         validate_schema: bool = True,
+        max_nodes: int = 60_000,
     ):
         from jschon_spark.compiler.legacy import rewrite_legacy
         from jschon_spark.compiler.metaschema import check_schema_document
@@ -357,6 +358,15 @@ class Compiler:
         if format_validators:
             self.format_validators.update(format_validators)
         self.max_depth = max_depth
+        # ref INLINING multiplies shared subtrees: a small document with
+        # chained cross-document $refs can compile to a Column tree far
+        # beyond what Catalyst's recursive converters handle (observed:
+        # a 3.6 KB fuzz schema with 11 refs overflowing the driver
+        # thread stack / analyzing for minutes). Count subschema
+        # applications and fail FAST with a pointer instead — the same
+        # philosophy as max_depth for cycles.
+        self.max_nodes = max_nodes
+        self._node_count = 0
         # URI → (schema_node, canonical spath); ≙ Catalog schema cache
         self.registry: dict[str, tuple[Any, str]] = {}
         # $dynamicAnchor name → [(node, spath)] in document (outermost-first) order
@@ -608,6 +618,18 @@ class Compiler:
         if ctx.depth > self.max_depth:
             raise CompileError(
                 f"schema recursion exceeds max depth {self.max_depth} at {ctx.spath!r}"
+            )
+        if ctx.depth == 0:
+            # fresh root application (every nested compile path raises
+            # depth): the budget is per compiled plan, not per Compiler
+            self._node_count = 0
+        self._node_count += 1
+        if self._node_count > self.max_nodes:
+            raise CompileError(
+                f"schema compiles to more than {self.max_nodes} subschema "
+                f"applications (at {ctx.spath!r}) — ref inlining has "
+                "multiplied shared subtrees beyond what a single Spark "
+                "plan supports; restructure the refs or raise max_nodes"
             )
         if isinstance(schema, dict):
             uri = self._node_scope_uri(schema)

@@ -67,7 +67,16 @@ def get_session(
         # pays each page fault exactly once (lazily — deliberately NOT
         # AlwaysPreTouch, which would serialize the whole heap's faults
         # into startup). Same flag set a production spark-submit uses.
-        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem} -XX:+UseG1GC")
+        # -Xss64m: ref-inlined schemas compile to DEEP Column trees and
+        # Catalyst's ColumnNodeToExpressionConverter / analyzer recurse
+        # per node — the 1m default thread stack overflows on heavily
+        # ref-chained documents (fuzz ext seed 5047: 3.6 KB schema, 11
+        # cross-document refs). Same flag a production spark-submit
+        # would carry for this workload.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -Xss64m -XX:+UseG1GC",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio rows carry binary payloads — keep Arrow batches modest so a
