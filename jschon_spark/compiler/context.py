@@ -85,6 +85,13 @@ class Ctx:
     # (mirrors the reference's Result tree, jschon/jsonschema.py:343+ —
     # an unapplied subschema has no Result node at all)
     applied: Optional[Column] = None
+    # True once compilation entered this node through $ref/$dynamicRef
+    # inlining: the subtree's trace entries are DYNAMIC-path aliases of
+    # the target's static site, and the canonical (non-ref) application
+    # of the same spath must win the once-per-static-site trace slot
+    # (the reference reports ref-traversals under .../$ref/... keyword
+    # locations instead, jschon/jsonschema.py Result.path)
+    via_ref: bool = False
     # True for the DIRECT subschema of a `not` keyword: the reference's
     # NotKeyword evaluates that subschema into the `not` result node
     # itself and then force-flips the outcome (applicator.py:77-86), so

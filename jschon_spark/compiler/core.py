@@ -367,6 +367,9 @@ class Compiler:
         # philosophy as max_depth for cycles.
         self.max_nodes = max_nodes
         self._node_count = 0
+        # trace spaths currently held by a ref-inlined application (the
+        # canonical application of the same site replaces them)
+        self._trace_via_ref: set[str] = set()
         # URI → (schema_node, canonical spath); ≙ Catalog schema cache
         self.registry: dict[str, tuple[Any, str]] = {}
         # $dynamicAnchor name → [(node, spath)] in document (outermost-first) order
@@ -623,6 +626,7 @@ class Compiler:
             # fresh root application (every nested compile path raises
             # depth): the budget is per compiled plan, not per Compiler
             self._node_count = 0
+            self._trace_via_ref = set()
         self._node_count += 1
         if self._node_count > self.max_nodes:
             raise CompileError(
@@ -706,7 +710,21 @@ class Compiler:
             )
         if self.trace is not None and not ctx.no_trace:
             traced = Compiled(walk_valid, node.viols) if negate_result else node
-            self.trace.setdefault(ctx.spath, (schema, ctx.path, traced, ctx.applied))
+            # once-per-static-site: first writer wins, EXCEPT that the
+            # canonical (non-ref) application of a spath replaces a
+            # ref-inlined alias — compile order is post-order, so a
+            # self-referential target's inlined copy would otherwise
+            # claim the slot with the WRONG instance path (campaign
+            # legacy seed 5106: root `default` annotation reported at
+            # /a through properties/a/$recursiveRef)
+            entry = (schema, ctx.path, traced, ctx.applied)
+            if ctx.spath not in self.trace:
+                self.trace[ctx.spath] = entry
+                if ctx.via_ref:
+                    self._trace_via_ref.add(ctx.spath)
+            elif not ctx.via_ref and ctx.spath in self._trace_via_ref:
+                self.trace[ctx.spath] = entry
+                self._trace_via_ref.discard(ctx.spath)
         return node
 
     # -- validation keywords (jschon/vocabulary/validation.py) -------------
@@ -1463,7 +1481,10 @@ class Compiler:
     def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
         target, spath = self.resolve_ref(value, self._site_base(ctx))
         rctx = _replace(
-            ctx, spath=self._target_spath(ctx, target, spath, "$ref"), depth=ctx.depth + 1
+            ctx,
+            spath=self._target_spath(ctx, target, spath, "$ref"),
+            depth=ctx.depth + 1,
+            via_ref=True,
         )
         # the $ref node is a result node (target keywords attach to it,
         # RefKeyword.evaluate core.py:82-103): resolve the target's
@@ -1518,6 +1539,7 @@ class Compiler:
             ctx,
             spath=self._target_spath(ctx, target, spath, "$dynamicRef"),
             depth=ctx.depth + 1,
+            via_ref=True,
         )
         return resolve_node(self.apply(target, rctx))
 

@@ -788,7 +788,10 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
 # rewritten to prefixItems (fixed by _LEGACY_SPARK_EXCLUDE)
 # 5061: campaign-found — boolean-form 2019-09 `items` never annotates
 # (reference legacy.py:63-64), so it gives no unevaluatedItems coverage
-LEGACY_SEEDS = list(range(12)) + [5014, 5061]
+# 5106: campaign-found — a self-referential target's ref-inlined trace
+# entry claimed the canonical site's slot (wrong instance path on the
+# annotation); canonical applications now win the trace slot
+LEGACY_SEEDS = list(range(12)) + [5014, 5061, 5106]
 _META_1909 = "https://json-schema.org/draft/2019-09/schema"
 
 

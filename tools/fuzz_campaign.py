@@ -171,6 +171,8 @@ def main():
     ap.add_argument("--count", type=int, default=200)
     ap.add_argument("--out", default="/tmp/fuzz_campaign.jsonl")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--max-cases", type=int, default=1500,
+                    help="exit after N cases (JVM heap bound); 0 = unlimited")
     args = ap.parse_args()
 
     done = set()
@@ -199,14 +201,18 @@ def main():
                 if (family, seed) in done:
                     continue
                 ran += 1
-                if ran % 200 == 0:
+                if args.max_cases and ran > args.max_cases:
                     # hundreds of compiled fuzz schemas accumulate plan
-                    # objects in the JVM driver heap; recycle the
-                    # session periodically (measured: heap OOM ~2000
-                    # schemas into a run at the default 1g driver)
-                    spark.stop()
-                    spark = get_session(cpus=args.cpus, app_name="fuzz_campaign",
-                                        shuffle_partitions=args.cpus)
+                    # objects in the JVM driver heap (measured: OOM
+                    # ~2000 schemas in). In-process session restart
+                    # leaves stopped-context references behind, so we
+                    # EXIT instead — the run is resumable, so drive it
+                    # with:  while ! grep -q DONE log; do python
+                    # tools/fuzz_campaign.py ...; done
+                    print(f"CHUNK DONE ({args.max_cases} cases) — relaunch to resume",
+                          flush=True)
+                    print("STATS", json.dumps(stats), flush=True)
+                    return
                 try:
                     status, payload = _run_one(spark, ref, family, seed)
                 except RecursionError:
