@@ -36,6 +36,45 @@ def validated(spark):
     return compile_schema(SCHEMA).validate(df, instance_columns=["name", "age", "tags"])
 
 
+def test_noassert_if_errors_follow_result_node_nesting(spark):
+    """A failed noassert `if` reports its errors iff the error walk
+    reaches its RESULT node — which is the applicator keyword's node
+    for direct-evaluation applicators (items, applicator.py:177) but a
+    per-application subresult for allOf/properties (applicator.py:34,
+    262). Campaign-derived golden case (fuzz neg 5004 family)."""
+    import pandas as pd
+
+    # items: element results attach to the items node → a VALID
+    # element's failed if still reports once the items node is invalid
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": [1], "v": [[2.5, 1.0]]}),
+        schema="rid long, v array<double>",
+    )
+    out = compile_schema(
+        {"properties": {"v": {"items": {"if": {"type": "null"}, "else": {"maximum": 1.5}}}}}
+    ).validate(df, instance_columns=["v"])
+    rows = basic_output(out, ["rid"]).toPandas()
+    units = set(zip(rows["instance_path"], rows["keyword"]))
+    assert ("/v/0", "maximum") in units          # else asserted on 2.5
+    assert ("/v/0", "type") in units             # failed if under invalid element
+    assert ("/v/1", "type") in units             # failed if under VALID element too
+    # allOf: per-branch subresult → a passing branch's failed if is
+    # NOT reported even when a sibling branch fails
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"rid": [1], "v": [5.0]}), schema="rid long, v double"
+    )
+    out2 = compile_schema(
+        {"properties": {"v": {"allOf": [
+            {"maximum": 1},
+            {"if": {"type": "string"}, "then": {"minLength": 99}},
+        ]}}}
+    ).validate(df2, instance_columns=["v"])
+    rows2 = basic_output(out2, ["rid"]).toPandas()
+    units2 = set(zip(rows2["instance_path"], rows2["keyword"]))
+    assert ("/v", "maximum") in units2
+    assert ("/v", "type") not in units2
+
+
 def test_flag_rollup(validated):
     flag = flag_summary(validated, "part").toPandas().set_index("part")
     assert not flag.loc[0, "partition_valid"]  # rows 2 fails
