@@ -176,15 +176,34 @@ def main():
     args = ap.parse_args()
 
     done = set()
+    err_counts: dict = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             for line in f:
                 try:
                     r = json.loads(line)
-                    # errored seeds are RETRIED on resume (e.g. a
-                    # driver-heap OOM poisons every later seed of a run)
+                    key = (r["family"], r["seed"])
+                    # errored seeds are RETRIED on resume (a driver-heap
+                    # OOM poisons every later seed of a run) — but a
+                    # case that has errored TWICE on its own is a
+                    # reproducible resource bomb (e.g. main 5069 OOMs a
+                    # 12g heap at compile); stop retrying it so the
+                    # sweep converges past it
                     if r.get("status") != "error":
-                        done.add((r["family"], r["seed"]))
+                        done.add(key)
+                    else:
+                        p = str(r.get("payload", ""))
+                        # cascade errors (the context died on an EARLIER
+                        # case) are innocent — retry them freely
+                        cascade = (
+                            "OutOfMemory" not in p
+                            and ("stopped SparkContext" in p
+                                 or "No active SparkContext" in p)
+                        )
+                        if not cascade:
+                            err_counts[key] = err_counts.get(key, 0) + 1
+                            if err_counts[key] >= 2:
+                                done.add(key)
                 except Exception:
                     pass
 
@@ -222,6 +241,12 @@ def main():
                 except Exception:
                     status, payload = "error", traceback.format_exc()[-2000:]
                 stats[family][status] += 1
+                # drop py4j-backed Column refs NOW — finalizer-driven
+                # JVM-object release lags dense compile churn and the
+                # driver heap fills with dead expression trees
+                import gc
+
+                gc.collect()
                 rec = {"family": family, "seed": seed, "status": status}
                 if status in ("mismatch", "error"):
                     rec["payload"] = payload
