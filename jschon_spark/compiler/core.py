@@ -366,6 +366,18 @@ class Compiler:
         # applications and fail FAST with a pointer instead — the same
         # philosophy as max_depth for cycles.
         self.max_nodes = max_nodes
+        # KNOWN LIMIT (fuzz main seed 5069): node count is a lower
+        # bound on cost — Catalyst's analysis expands the shared
+        # expression DAG into a tree, and because every node's viols
+        # channel re-references its children's `valid` trees (inside
+        # `when` gates), materialized size grows ~2x per NESTING level.
+        # A ~600-node compile of a deeply nested schema (7+ levels of
+        # oneOf/allOf/if over objects) can exhaust a 12g driver heap at
+        # .select() analysis. Real-world schemas are shallow enough not
+        # to hit this; the structural fix is staged materialization of
+        # shared node-validity columns (select intermediate columns per
+        # nesting level so Catalyst sees named refs, not repeated
+        # subtrees) — planned, see SURVEY.md round-4 notes.
         self._node_count = 0
         # trace spaths currently held by a ref-inlined application (the
         # canonical application of the same site replaces them)
