@@ -656,13 +656,32 @@ class Compiler:
         negate_result = ctx.negate_result
         if negate_result:
             ctx = _replace(ctx, negate_result=False)
-        if schema is True or schema == {}:
-            return Compiled.passed()
-        if schema is False:
-            return Compiled(
-                F.lit(False),
-                F.array(make_violation(ctx, "", "the instance is invalid (false schema)")),
-            )
+        if schema is True or schema == {} or schema is False:
+            if schema is False:
+                node = Compiled(
+                    F.lit(False),
+                    F.array(make_violation(ctx, "", "the instance is invalid (false schema)")),
+                )
+            else:
+                node = Compiled.passed()
+            # boolean subschemas ARE result nodes in the reference
+            # (jsonschema.py:201-205 runs inside the applicator's
+            # subresult) — trace them so the annotation ancestor gates
+            # can derive applicator-node validity when a branch is a
+            # bare boolean (campaign neg seed 5075: an untraced `false`
+            # prefixItems entry made the /prefixItems gate bail out and
+            # a pruned annotation leaked)
+            if self.trace is not None and not ctx.no_trace:
+                walk = ~node.valid if negate_result else node.valid
+                traced = Compiled(walk, node.viols) if negate_result else node
+                if ctx.spath not in self.trace:
+                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied)
+                    if ctx.via_ref:
+                        self._trace_via_ref.add(ctx.spath)
+                elif not ctx.via_ref and ctx.spath in self._trace_via_ref:
+                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied)
+                    self._trace_via_ref.discard(ctx.spath)
+            return node
         if not isinstance(schema, dict):
             raise CompileError(f"schema must be bool or object, got {type(schema)}")
 

@@ -647,7 +647,10 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
 # 5068: campaign-found — a VACUOUSLY valid `items` (array no longer
 # than the prefix) annotates nothing, so it must not cover elements
 # for unevaluatedItems
-NEG_SEEDS = list(range(20)) + [5004, 5068]
+# 5075: campaign-found — an untraced boolean prefixItems branch made
+# the /prefixItems annotation ancestor gate bail out (leaked a pruned
+# format annotation); boolean subschema applications are now traced
+NEG_SEEDS = list(range(20)) + [5004, 5068, 5075]
 
 
 def gen_negation_schema(rng: random.Random, depth: int = 3) -> dict:
