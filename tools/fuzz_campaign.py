@@ -173,6 +173,8 @@ def main():
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--max-cases", type=int, default=1500,
                     help="exit after N cases (JVM heap bound); 0 = unlimited")
+    ap.add_argument("--case-timeout", type=int, default=600,
+                    help="per-case wall limit (records an error strike)")
     args = ap.parse_args()
 
     done = set()
@@ -232,14 +234,29 @@ def main():
                           flush=True)
                     print("STATS", json.dumps(stats), flush=True)
                     return
+                import signal
+
+                def _timeout(signum, frame):
+                    raise TimeoutError(f"case exceeded {args.case_timeout}s")
+
+                old_h = signal.signal(signal.SIGALRM, _timeout)
+                signal.alarm(args.case_timeout)
                 try:
                     status, payload = _run_one(spark, ref, family, seed)
                 except RecursionError:
                     # the REFERENCE blows its stack on unboundedly
                     # recursive generated schemas — its limitation
                     status, payload = "skip", "reference RecursionError"
+                except TimeoutError:
+                    # a pathological compile (slow-IPC py4j storm /
+                    # pre-OOM analysis) — record as a strike so the
+                    # 2-strike rule retires it
+                    status, payload = "error", f"case timeout {args.case_timeout}s"
                 except Exception:
                     status, payload = "error", traceback.format_exc()[-2000:]
+                finally:
+                    signal.alarm(0)
+                    signal.signal(signal.SIGALRM, old_h)
                 stats[family][status] += 1
                 # drop py4j-backed Column refs NOW — finalizer-driven
                 # JVM-object release lags dense compile churn and the
