@@ -815,6 +815,14 @@ class Compiler:
                 for f in dtype.fields:
                     fc = col.getField(f.name)
                     if f.name in v:
+                        if v[f.name] is None and not isinstance(f.dataType, T.NullType):
+                            # the literal demands PRESENT-as-null, but a
+                            # null in a concrete-typed field means ABSENT
+                            # under the presence convention (§1.4 /
+                            # _has_prop) — no instance of this dtype can
+                            # deep-equal the literal ({} must not match
+                            # {"d": null}; campaign eq seed 5144)
+                            return F.lit(False)
                         conds.append(F.coalesce(self._eq_literal(f.dataType, fc, v[f.name]), F.lit(False)))
                     else:
                         conds.append(fc.isNull())
@@ -855,6 +863,10 @@ class Compiler:
             fields = []
             for f in dtype.fields:
                 if f.name in v:
+                    if v[f.name] is None and not isinstance(f.dataType, T.NullType):
+                        # present-as-null at a concrete-typed field is
+                        # unrepresentable — see _eq_literal struct branch
+                        return None
                     fv = self._lit_of(f.dataType, v[f.name])
                     if fv is None:
                         return None

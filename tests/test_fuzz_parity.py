@@ -966,7 +966,11 @@ def test_fuzz_external_catalog_matches_reference(spark, ref, seed):
 # this family hammers exactly that with compound values and near-miss
 # perturbations (int<->float swaps, key drops, element reorders, dups).
 
-EQ_SEEDS = list(range(16))
+# 5144: campaign-found — a compound enum literal with an explicit null
+# at a concrete-typed field ({"d": null}) matched rows where the field
+# is ABSENT ({}); present-as-null is unrepresentable in such a dtype,
+# so the member now compiles to never-match
+EQ_SEEDS = list(range(16)) + [5144]
 
 
 def _eq_compound(rng: random.Random, depth: int) -> object:
