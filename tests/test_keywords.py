@@ -185,3 +185,24 @@ def test_violation_rows_basic_format(spark):
     kw_paths = {v["keyword_path"] for v in viols}
     assert "/properties/name/minLength" in kw_paths
     assert "/properties/age/minimum" in kw_paths
+
+
+def test_enum_explicit_null_field_vs_absent_in_batch(spark):
+    """A compound enum value with an explicit null at a field that the
+    BATCH dtype types concretely can never match: a null in a
+    concrete-typed struct field means ABSENT (presence convention,
+    core.py _has_prop), and the reference distinguishes {} from
+    {"d": null} (json.py:277-289 deep equality over key sets).
+    Campaign-derived (eq seed 5144): {} batched alongside an instance
+    that forces d to a concrete type must stay non-matching, while the
+    standalone {"d": None} instance (NullType field = present-as-null)
+    still matches."""
+    from jschon_spark.testing import evaluate_batch
+
+    schema = {"enum": [{"d": None}, "bb"]}
+    # batch: {} unifies with {"d": {"a": 1}} -> d is concrete struct
+    res = evaluate_batch(spark, schema, [{}, {"d": {"a": 1}}, "bb"])
+    assert res == [False, False, True]
+    # standalone: d typed NullType -> present-as-null matches the value
+    res2 = evaluate_batch(spark, schema, [{"d": None}])
+    assert res2 == [True]
