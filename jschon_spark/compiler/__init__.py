@@ -7,7 +7,14 @@ from jschon_spark.compiler.context import (
     escape_pointer,
     jtype_of,
 )
-from jschon_spark.compiler.core import CompileError, CompiledSchema, Compiler, compile_schema
+from jschon_spark.compiler.core import (
+    CompileError,
+    CompiledSchema,
+    Compiler,
+    apply_stages,
+    compile_schema,
+    drop_stage_columns,
+)
 from jschon_spark.compiler.catalog import SchemaCatalog
 from jschon_spark.compiler.pointer import (
     PointerError,
@@ -33,6 +40,8 @@ __all__ = [
     "CompiledSchema",
     "Compiler",
     "compile_schema",
+    "apply_stages",
+    "drop_stage_columns",
     "SchemaDerivationError",
     "spark_schema_for",
     "validate_json_column",

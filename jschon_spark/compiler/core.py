@@ -309,6 +309,7 @@ class Compiler:
         catalog: Optional[Any] = None,
         validate_schema: bool = True,
         max_nodes: int = 60_000,
+        stage_threshold: int = 12,
     ):
         from jschon_spark.compiler.legacy import rewrite_legacy
         from jschon_spark.compiler.metaschema import check_schema_document
@@ -366,18 +367,34 @@ class Compiler:
         # applications and fail FAST with a pointer instead — the same
         # philosophy as max_depth for cycles.
         self.max_nodes = max_nodes
-        # KNOWN LIMIT (fuzz main seed 5069): node count is a lower
-        # bound on cost — Catalyst's analysis expands the shared
-        # expression DAG into a tree, and because every node's viols
-        # channel re-references its children's `valid` trees (inside
-        # `when` gates), materialized size grows ~2x per NESTING level.
-        # A ~600-node compile of a deeply nested schema (7+ levels of
-        # oneOf/allOf/if over objects) can exhaust a 12g driver heap at
-        # .select() analysis. Real-world schemas are shallow enough not
-        # to hit this; the structural fix is staged materialization of
-        # shared node-validity columns (select intermediate columns per
-        # nesting level so Catalyst sees named refs, not repeated
-        # subtrees) — planned, see SURVEY.md round-4 notes.
+        # STAGED MATERIALIZATION (fixes the round-3 known limit, fuzz
+        # main seed 5069 / ext 5088): Catalyst's analysis expands the
+        # shared expression DAG into a tree, and because every node's
+        # viols channel re-references its children's `valid` trees
+        # (inside `when` gates), materialized size grew ~2x per NESTING
+        # level — a ~600-node compile of a 7+-level-nested schema
+        # exhausted a 12g driver heap at .select() analysis. The fix:
+        # when staging is active (CompiledSchema.validate and every
+        # other DataFrame-producing consumer turn it on), apply() spills
+        # any row-scope subschema node whose subtree weight reaches
+        # ``stage_threshold`` applications into a numbered STAGE — a
+        # dict of named intermediate Columns — and returns cheap
+        # ``F.col`` references instead. Consumers replay ``self.stages``
+        # as successive ``withColumns`` projections, so analysis sees
+        # bounded expressions referencing named attributes, and
+        # Spark's CollapseProject keeps multiply-referenced non-cheap
+        # expressions un-inlined. Bare ``columns()`` (expression-only
+        # callers) keeps staging OFF so its Columns stay standalone.
+        # Nodes compiled inside higher-order-function lambdas
+        # (ctx.no_trace) reference lambda variables and cannot be
+        # selected at row scope — they stay inline (array-nested depth
+        # is still bounded by the enclosing row-scope node's spill).
+        self.stage_threshold = stage_threshold
+        self._staging = False
+        self.stages: list[dict[str, Column]] = []
+        self._stage_tmp = 0
+        self._expr_stage = 0  # max stage of any F.col temp the current expression references
+        self._expr_weight = 0  # subschema applications folded into the current expression
         self._node_count = 0
         # trace spaths currently held by a ref-inlined application (the
         # canonical application of the same site replaces them)
@@ -625,6 +642,29 @@ class Compiler:
 
     # -- node compilation --------------------------------------------------
 
+    def _spill(self, col: Column, stage: int, tag: str) -> Column:
+        """Register ``col`` as a named intermediate column in stage
+        ``stage`` and return an attribute reference to it. Stage k's
+        expressions may reference only base columns and temps defined
+        in stages < k (consumers replay stages in order)."""
+        while len(self.stages) <= stage:
+            self.stages.append({})
+        name = f"__jsv{self._stage_tmp}_{tag}"
+        self._stage_tmp += 1
+        self.stages[stage][name] = col
+        return F.col(name)
+
+    def _materialize(self, node: Compiled, stage: int) -> Compiled:
+        """Spill one compiled node's channels; the returned Compiled is
+        three cheap column refs, so every downstream re-reference (the
+        parent's valid conjunction, its viols gate, trace entries,
+        then/else reading the if outcome) costs O(1) analysis size."""
+        return Compiled(
+            self._spill(node.valid, stage, "v"),
+            self._spill(node.viols, stage, "w"),
+            None if node.cond is None else self._spill(node.cond, stage, "c"),
+        )
+
     def apply(self, schema: Any, ctx: Ctx) -> Compiled:
         """Compile ``schema`` at instance context ``ctx``.
 
@@ -639,7 +679,15 @@ class Compiler:
             # depth): the budget is per compiled plan, not per Compiler
             self._node_count = 0
             self._trace_via_ref = set()
+            self.stages = []
+            self._expr_stage = 0
+            self._expr_weight = 0
         self._node_count += 1
+        # save the ENCLOSING expression's accumulators; this node's
+        # subtree accumulates from zero (see staged-materialization note
+        # in __init__)
+        _outer_stage, _outer_weight = self._expr_stage, self._expr_weight
+        self._expr_stage, self._expr_weight = 0, 0
         if self._node_count > self.max_nodes:
             raise CompileError(
                 f"schema compiles to more than {self.max_nodes} subschema "
@@ -681,6 +729,8 @@ class Compiler:
                 elif not ctx.via_ref and ctx.spath in self._trace_via_ref:
                     self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied)
                     self._trace_via_ref.discard(ctx.spath)
+            self._expr_stage = _outer_stage
+            self._expr_weight = _outer_weight + 1
             return node
         if not isinstance(schema, dict):
             raise CompileError(f"schema must be bool or object, got {type(schema)}")
@@ -706,13 +756,6 @@ class Compiler:
             if kw not in ("if",):  # `if` never asserts (applicator.py:89-94)
                 parts.append(out)
         node = combine(parts)
-        # the validity this node carries in the reference's RESULT TREE:
-        # normally the subschema outcome, but the direct child of `not`
-        # carries the flipped outcome (NotKeyword evaluates into its own
-        # result node, applicator.py:77-86). The output walks run on
-        # result-tree validity: errors descend through invalid nodes,
-        # annotations through valid ones.
-        walk_valid = ~node.valid if negate_result else node.valid
         if "if" in results:
             # `if` never asserts, but the reference's output walk still
             # reports a FAILED if-subtree's errors whenever every node
@@ -739,6 +782,31 @@ class Compiler:
                 node.viols,
                 pending if node.cond is None else concat_viols(node.cond, pending),
             )
+        # staged materialization: this node's expression is computable at
+        # stage ``my_stage`` (the max stage of any temp it references);
+        # spilling it places its channels THERE and hands the enclosing
+        # expression stage my_stage+1 references. Weight counts subschema
+        # applications folded inline — once a child spills, it counts 1.
+        my_stage, my_weight = self._expr_stage, self._expr_weight + 1
+        if (
+            self._staging
+            and ctx.depth > 0
+            and not ctx.no_trace
+            and my_weight >= self.stage_threshold
+        ):
+            node = self._materialize(node, my_stage)
+            self._expr_stage = max(_outer_stage, my_stage + 1)
+            self._expr_weight = _outer_weight + 1
+        else:
+            self._expr_stage = max(_outer_stage, my_stage)
+            self._expr_weight = _outer_weight + my_weight
+        # the validity this node carries in the reference's RESULT TREE:
+        # normally the subschema outcome, but the direct child of `not`
+        # carries the flipped outcome (NotKeyword evaluates into its own
+        # result node, applicator.py:77-86). The output walks run on
+        # result-tree validity: errors descend through invalid nodes,
+        # annotations through valid ones.
+        walk_valid = ~node.valid if negate_result else node.valid
         if self.trace is not None and not ctx.no_trace:
             traced = Compiled(walk_valid, node.viols) if negate_result else node
             # once-per-static-site: first writer wins, EXCEPT that the
@@ -748,6 +816,14 @@ class Compiler:
             # claim the slot with the WRONG instance path (campaign
             # legacy seed 5106: root `default` annotation reported at
             # /a through properties/a/$recursiveRef)
+            # RESIDUAL LIMIT: a static site reachable ONLY through
+            # multiple DIFFERENT $refs (no canonical application at
+            # all) still records the first ref's instance path in the
+            # single per-spath slot, so annotations from the other
+            # ref's dynamic path are attributed to the first one. A
+            # full fix keys trace entries by (spath, ref-site); not
+            # done because the trace feeds sampled/driver-side output
+            # walks, where re-keying multiplies entries per site.
             entry = (schema, ctx.path, traced, ctx.applied)
             if ctx.spath not in self.trace:
                 self.trace[ctx.spath] = entry
@@ -1795,11 +1871,21 @@ class Compiler:
             if hit is None:
                 gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
                 g = self.apply(guard, gctx).valid
+                if self._staging and not ctx.no_trace:
+                    # the re-application tree embeds once PER FIELD via
+                    # the cache — spill it so each embedding is a column
+                    # ref. no_trace blocks materialization inside the
+                    # guard subtree, so its expression references only
+                    # base columns → stage 0 is always valid.
+                    g = self._spill(g, 0, "g")
+                    self._expr_stage = max(self._expr_stage, 1)
                 # hold guard AND col so neither keyed id can be recycled
                 # while the entry lives (Columns are transient per-apply)
                 self._reapply_cache[key] = (guard, ctx.col, g)
             else:
                 g = hit[2]
+                if self._staging and not ctx.no_trace and self.stages:
+                    self._expr_stage = max(self._expr_stage, 1)
             cond = cond & (~g if negate else g)
         return cond
 
@@ -1815,11 +1901,18 @@ class Compiler:
         key = (id(src), id(ctx.col), ctx.scope, kw)
         cached = self._reapply_cache.get(key)
         if cached is not None:
+            if self._staging and not ctx.no_trace and self.stages:
+                self._expr_stage = max(self._expr_stage, 1)
             return cached[2]
         handler = getattr(self, "_k_" + kw)
         gctx = _replace(ctx, depth=ctx.depth + 1, no_trace=True)
         out = handler(src[kw], src, gctx, {})
         v = F.lit(True) if out is None else F.coalesce(out.valid, F.lit(True))
+        if self._staging and not ctx.no_trace:
+            # embedded per covered field like _guard_cond's trees; the
+            # no_trace re-application references only base columns
+            v = self._spill(v, 0, "k")
+            self._expr_stage = max(self._expr_stage, 1)
         self._reapply_cache[key] = (src, ctx.col, v)
         return v
 
@@ -2163,6 +2256,23 @@ class CompiledSchema:
     def columns(self, dtype: T.DataType, col: Column) -> Compiled:
         return self.apply(Ctx(col=col, dtype=dtype, path=F.lit(""), spath=""))
 
+    def columns_staged(
+        self, dtype: T.DataType, col: Column
+    ) -> tuple[Compiled, list[dict[str, Column]]]:
+        """Like ``columns`` but with staged materialization enabled:
+        deeply nested schemas spill intermediate node-validity columns
+        into the returned stage list instead of building one exponential
+        expression tree (see Compiler.__init__). Replay the stages on
+        the target DataFrame with :func:`apply_stages` before selecting
+        the returned Columns, then drop the temps."""
+        comp = self.compiler
+        comp._staging = True
+        try:
+            c = self.columns(dtype, col)
+        finally:
+            comp._staging = False
+        return c, comp.stages
+
     def validate(
         self,
         df: DataFrame,
@@ -2177,8 +2287,30 @@ class CompiledSchema:
         cols = instance_columns or df.columns
         dtype = T.StructType([df.schema[c] for c in cols])
         root = F.struct(*[F.col(c).alias(c) for c in cols])
-        c = self.columns(dtype, root)
-        return df.withColumn(valid_col, c.valid).withColumn(violations_col, c.viols)
+        c, stages = self.columns_staged(dtype, root)
+        out = (
+            apply_stages(df, stages)
+            .withColumn(valid_col, c.valid)
+            .withColumn(violations_col, c.viols)
+        )
+        return drop_stage_columns(out, stages)
+
+
+def apply_stages(df: DataFrame, stages: list[dict[str, Column]]) -> DataFrame:
+    """Replay materialization stages from a staged compile as successive
+    projections. Stage k's expressions reference only base columns and
+    stage <k temps, so in-order ``withColumns`` always resolves; each
+    projection is bounded by ``stage_threshold``-ish expression weight,
+    which is what keeps Catalyst analysis linear in schema size."""
+    for stage in stages:
+        if stage:
+            df = df.withColumns(stage)
+    return df
+
+
+def drop_stage_columns(df: DataFrame, stages: list[dict[str, Column]]) -> DataFrame:
+    names = [n for stage in stages for n in stage]
+    return df.drop(*names) if names else df
 
 
 def compile_schema(schema: Any, assert_formats: bool = False, **kw) -> CompiledSchema:

@@ -235,7 +235,10 @@ def validate_json_column(
         parse_failed_extra = F.lit(False)
     parsed = F.col(tmp_parsed)
     compiled = compile_schema(schema, assert_formats=assert_formats)
-    c = compiled.apply(Ctx(col=parsed, dtype=dtype, path=F.lit(""), spath=""))
+    c, stages = compiled.columns_staged(dtype, parsed)
+    from jschon_spark.compiler.core import apply_stages
+
+    staged = apply_stages(staged, stages)
     parse_failed = (F.col(json_col).isNotNull() & parsed.isNull()) | parse_failed_extra
     parse_viol = F.when(
         parse_failed,
@@ -252,4 +255,6 @@ def validate_json_column(
     out = staged.withColumn(valid_col, valid).withColumn(violations_col, viols)
     if parsed_col:
         out = out.withColumn(parsed_col, parsed)
-    return out.drop(tmp_parsed, tmp_corrupt)
+    from jschon_spark.compiler.core import drop_stage_columns
+
+    return drop_stage_columns(out.drop(tmp_parsed, tmp_corrupt), stages)

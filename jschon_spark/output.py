@@ -184,19 +184,25 @@ def verbose_output(
     from jschon_spark.compiler.context import Ctx
     from jschon_spark.compiler.core import Compiler
 
+    from jschon_spark.compiler.core import apply_stages
+
     comp = Compiler(schema, **compile_kw)
     comp.trace = {}
+    comp._staging = True
     cols = instance_columns or [c for c in df.columns if c not in (id_cols or [])]
     dtype = T.StructType([df.schema[c] for c in cols])
     root_col = F.struct(*[F.col(c).alias(c) for c in cols])
-    comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+    try:
+        comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+    finally:
+        comp._staging = False
 
     entries = sorted(comp.trace.items())  # (spath, (schema_node, path, compiled))
     sel_cols = list(id_cols or []) + [root_col.alias("__instance")]
     for i, (_, (_, path_col, compiled, *_x)) in enumerate(entries):
         sel_cols.append(compiled.valid.alias(f"__v{i}"))
         sel_cols.append(path_col.alias(f"__p{i}"))
-    rows = df.select(*sel_cols).limit(max_rows).collect()
+    rows = apply_stages(df, comp.stages).select(*sel_cols).limit(max_rows).collect()
     spark = df.sparkSession
 
     out = []
@@ -306,8 +312,11 @@ def _expand_array_subtrees(
         edf = spark.createDataFrame(
             [_Row(idx=i, e=elems[i]) for i in idxs], df_schema
         )
+        from jschon_spark.compiler.core import apply_stages
+
         saved = comp.trace
         comp.trace = {}
+        comp._staging = True
         try:
             ctx = Ctx(
                 col=F.col("e"),
@@ -318,12 +327,13 @@ def _expand_array_subtrees(
             comp.apply(sub, ctx)
             sub_entries = sorted(comp.trace.items())
         finally:
+            comp._staging = False
             comp.trace = saved
         sel = [F.col("idx")]
         for j, (_, (_, pc, cc, *_x)) in enumerate(sub_entries):
             sel.append(cc.valid.alias(f"__v{j}"))
             sel.append(pc.alias(f"__p{j}"))
-        got = edf.select(*sel).collect()
+        got = apply_stages(edf, comp.stages).select(*sel).collect()
         results = []
         for er in sorted(got, key=lambda x: x["idx"]):
             sub_index: dict[str, dict] = {}
@@ -616,16 +626,28 @@ def annotation_output(
     from jschon_spark.compiler.context import Ctx
     from jschon_spark.compiler.core import Compiler
 
+    from jschon_spark.compiler.core import apply_stages
+
     comp = Compiler(schema, **compile_kw)
     comp.trace = {}
+    comp._staging = True
     cols = instance_columns or [c for c in df.columns if c not in (id_cols or [])]
     dtype = T.StructType([df.schema[c] for c in cols])
     root_col = F.struct(*[F.col(c).alias(c) for c in cols])
-    root = comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+    try:
+        root = comp.apply(
+            comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath="")
+        )
+    finally:
+        comp._staging = False
 
     arr = annotation_array(comp.trace)
     ident = [F.col(c) for c in (id_cols or [])]
-    out = df.where(root.valid).select(*ident, F.explode(arr).alias("a"))
+    out = (
+        apply_stages(df, comp.stages)
+        .where(root.valid)
+        .select(*ident, F.explode(arr).alias("a"))
+    )
     return out.select(
         *(id_cols or []),
         F.col("a.instance_path").alias("instance_path"),
@@ -666,8 +688,11 @@ def _expand_map_subtrees(
             [T.StructField("k", T.StringType(), False), T.StructField("e", val_dt, True)]
         )
         edf = spark.createDataFrame([_Row(k=k, e=entries[k]) for k in keys], df_schema)
+        from jschon_spark.compiler.core import apply_stages
+
         saved = comp.trace
         comp.trace = {}
+        comp._staging = True
         try:
             ctx = Ctx(
                 col=F.col("e"),
@@ -678,12 +703,13 @@ def _expand_map_subtrees(
             comp.apply(sub, ctx)
             sub_entries = sorted(comp.trace.items())
         finally:
+            comp._staging = False
             comp.trace = saved
         sel = [F.col("k")]
         for j, (_, (_, pc, cc, *_x)) in enumerate(sub_entries):
             sel.append(cc.valid.alias(f"__v{j}"))
             sel.append(pc.alias(f"__p{j}"))
-        got = edf.select(*sel).collect()
+        got = apply_stages(edf, comp.stages).select(*sel).collect()
         results = []
         for er in sorted(got, key=lambda x: x["k"]):
             sub_index: dict[str, dict] = {}

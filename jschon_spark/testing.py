@@ -117,9 +117,15 @@ def evaluate_instance(
         df = spark.createDataFrame(
             [Row(value=_to_row(data, dtype))], T.StructType([T.StructField("value", dtype, True)])
         )
+    from jschon_spark.compiler.core import apply_stages
+
     compiled = compile_schema(schema, assert_formats=assert_formats)
-    c = compiled.columns(dtype, F.col("value"))
-    out = df.select(c.valid.alias("valid"), c.viols.alias("violations")).collect()[0]
+    c, stages = compiled.columns_staged(dtype, F.col("value"))
+    out = (
+        apply_stages(df, stages)
+        .select(c.valid.alias("valid"), c.viols.alias("violations"))
+        .collect()[0]
+    )
     return bool(out["valid"]), list(out["violations"])
 
 
@@ -246,18 +252,22 @@ def evaluate_batch(
         return bool(row["v"])
 
     def _apply(dtype, col):
-        """ONE application of the compiled schema per group. When
-        annotation units are wanted the apply runs TRACED (scratch trace
-        on the shared Compiler) and valid/viols/anns all derive from that
-        single pass — big fuzz schemas pay the expression-tree build
-        exactly once instead of twice."""
+        """ONE application of the compiled schema per group — STAGED
+        (deeply nested fuzz schemas spill intermediate node columns
+        instead of building one exponential tree). When annotation units
+        are wanted the apply runs TRACED (scratch trace on the shared
+        Compiler) and valid/viols/anns all derive from that single pass —
+        big fuzz schemas pay the expression-tree build exactly once
+        instead of twice."""
         if not with_annotations:
-            return compiled.columns(dtype, col), None
+            c, stages = compiled.columns_staged(dtype, col)
+            return c, None, stages
         from jschon_spark.output import annotation_array
 
         comp = compiled.compiler
         saved = comp.trace
         comp.trace = {}
+        comp._staging = True
         try:
             from jschon_spark.compiler.context import resolve_node
 
@@ -269,19 +279,25 @@ def evaluate_batch(
                 )
             )
             arr = annotation_array(comp.trace)
+            stages = comp.stages
         finally:
+            comp._staging = False
             comp.trace = saved
         # jschon drops every annotation of a failed evaluation
-        return root, F.when(root.valid, arr)
+        return root, F.when(root.valid, arr), stages
 
     def _select(df, dtype, col):
-        c, ann = _apply(dtype, col)
+        from jschon_spark.compiler.core import apply_stages
+
+        c, ann, stages = _apply(dtype, col)
         cols = [c.valid.alias("v")]
         if with_violations:
             cols.append(c.viols.alias("viols"))
         if with_annotations:
             cols.append(ann.alias("anns"))
-        return df.select(*(["id"] if "id" in df.columns else []), *cols)
+        return apply_stages(df, stages).select(
+            *(["id"] if "id" in df.columns else []), *cols
+        )
 
     # Plan CONSTRUCTION stays serial (compiled.columns / _ann_col share
     # the Compiler's mutable trace and hammer the single py4j gateway),

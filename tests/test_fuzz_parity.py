@@ -582,7 +582,9 @@ def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
 
 # ---------------------------------------------------------------- the fuzz
 
-SEEDS = list(range(32))
+# 5069: the round-3 deep-nesting OOM seed — pinned since staged
+# materialization (compiler/core.py) made it compile within budget.
+SEEDS = list(range(32)) + [5069]
 INSTANCES_PER_SCHEMA = 40
 
 
@@ -867,7 +869,8 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
 
 # ------------------------------------------ external-catalog fuzzing
 
-EXT_SEEDS = list(range(10))
+# 5088: the round-3 ext-family deep-nesting OOM seed (see SEEDS note).
+EXT_SEEDS = list(range(10)) + [5088]
 
 
 def gen_external_pair(rng: random.Random, seed: int) -> tuple[dict, dict, list]:

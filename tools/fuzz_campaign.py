@@ -187,10 +187,10 @@ def main():
                     key = (r["family"], r["seed"])
                     # errored seeds are RETRIED on resume (a driver-heap
                     # OOM poisons every later seed of a run) — but a
-                    # case that has errored TWICE on its own is a
-                    # reproducible resource bomb (e.g. main 5069 OOMs a
-                    # 12g heap at compile); stop retrying it so the
-                    # sweep converges past it
+                    # RESOURCE-BOMB case that has errored TWICE on its
+                    # own is reproducible (main 5069 used to OOM a 12g
+                    # heap at compile before staged materialization);
+                    # stop retrying it so the sweep converges past it
                     if r.get("status") != "error":
                         done.add(key)
                     else:
@@ -202,7 +202,18 @@ def main():
                             and ("stopped SparkContext" in p
                                  or "No active SparkContext" in p)
                         )
-                        if not cascade:
+                        # only RESOURCE BOMBS retire on strikes: a
+                        # deterministic engine exception (say a TypeError
+                        # in a handler) must keep re-erroring on every
+                        # resume so the sweep can't converge with
+                        # mismatch=0 while hiding a real bug
+                        bomb = (
+                            "OutOfMemory" in p
+                            or "case timeout" in p
+                            or "CompileError" in p
+                            or "StackOverflow" in p
+                        )
+                        if not cascade and bomb:
                             err_counts[key] = err_counts.get(key, 0) + 1
                             if err_counts[key] >= 2:
                                 done.add(key)
