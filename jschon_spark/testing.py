@@ -383,3 +383,43 @@ def check_case(spark: SparkSession, schema: Any, data: Any, expected_valid: bool
     )
     if not valid:
         assert len(viols) > 0, "invalid instance must carry at least one violation row"
+
+
+def check_case_in_group(
+    spark: SparkSession,
+    schema: Any,
+    tests: list,
+    index: int,
+    cache: dict,
+    cache_key: Any,
+    assert_formats: bool = False,
+) -> None:
+    """Batched ``check_case`` for ported-suite slabs: evaluates the whole
+    ``tests`` group (``[(desc, data, expected_valid), ...]`` sharing one
+    schema) through :func:`evaluate_batch` ONCE — memoized in
+    ``cache[cache_key]`` — then asserts the ``index``-th case. One
+    compiled plan + a handful of grouped-dtype Spark jobs per GROUP
+    instead of one job per case (the round-3 suite run cost ~2 CPU-hours
+    serial at one job per case). Raises :class:`Untypeable` for
+    instances with no single Spark type, matching ``check_case``."""
+    got = cache.get(cache_key)
+    if got is None:
+        got = evaluate_batch(
+            spark,
+            schema,
+            [d for _, d, _ in tests],
+            assert_formats=assert_formats,
+            with_violations=True,
+        )
+        cache[cache_key] = got
+    _desc, data, expected_valid = tests[index]
+    out = got[index]
+    if out is None:
+        raise Untypeable(f"instance {data!r} has no single Spark type")
+    valid, viols = out
+    assert valid == expected_valid, (
+        f"schema={schema!r} data={data!r}: got valid={valid}, want {expected_valid}; "
+        f"violations={viols}"
+    )
+    if not valid:
+        assert len(viols) > 0, "invalid instance must carry at least one violation row"

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pytest
 
-from jschon_spark.testing import Untypeable, check_case
+from jschon_spark.testing import Untypeable, check_case_in_group
 
 D7 = {"$schema": "http://json-schema.org/draft-07/schema#"}
 D19 = {"$schema": "https://json-schema.org/draft/2019-09/schema"}
@@ -377,17 +377,24 @@ SUITE = [("legacy", *g, False) for g in LEGACY] + [
     ("format-assert", *g, True) for g in FORMAT_ASSERT
 ]
 
+# (group index, test index) parametrization over memoized batched groups
+# — see tests/test_suite_port.py
 CASES = [
-    pytest.param(schema, data, valid, assert_formats, id=f"{fname}|{gdesc}|{tdesc}")
-    for fname, gdesc, schema, tests, assert_formats in SUITE
-    for tdesc, data, valid in tests
+    pytest.param(gi, ti, id=f"{fname}|{gdesc}|{tdesc}")
+    for gi, (fname, gdesc, schema, tests, assert_formats) in enumerate(SUITE)
+    for ti, (tdesc, data, valid) in enumerate(tests)
 ]
 
+_BATCH: dict = {}
 
-@pytest.mark.parametrize("schema,data,valid,assert_formats", CASES)
-def test_suite_case_legacy(spark, schema, data, valid, assert_formats):
+
+@pytest.mark.parametrize("gi,ti", CASES)
+def test_suite_case_legacy(spark, gi, ti):
+    _fname, _gdesc, schema, tests, assert_formats = SUITE[gi]
     try:
-        check_case(spark, schema, data, valid, assert_formats=assert_formats)
+        check_case_in_group(
+            spark, schema, tests, ti, _BATCH, gi, assert_formats=assert_formats
+        )
     except Untypeable as e:
         pytest.skip(f"no single Spark type for instance (typed-column delta): {e}")
 
