@@ -15,7 +15,16 @@ compile time (the mapping is the one the 2020-12 changelog defines):
 - ``$recursiveRef: "#"``         → ``$dynamicRef: "#__recursive__"``
 
 The rewrite is semantics-preserving for 2020-12 documents (which cannot
-legally contain any of these forms), so it is applied unconditionally.
+legally contain any of these forms), so by default it is shape-driven.
+EXCEPT: when the governing ``$schema`` explicitly declares a dialect
+that REMOVED a form, the form stays unrewritten — the reference treats
+it there as an unknown keyword (annotation, no assertion; probe-verified
+round 4: ``dependencies`` under an explicit 2020-12 ``$schema`` does not
+assert in jschon), and shapes the modern metaschema rejects outright
+(tuple ``items``, boolean exclusive bounds) then fail our metaschema
+check loudly instead of being silently modernized. Schemas WITHOUT an
+explicit ``$schema`` keep the permissive shape-driven rewrite — that
+leniency is an advertised input-compatibility feature.
 Recursion is SHAPE-AWARE — it descends only into known subschema
 positions, so a property literally named "items" or "dependencies" is
 never rewritten.
@@ -75,6 +84,17 @@ _1909_URI = "https://json-schema.org/draft/2019-09/schema"
 _PRE_1909_URIS = frozenset(
     f"http://json-schema.org/draft-0{n}/schema" for n in (4, 6, 7)
 )
+_MODERN_URIS = frozenset(
+    {
+        "https://json-schema.org/draft/2020-12/schema",
+        "https://json-schema.org/draft/next/schema",
+    }
+)
+_DRAFT04_URI = "http://json-schema.org/draft-04/schema"
+
+
+def _declares(dialect_uri: Any, uris) -> bool:
+    return isinstance(dialect_uri, str) and dialect_uri.rstrip("#") in uris
 
 
 def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
@@ -88,18 +108,30 @@ def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
     if isinstance(schema.get("$schema"), str):
         dialect_uri = schema["$schema"]
 
+    # which forms the DECLARED dialect still defines (see module note:
+    # explicit modern $schema → removed forms stay unrewritten)
+    modern = _declares(dialect_uri, _MODERN_URIS)  # 2020-12 / next
+    post_1909 = modern or _declares(dialect_uri, {_1909_URI})
+    post_draft04 = post_1909 or (
+        _declares(dialect_uri, _PRE_1909_URIS)
+        and not _declares(dialect_uri, {_DRAFT04_URI})
+    )
+
     # draft-04 boolean exclusive bounds: {"maximum": M,
     # "exclusiveMaximum": true} means value < M — rewrite to the
-    # numeric 2020-12 form before the keyword loop
+    # numeric 2020-12 form before the keyword loop (draft-06+ made the
+    # keyword numeric, so an explicit later dialect passes the boolean
+    # through to fail the metaschema check)
     schema = dict(schema)
-    for bound, excl in (("maximum", "exclusiveMaximum"), ("minimum", "exclusiveMinimum")):
-        if isinstance(schema.get(excl), bool):
-            if schema.pop(excl) and bound in schema:
-                schema[excl] = schema.pop(bound)
+    if not post_draft04:
+        for bound, excl in (("maximum", "exclusiveMaximum"), ("minimum", "exclusiveMinimum")):
+            if isinstance(schema.get(excl), bool):
+                if schema.pop(excl) and bound in schema:
+                    schema[excl] = schema.pop(bound)
 
     out: dict[str, Any] = {}
     for k, v in schema.items():
-        if k == "items":
+        if k == "items" and not (modern and isinstance(v, list)):
             if isinstance(v, list):
                 out["prefixItems"] = [rewrite_legacy(s, dialect_uri) for s in v]
             else:
@@ -109,7 +141,7 @@ def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
                     or dialect_uri.rstrip("#") in _PRE_1909_URIS
                 ):
                     out[_BOOL_ITEMS_NO_ANNOT_MARKER] = True
-        elif k == "additionalItems":
+        elif k == "additionalItems" and not modern:
             if isinstance(schema.get("items"), list):
                 out["items"] = rewrite_legacy(v, dialect_uri)
                 # 2019-09 additionalItems is DISCARDED (no assertion, no
@@ -123,17 +155,17 @@ def rewrite_legacy(schema: Any, dialect_uri: Any = None) -> Any:
                 out[_ADDITIONAL_ITEMS_MARKER] = True
             # else: additionalItems is ignored without tuple items
             # (reference legacy.py:113-121)
-        elif k == "dependencies" and isinstance(v, dict):
+        elif k == "dependencies" and isinstance(v, dict) and not post_1909:
             req = {n: d for n, d in v.items() if isinstance(d, list)}
             schemas = {n: rewrite_legacy(d, dialect_uri) for n, d in v.items() if not isinstance(d, list)}
             if req:
                 out.setdefault("dependentRequired", {}).update(req)
             if schemas:
                 out.setdefault("dependentSchemas", {}).update(schemas)
-        elif k == "$recursiveAnchor":
+        elif k == "$recursiveAnchor" and not modern:
             if v is True:
                 out["$dynamicAnchor"] = _RECURSIVE_NAME
-        elif k == "$recursiveRef":
+        elif k == "$recursiveRef" and not modern:
             out["$dynamicRef"] = "#" + _RECURSIVE_NAME if v == "#" else v
         elif k in _SUB:
             out[k] = rewrite_legacy(v, dialect_uri)

@@ -76,8 +76,38 @@ def _is_nonneg_int(v: Any) -> bool:
 
 # constructs valid in Java regex (the runtime dialect — rlike) but not
 # in Python re: \p{...}/\P{...} property classes, possessive
-# quantifiers (a*+, a++, a?+, a{n,m}+), and \Q...\E literal quoting
-_JAVA_ONLY_RE = re.compile(r"\\[pP]\{|[*+?}]\+|\\[QE]")
+# quantifiers (a*+, a++, a?+, a{n,m}+), \Q...\E literal quoting, and
+# \cX control-character escapes
+_JAVA_ONLY_RE = re.compile(r"\\[pP]\{|[*+?}]\+|\\[QE]|\\c[A-Za-z]")
+
+# constructs Python re accepts but the JVM rejects — these would pass a
+# plain re.compile vet and then blow up the JOB at the first rlike
+# execution: Python-spelled named groups/backrefs and conditionals
+_PY_ONLY_RE = re.compile(r"\(\?P[<=]|\(\?\(")
+
+_PROP_NAME_RE = re.compile(r"\\[pP]\{([^}]*)\}")
+# \p{NAME} names the JVM accepts (java.util.regex.Pattern): one- or
+# two-letter Unicode general categories, the POSIX-ish classes, java*
+# method names, In<block> / Is<script-or-binary-property>, and the
+# explicit gc=/sc=/blk= forms. Anything else (e.g. ECMA-2018's
+# \p{Letter} or lowercase \p{digit}) raises at runtime, so the vet
+# must reject it at compile time (round-4 probe: \p{Letter} compiled
+# fine and then killed the collect job).
+_POSIX_CLASSES = frozenset(
+    "Lower Upper ASCII Alpha Digit Alnum Punct Graph Print Blank Cntrl XDigit Space".split()
+)
+_GC_RE = re.compile(r"^[LMNPSZC][a-zA-Z]?$")
+
+
+def _java_prop_ok(name: str) -> bool:
+    return bool(
+        _GC_RE.match(name)
+        or name in _POSIX_CLASSES
+        or name.startswith("java")
+        or name.startswith("In")
+        or name.startswith("Is")
+        or "=" in name
+    )
 
 
 def _valid_regex(v: Any) -> bool:
@@ -85,8 +115,14 @@ def _valid_regex(v: Any) -> bool:
     compiles on the JVM (Java dialect, core.py _k_pattern rlike), so a
     pattern Python's re rejects is only a violation when it uses no
     Java-only construct — otherwise we must not reject a schema the
-    engine would run fine."""
+    engine would run fine. Conversely, Python-only spellings and
+    JVM-unknown \\p{...} property names are rejected here even though
+    re.compile likes them, because rlike would fail mid-job."""
     if not isinstance(v, str):
+        return False
+    if _PY_ONLY_RE.search(v):
+        return False
+    if not all(_java_prop_ok(m.group(1)) for m in _PROP_NAME_RE.finditer(v)):
         return False
     try:
         re.compile(v)

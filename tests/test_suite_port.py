@@ -3085,6 +3085,213 @@ URN_AND_SCOPE = [
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# Round-4 expansion: content.json, default.json, format.json (annotation
+# behavior), infinite-loop-detection.json, optional/bignum.json,
+# optional/dependencies-compatibility.json, optional/refOfUnknownKeyword.json
+# and the portable slice of optional/ecmascript-regex.json. Every case below
+# was probe-verified against the in-sandbox reference before porting.
+#
+# Documented dispositions for the rest of optional/ecmascript-regex.json:
+# - `\cc` (lowercase control escape): Java computes the control char
+#   case-sensitively ('c'^0x40='#'), ECMA case-insensitively — excluded.
+# - `\s`/`\S` Unicode members (NBSP, EM SPACE, U+2029): Java's \s is
+#   ASCII-only — engine delta vs ECMA, excluded (pattern dialect deltas,
+#   SURVEY §2.9.1); the reference's Python-re dialect differs again.
+# - `\p{Letter}` / `\p{digit}`: unknown property names on the JVM — now
+#   refused at compile time (metaschema.py _java_prop_ok) instead of
+#   blowing up the job; the reference's re dialect refuses them too.
+# - `$` before a trailing newline: BOTH engines match (Java and Python
+#   share the before-final-terminator rule; ECMA does not) — pinned in
+#   test_ecma_trailing_newline_delta below.
+# - zero-width whitespace ﻿ under \s: no engine matches; excluded.
+
+CONTENT = [
+    ("validation of string-encoded content based on media type",
+     {"contentMediaType": "application/json"},
+     [("a valid JSON document", '{"foo": "bar"}', True),
+      ("an invalid JSON document; validates true", "{:}", True),
+      ("ignores non-strings", 100, True)]),
+    ("validation of binary string-encoding",
+     {"contentEncoding": "base64"},
+     [("a valid base64 string", "eyJmb28iOiAiYmFyIn0=", True),
+      ("an invalid base64 string (% is not a valid character); validates true", "eyJmb28iOi%iYmFyIn0K", True),
+      ("ignores non-strings", 100, True)]),
+    ("validation of binary-encoded media type documents",
+     {"contentMediaType": "application/json", "contentEncoding": "base64"},
+     [("a valid base64-encoded JSON document", "eyJmb28iOiAiYmFyIn0=", True),
+      ("a validly-encoded invalid JSON document; validates true", "ezp9Cg==", True),
+      ("an invalid base64 string that is valid JSON; validates true", "{}", True),
+      ("ignores non-strings", 100, True)]),
+    ("validation of binary-encoded media type documents with schema",
+     {"contentMediaType": "application/json", "contentEncoding": "base64",
+      "contentSchema": {"type": "object", "required": ["foo"], "properties": {"foo": {"type": "string"}}}},
+     [("a valid base64-encoded JSON document", "eyJmb28iOiAiYmFyIn0=", True),
+      ("another valid base64-encoded JSON document", "eyJib28iOiAyMCwgImZvbyI6ICJiYXoifQ==", True),
+      ("an invalid base64-encoded JSON document; validates true", "eyJib28iOiAyMH0=", True),
+      ("an empty object as a base64-encoded JSON document; validates true", "e30=", True),
+      ("an empty array as a base64-encoded JSON document; validates true", "W10=", True),
+      ("a validly-encoded invalid JSON document; validates true", "ezp9Cg==", True),
+      ("an invalid base64 string that is valid JSON; validates true", "{}", True),
+      ("ignores non-strings", 100, True)]),
+]
+
+DEFAULT = [
+    ("invalid type for default",
+     {"properties": {"foo": {"type": "integer", "default": []}}},
+     [("valid when property is specified", {"foo": 13}, True),
+      ("still valid when the invalid default is used", {}, True)]),
+    ("invalid string value for default",
+     {"properties": {"bar": {"type": "string", "minLength": 4, "default": "bad"}}},
+     [("valid when property is specified", {"bar": "good"}, True),
+      ("still valid when the invalid default is used", {}, True)]),
+    ("the default keyword does not do anything if the property is missing",
+     {"type": "object", "properties": {"alpha": {"type": "number", "maximum": 3, "default": 5}}},
+     [("an explicit property value is checked against maximum (passing)", {"alpha": 1}, True),
+      ("an explicit property value is checked against maximum (failing)", {"alpha": 5}, False),
+      ("missing properties are not filled in with the default", {}, True)]),
+]
+
+
+def _fmt_annotation_tests(fmt, bad):
+    return [
+        ("all string formats ignore integers", 12, True),
+        ("all string formats ignore floats", 13.7, True),
+        ("all string formats ignore objects", {}, True),
+        ("all string formats ignore arrays", [], True),
+        ("all string formats ignore booleans", False, True),
+        ("all string formats ignore nulls", None, True),
+        ("invalid %s string is only an annotation by default" % fmt, bad, True),
+    ]
+
+
+FORMAT_ANNOTATION = [
+    ("email format", {"format": "email"}, _fmt_annotation_tests("email", "2962")),
+    ("regex format", {"format": "regex"}, _fmt_annotation_tests("regex", "^(abc]")),
+    ("ipv4 format", {"format": "ipv4"}, _fmt_annotation_tests("ipv4", "127.0.0.233333")),
+    ("ipv6 format", {"format": "ipv6"}, _fmt_annotation_tests("ipv6", "12345::")),
+    ("hostname format", {"format": "hostname"}, _fmt_annotation_tests("hostname", "-a-host-name-that-starts-with--")),
+    ("date format", {"format": "date"}, _fmt_annotation_tests("date", "06/19/1963")),
+    ("date-time format", {"format": "date-time"}, _fmt_annotation_tests("date-time", "1990-02-31T15:59:60.123-08:00")),
+    ("time format", {"format": "time"}, _fmt_annotation_tests("time", "08:30:06 PST")),
+    ("json-pointer format", {"format": "json-pointer"}, _fmt_annotation_tests("json-pointer", "/foo/bar~")),
+    ("relative-json-pointer format", {"format": "relative-json-pointer"}, _fmt_annotation_tests("relative-json-pointer", "/foo/bar")),
+    ("uri format", {"format": "uri"}, _fmt_annotation_tests("uri", "//foo.bar/?baz=qux#quux")),
+    ("uri-reference format", {"format": "uri-reference"}, _fmt_annotation_tests("uri-reference", "\\\\WINDOWS\\fileshare")),
+    ("uuid format", {"format": "uuid"}, _fmt_annotation_tests("uuid", "2eb8aa08-aa98-11ea-b4aa-73b441d1638")),
+    ("duration format", {"format": "duration"}, _fmt_annotation_tests("duration", "PT1D")),
+    ("unknown format", {"format": "unknown"}, _fmt_annotation_tests("unknown", "string")),
+]
+
+INFINITE_LOOP = [
+    ("evaluating the same schema location against the same data location twice is not a sign of an infinite loop",
+     {"$defs": {"int": {"type": "integer"}},
+      "allOf": [{"properties": {"foo": {"$ref": "#/$defs/int"}}},
+                {"additionalProperties": {"$ref": "#/$defs/int"}}]},
+     [("passing case", {"foo": 1}, True),
+      ("failing case", {"foo": "a string"}, False)]),
+]
+
+# out-of-int64 instances skip on the Spark side (documented int64
+# typed-column delta); the reference side (arbitrary-precision Python
+# ints) passes all of them, keeping the expectations machine-checked
+BIGNUM = [
+    ("integer", {"type": "integer"},
+     [("a bignum is an integer", 12345678910111213141516171819202122232425, True),
+      ("a negative bignum is an integer", -12345678910111213141516171819202122232425, True)]),
+    ("number", {"type": "number"},
+     [("a bignum is a number", 98249283749234923498293171823948729348710298301928331, True),
+      ("a negative bignum is a number", -98249283749234923498293171823948729348710298301928331, True)]),
+    ("string", {"type": "string"},
+     [("a bignum is not a string", 98249283749234923498293171823948729348710298301928331, False)]),
+    ("maximum integer comparison", {"maximum": 18446744073709551615},
+     [("comparison works for high numbers", 18446744073709551600, True)]),
+    ("float comparison with high precision", {"exclusiveMaximum": 972783798187987123879878123.18878137},
+     [("comparison works for high numbers", 972783798187987123879878123.188781371, False)]),
+    ("minimum integer comparison", {"minimum": -18446744073709551615},
+     [("comparison works for very negative numbers", -18446744073709551600, True)]),
+    ("float comparison with high precision on negative numbers",
+     {"exclusiveMinimum": -972783798187987123879878123.18878137},
+     [("comparison works for very negative numbers", -972783798187987123879878123.188781371, False)]),
+]
+
+# optional/dependencies-compatibility.json under an EXPLICIT 2020-12
+# $schema, ported with the REFERENCE's verdicts: `dependencies` was
+# removed in 2019-09, so both jschon and this engine treat it as an
+# unknown keyword there (annotation, no assertion) — every instance
+# validates. The official suite expects the compatibility behavior and
+# the reference xfails the whole file ("unsupported optional test",
+# /root/reference/tests/suite_status.json). Without a $schema this
+# engine still honors `dependencies` via the permissive shape-driven
+# legacy rewrite (tests/test_metaschema.py).
+_D2020 = {"$schema": "https://json-schema.org/draft/2020-12/schema"}
+DEPENDENCIES_COMPAT = [
+    ("single dependency (2020-12: unknown keyword, never asserts)",
+     {**_D2020, "dependencies": {"bar": ["foo"]}},
+     [("neither", {}, True),
+      ("nondependant", {"foo": 1}, True),
+      ("with dependency", {"foo": 1, "bar": 2}, True),
+      ("missing dependency validates (unknown keyword)", {"bar": 2}, True),
+      ("ignores arrays", ["bar"], True),
+      ("ignores strings", "foobar", True),
+      ("ignores other non-objects", 12, True)]),
+    ("multiple dependents (2020-12: unknown keyword, never asserts)",
+     {**_D2020, "dependencies": {"quux": ["foo", "bar"]}},
+     [("neither", {}, True),
+      ("missing dependency validates (unknown keyword)", {"foo": 1, "quux": 2}, True),
+      ("missing both dependencies validates (unknown keyword)", {"quux": 1}, True)]),
+    ("single schema dependency (2020-12: unknown keyword, never asserts)",
+     {**_D2020, "dependencies": {"bar": {"properties": {"foo": {"type": "integer"}, "bar": {"type": "integer"}}}}},
+     [("valid", {"foo": 1, "bar": 2}, True),
+      ("wrong type validates (unknown keyword)", {"foo": "quux", "bar": 2}, True),
+      ("ignores non-objects", 12, True)]),
+    ("boolean subschemas (2020-12: unknown keyword, never asserts)",
+     {**_D2020, "dependencies": {"foo": True, "bar": False}},
+     [("object with property having schema false validates (unknown keyword)", {"bar": 2}, True),
+      ("empty object is valid", {}, True)]),
+]
+
+# optional/refOfUnknownKeyword.json with the SUITE's expectations: this
+# engine resolves JSON-pointer refs into unknown-keyword values (the
+# optional behavior the suite asks for); the reference refuses at
+# compile (CatalogError — xfail'd in its own suite run), so the parity
+# harness records a documented skip for these.
+REF_UNKNOWN_KW = [
+    ("reference of a root arbitrary keyword",
+     {"unknown-keyword": {"type": "integer"}, "properties": {"bar": {"$ref": "#/unknown-keyword"}}},
+     [("match", {"bar": 3}, True),
+      ("mismatch", {"bar": True}, False)]),
+    ("reference of an arbitrary keyword of a sub-schema",
+     {"properties": {"foo": {"unknown-keyword": {"type": "integer"}},
+                     "bar": {"$ref": "#/properties/foo/unknown-keyword"}}},
+     [("match", {"bar": 3}, True),
+      ("mismatch", {"bar": True}, False)]),
+]
+
+_FRENCH_ASCII = ("Les hivers de mon enfance etaient des saisons longues, longues. "
+                 "Nous vivions en trois lieux: l'ecole, l'eglise et la patinoire; "
+                 "mais la vraie vie etait sur la patinoire.")
+_FRENCH_UNI = ("Les hivers de mon enfance étaient des saisons longues, longues. "
+               "Nous vivions en trois lieux: l'école, l'église et la patinoire; "
+               "mais la vraie vie était sur la patinoire.")
+
+# the slice of optional/ecmascript-regex.json where BOTH engines match
+# the suite expectation (probe-verified)
+ECMA_REGEX_PORTABLE = [
+    ("ECMA 262 regex converts \\t to horizontal tab",
+     {"type": "string", "pattern": "^\\t$"},
+     [("does not match", "\\t", False),
+      ("matches", "\u0009", True)]),
+    ("ECMA 262 regex escapes control codes with \\c and upper letter",
+     {"type": "string", "pattern": "^\\cC$"},
+     [("does not match", "\\cC", False),
+      ("matches", "\u0003", True)]),
+    ("pattern with ASCII ranges",
+     {"pattern": "[a-z]cole"},
+     [("literal unicode character in json string", _FRENCH_UNI, False),
+      ("ascii characters match", _FRENCH_ASCII, True)]),
+]
+
 SUITE = (
     [("boolean_schema", *g) for g in BOOLEAN_SCHEMA]
     + [("type", *g) for g in TYPE]
@@ -3108,6 +3315,14 @@ SUITE = (
     + [("misc", *g) for g in MISC]
     + [("anchor-id", *g) for g in ANCHOR_ID]
     + [("urn-scope", *g) for g in URN_AND_SCOPE]
+    + [("content", *g) for g in CONTENT]
+    + [("default", *g) for g in DEFAULT]
+    + [("format-annotation", *g) for g in FORMAT_ANNOTATION]
+    + [("infinite-loop-detection", *g) for g in INFINITE_LOOP]
+    + [("bignum", *g) for g in BIGNUM]
+    + [("dependencies-compatibility", *g) for g in DEPENDENCIES_COMPAT]
+    + [("refOfUnknownKeyword", *g) for g in REF_UNKNOWN_KW]
+    + [("ecmascript-regex", *g) for g in ECMA_REGEX_PORTABLE]
 )
 
 # parametrized by (group index, test index): each group's instances are
@@ -3129,3 +3344,76 @@ def test_suite_case(spark, gi, ti):
         check_case_in_group(spark, schema, tests, ti, _BATCH, gi)
     except Untypeable as e:
         pytest.skip(f"no single Spark type for instance (typed-column delta, SURVEY §2.9.1): {e}")
+
+
+# --------------------------------------------------------------------------
+# optional/ecmascript-regex.json groups where the SPARK ENGINE meets the
+# suite expectation but the reference's Python-re dialect does not (re's
+# \d/\w classes are Unicode-wide; ECMA-262's — and Java's — default to
+# ASCII). The reference xfails these in its own suite run
+# (/root/reference/tests/suite_status.json "unsupported optional test"),
+# so they are kept out of the parity-checked SUITE and asserted against
+# the Spark engine only.
+
+SPARK_ONLY_SUITE = [
+    ("ecmascript-regex",
+     "ECMA 262 \\d matches ascii digits only",
+     {"type": "string", "pattern": "^\\d$"},
+     [("ASCII zero matches", "0", True),
+      ("NKO DIGIT ZERO does not match (unlike e.g. Python)", "߀", False)]),
+    ("ecmascript-regex",
+     "ECMA 262 \\D matches everything but ascii digits",
+     {"type": "string", "pattern": "^\\D$"},
+     [("ASCII zero does not match", "0", False),
+      ("NKO DIGIT ZERO matches (unlike e.g. Python)", "߀", True)]),
+    ("ecmascript-regex",
+     "ECMA 262 \\w matches ascii letters only",
+     {"type": "string", "pattern": "^\\w$"},
+     [("ASCII 'a' matches", "a", True),
+      ("latin-1 e-acute does not match (unlike e.g. Python)", "é", False)]),
+    ("ecmascript-regex",
+     "ECMA 262 \\W matches everything but ascii letters",
+     {"type": "string", "pattern": "^\\W$"},
+     [("ASCII 'a' does not match", "a", False),
+      ("latin-1 e-acute matches (unlike e.g. Python)", "é", True)]),
+    ("ecmascript-regex",
+     "\\w in patterns matches [A-Za-z0-9_], not unicode letters",
+     {"pattern": "\\wcole"},
+     [("ascii character in json string", _FRENCH_ASCII, True),
+      ("literal unicode character in json string", _FRENCH_UNI, False)]),
+    ("ecmascript-regex",
+     "\\d in pattern matches [0-9], not unicode digits",
+     {"pattern": "^\\d+$"},
+     [("ascii digits", "42", True),
+      ("ascii non-digits", "-%#", False),
+      ("non-ascii digits (BENGALI DIGIT FOUR, BENGALI DIGIT TWO)", "৪২", False)]),
+]
+
+SPARK_ONLY_CASES = [
+    pytest.param(gi, ti, id=f"{fname}|{gdesc}|{tdesc}")
+    for gi, (fname, gdesc, schema, tests) in enumerate(SPARK_ONLY_SUITE)
+    for ti, (tdesc, data, valid) in enumerate(tests)
+]
+
+_SPARK_ONLY_BATCH: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", SPARK_ONLY_CASES)
+def test_suite_case_spark_only(spark, gi, ti):
+    _fname, _gdesc, schema, tests = SPARK_ONLY_SUITE[gi]
+    try:
+        check_case_in_group(spark, schema, tests, ti, _SPARK_ONLY_BATCH, gi)
+    except Untypeable as e:
+        pytest.skip(f"no single Spark type for instance (typed-column delta, SURVEY §2.9.1): {e}")
+
+
+def test_ecma_trailing_newline_delta(spark):
+    """Documented delta vs ECMA-262 (optional/ecmascript-regex.json
+    "ECMA 262 regex $ does not match trailing newline"): both the JVM
+    runtime dialect AND the reference's Python re let `$` match before a
+    final line terminator, so "abc\\n" satisfies ^abc$ in BOTH engines —
+    pinned here so a regression in either direction is loud."""
+    from jschon_spark.testing import evaluate_batch
+
+    got = evaluate_batch(spark, {"type": "string", "pattern": "^abc$"}, ["abc\n", "abc"])
+    assert got == [True, True]
