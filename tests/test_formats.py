@@ -30,7 +30,15 @@ CASES = [
     ("uuid", "123e4567-e89b-12d3-a456-426614174000", True),
     ("uuid", "123e4567", False),
     ("email", "a@b.co", True),
-    ("email", "a@b", False),
+    # r4: dotless domains are now accepted (RFC 5321 allows them; the
+    # official suite has no dotless-domain probe) — the old pragmatic
+    # regex rejected a@b, the RFC-shaped grammar does not
+    ("email", "a@b", True),
+    ("email", '"joe bloggs"@example.com', True),
+    ("email", ".test@example.com", False),
+    ("email", "te..st@example.com", False),
+    ("email", "joe@[127.0.0.1]", True),
+    ("email", "joe@[127.0.0.300]", False),
 ]
 
 
