@@ -104,7 +104,9 @@ def run_validation(
         )
 
     if baseline is not None:
-        out["drift"] = tc.drift_check(meta, baseline)
+        # fully distributed PSI/KS plan (table_checks.drift_plan); only
+        # the single (ks_dur, psi_sr) row is collected
+        out["drift"] = tc.drift_check_distributed(meta, baseline)
 
     return out
 

@@ -218,3 +218,34 @@ def test_drift_statistics_matches_numpy_reference(spark):
     # drift against itself is exactly zero
     zero = drift_statistics(cur_df, cur_df, "v", width).collect()[0]
     assert zero["psi"] == 0.0 and zero["ks"] == 0.0
+
+
+def test_drift_distributed_is_default_and_matches_driver_path(spark, clips_df):
+    """Round-4 wiring: the pipeline's drift stage runs the fully
+    distributed drift_plan (no driver-side binning — the only
+    collect is the single stats row), and agrees with the legacy
+    driver-side numpy drift_check on the same inputs."""
+    from jschon_spark.operators.table_checks import (
+        drift_check,
+        drift_check_distributed,
+        drift_plan,
+    )
+
+    baseline = fx.baseline_snapshot()
+    meta = clips_df.drop("bytes")
+    old = drift_check(meta, baseline)
+    new = drift_check_distributed(meta, baseline)
+    assert abs(old["ks_dur"] - new["ks_dur"]) < 1e-6, (old, new)
+    assert abs(old["psi_sr"] - new["psi_sr"]) < 1e-6, (old, new)
+    assert old["ks_pass"] == new["ks_pass"] and old["psi_pass"] == new["psi_pass"]
+
+    # plan shape: binning happens in Spark aggregates (two hash
+    # aggregations over the floor()/cast() bin keys), with no Python
+    # evaluation anywhere in the plan
+    qe = drift_plan(meta, baseline)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert plan.count("Aggregate") >= 4, plan  # 2 bin counts + 2 totals (+ folds)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bin key is a floor() expression (visible pre-optimization; the
+    # optimizer may constant-fold it into a LocalRelation for tiny inputs)
+    assert "FLOOR" in qe.analyzed().toString().upper()
