@@ -461,16 +461,18 @@ class Compiler:
         self._coverage_cache: dict[tuple, tuple[Any, list]] = {}
 
     def _target_spath(self, ctx: "Ctx", target: Any, spath: str, refkw: str) -> str:
-        """Static location for a resolved ref target. Root-document
-        targets keep their canonical document spath (unique, and the
-        once-per-static-site trace design wants it). Targets in
-        catalog-loaded documents are located under the referring site's
-        ``/$ref`` (or ``/$dynamicRef``) segment — the reference's
-        keywordLocation routes through the ref keyword for them too
-        (jschon/jsonschema.py dynamic path)."""
-        owner = self.enclosing_uri.get(id(target))
-        if owner is None or owner in self.root_doc_resources:
-            return spath
+        """Location prefix for a resolved ref target: the referring
+        site's ``/$ref`` (or ``/$dynamicRef``) segment — i.e. the
+        DYNAMIC evaluation path, exactly the reference's basic/verbose
+        ``keywordLocation`` (jschon/jsonschema.py Result.path: a
+        RefKeyword result node at .../$ref whose target keywords attach
+        beneath it). Because refs are compile-time inlined, every ref
+        application re-walks the target at its own site, so dynamic
+        paths are unique per application — which also gives each
+        ref-only application its own trace slot (round-3's multi-ref
+        trace-attribution limit is gone). ``spath`` (the canonical
+        document location, ≙ absoluteKeywordLocation) is unused here
+        but kept in the signature for callers/debugging."""
         return ctx.spath + "/" + refkw
 
     # -- reference registry ------------------------------------------------

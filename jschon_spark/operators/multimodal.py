@@ -2,17 +2,35 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode/feature-extract/resize/frame-sample run as Arrow-batched
-``mapInPandas`` stages. The sandbox has no image/audio codec libraries,
-so the actual pixel/sample decode is STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless a decoder callable is injected, and the
-deterministic fake extractor derives features from a content hash — the
-Spark-side contract (schemas, batching, partitioning, column pruning)
-is real and tested.
+``mapInPandas`` stages.
+
+Round 4: the decode stub is gone for the stdlib-decodable formats.
+``decode_image`` now REALLY decodes PPM/PGM (netpbm binary),
+uncompressed BMP (BI_RGB 8/24/32-bit), and non-interlaced 8-bit PNG
+(zlib inflate + full filter reconstruction, types 0-4) with numpy and
+the Python stdlib alone — mirroring the audio path
+(audio/features.py), where WAV/PCM decode is likewise
+dependency-free. Formats that genuinely need a codec library (JPEG,
+WebP, video) still require an injected ``decoder`` callable and raise
+``NotImplementedError`` otherwise. Matching encoders exist so tests
+and fixtures can synthesize deterministic payloads with analytically
+known statistics (the synthesis-contract oracle pattern).
+
+``image_stats`` / ``image_features`` compute REAL pixel statistics
+(luma moments, per-channel means, saturation, gradient edge density,
+histogram entropy, block-downsampled luma vector) as a map-only
+Arrow-batched stage; payload bytes never survive past the stage.
+
+Reference scope note: handrews/jschon has no media surface (pure JSON
+Schema validation); this module is part of the training-data-pipeline
+extension the task brief mandates beyond reference parity.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -44,16 +62,294 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(blob: bytes, fmt: str, decoder: Optional[Callable] = None) -> np.ndarray:
-    """Decode an image payload to HxWxC uint8. No codec libs in this
-    environment — callers must inject ``decoder`` (e.g. PIL.Image.open
-    on a real cluster)."""
-    if decoder is None:
-        raise NotImplementedError(
-            "image decode requires a codec library (e.g. Pillow); "
-            "inject `decoder=` on a cluster image that ships one"
+# ---------------------------------------------------------------------------
+# Pure numpy/stdlib image codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+
+class ImageDecodeError(ValueError):
+    """Malformed/truncated/unsupported payload. ``image_stats`` converts
+    it into a ``decode_error`` row instead of failing the task."""
+
+
+def _as_hwc(arr: np.ndarray) -> np.ndarray:
+    """Normalize to HxWxC uint8 (C in {1,2,3,4})."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ImageDecodeError(f"expected HxW[xC] uint8, got shape {a.shape}")
+    return a
+
+
+# -- netpbm (PPM P6 / PGM P5) -----------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """P6 (RGB) or P5 (grayscale) binary netpbm, maxval 255."""
+    a = _as_hwc(arr)
+    h, w, c = a.shape
+    if c == 3:
+        return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+    if c == 1:
+        return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+    raise ImageDecodeError(f"netpbm encodes 1 or 3 channels, got {c}")
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary netpbm: P6 -> HxWx3, P5 -> HxWx1. Handles '#' comments
+    and arbitrary whitespace in the header per the spec."""
+    if not blob or blob[:2] not in (b"P5", b"P6"):
+        raise ImageDecodeError("not a binary netpbm payload")
+    channels = 3 if blob[:2] == b"P6" else 1
+    pos, fields = 2, []
+    n = len(blob)
+    while len(fields) < 3:
+        while pos < n and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and blob[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and blob[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ImageDecodeError("truncated netpbm header")
+        try:
+            fields.append(int(blob[start:pos]))
+        except ValueError as e:
+            raise ImageDecodeError(f"bad netpbm header field: {e}") from None
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ImageDecodeError(f"unsupported netpbm dimensions/maxval {fields}")
+    pos += 1  # single whitespace after maxval
+    need = w * h * channels
+    raster = blob[pos : pos + need]
+    if len(raster) < need:
+        raise ImageDecodeError("truncated netpbm raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+
+
+# -- BMP (uncompressed BI_RGB) ------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    4-byte row padding). Grayscale input is expanded to RGB."""
+    a = _as_hwc(arr)
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    if a.shape[2] != 3:
+        raise ImageDecodeError(f"BMP encoder takes 1 or 3 channels, got {a.shape[2]}")
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += a[y, :, ::-1].tobytes()  # BGR
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) BMP: 24/32-bit direct color and 8-bit
+    paletted. Bottom-up or top-down (negative height). -> HxWx3."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ImageDecodeError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", blob, 10)[0]
+    dib_size = struct.unpack_from("<I", blob, 14)[0]
+    if dib_size < 40:
+        raise ImageDecodeError(f"unsupported DIB header size {dib_size}")
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise ImageDecodeError(f"only BI_RGB (0) supported, got compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ImageDecodeError(f"unsupported BMP bit depth {bpp}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ImageDecodeError(f"bad BMP dimensions {w}x{h_signed}")
+    row_bytes = (w * bpp + 7) // 8
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = pixel_offset + stride * h
+    if len(blob) < need:
+        raise ImageDecodeError("truncated BMP raster")
+    raster = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=pixel_offset)
+    rows = raster.reshape(h, stride)[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between the DIB header and the pixels
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        return pal[rows]
+    px = rows.reshape(h, w, bpp // 8)
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, drop alpha
+
+
+# -- PNG (non-interlaced, 8-bit depth) ----------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit non-interlaced PNG (filter 0 on every scanline)."""
+    a = _as_hwc(arr)
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
-    return decoder(blob, fmt)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG, all five filter types reconstructed.
+    Sub/Up filters are vectorized (per-lane cumsum / row add); Average
+    and Paeth fall back to a per-pixel loop — correctness for foreign
+    payloads, while our own encoder emits filter 0."""
+    if not blob.startswith(_PNG_SIG):
+        raise ImageDecodeError("not a PNG payload")
+    pos, n = 8, len(blob)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,), tag = struct.unpack_from(">I", blob, pos), blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ImageDecodeError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13:
+        raise ImageDecodeError("missing PNG IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ImageDecodeError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace != 0:
+        raise ImageDecodeError("interlaced PNG not supported")
+    if color_type == 3:
+        raise ImageDecodeError("paletted PNG not supported")
+    c = _PNG_CHANNELS.get(color_type)
+    if c is None or comp != 0 or filt != 0:
+        raise ImageDecodeError(f"unsupported PNG header (color {color_type})")
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"PNG inflate failed: {e}") from None
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise ImageDecodeError("truncated PNG scanline data")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, row = int(lines[y, 0]), lines[y, 1:].copy()
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = row
+            for lane in range(c):
+                rec[lane::c] = np.cumsum(rec[lane::c], dtype=np.uint32) & 0xFF
+        elif ft == 2:  # Up
+            rec = (row.astype(np.uint16) + prev) & 0xFF
+            rec = rec.astype(np.uint8)
+        elif ft in (3, 4):  # Average / Paeth: sequential per byte
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - c]) if i >= c else 0
+                up = int(prev[i])
+                ul = int(prev[i - c]) if i >= c else 0
+                pred = (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
+                rec[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ImageDecodeError(f"unknown PNG filter type {ft} on line {y}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+def sniff_format(blob: bytes) -> Optional[str]:
+    """Identify a payload by magic bytes (png/bmp/ppm/pgm)."""
+    if not blob:
+        return None
+    if blob.startswith(_PNG_SIG):
+        return "png"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:2] == b"P6":
+        return "ppm"
+    if blob[:2] == b"P5":
+        return "pgm"
+    return None
+
+
+_BUILTIN_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "pgm": decode_ppm,
+}
+
+
+def decode_image(
+    blob: bytes, fmt: Optional[str] = None, decoder: Optional[Callable] = None
+) -> np.ndarray:
+    """Decode an image payload to HxWxC uint8.
+
+    PPM/PGM, uncompressed BMP and 8-bit non-interlaced PNG decode with
+    the built-in numpy/stdlib codecs above. Other formats (JPEG, WebP,
+    …) need a codec library — inject ``decoder`` (e.g. a PIL wrapper)
+    on a cluster image that ships one."""
+    if decoder is not None:
+        return decoder(blob, fmt)
+    key = (fmt or "").lower() or sniff_format(blob or b"")
+    fn = _BUILTIN_DECODERS.get(key or "")
+    if fn is None:
+        raise NotImplementedError(
+            f"no built-in decoder for format {key!r}; built-ins: "
+            f"{sorted(_BUILTIN_DECODERS)} — inject `decoder=` for codec-"
+            "library formats (e.g. Pillow for JPEG) on a real cluster"
+        )
+    return fn(blob)
 
 
 def fake_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:

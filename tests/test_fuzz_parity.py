@@ -474,7 +474,15 @@ _LEAF_KEYWORDS = {
 }
 
 
-def _ref_leaf_set(errors) -> set:
+def _ref_leaf_set(errors, strict: bool = True) -> set:
+    """``strict`` compares the FULL dynamic keywordLocation string —
+    exact parity with the reference's basic output, possible since the
+    compiler emits site-based /$ref dynamic paths (core.py
+    _target_spath). Legacy (2019-09/draft-07) families pass
+    strict=False: the legacy.py rewrites relocate keywords (tuple
+    items→prefixItems, dependencies→dependentSchemas, $recursiveRef→
+    $dynamicRef), so only the (instanceLocation, leaf keyword) pair is
+    comparable there."""
     out = set()
     for e in errors:
         toks = e["keywordLocation"].split("/")
@@ -483,18 +491,20 @@ def _ref_leaf_set(errors) -> set:
         if "contains" in toks[:-1]:
             continue
         if toks[-1] in _LEAF_KEYWORDS:
-            out.add((e["instanceLocation"], toks[-1]))
+            out.add(
+                (e["instanceLocation"], e["keywordLocation"] if strict else toks[-1])
+            )
     return out
 
 
-def _spark_leaf_set(viols) -> set:
+def _spark_leaf_set(viols, strict: bool = True) -> set:
     out = set()
     for r in viols:
         toks = r["keyword_path"].split("/")
         if "contains" in toks[:-1]:
             continue
         if toks[-1] in _LEAF_KEYWORDS:
-            out.add((r["instance_path"], toks[-1]))
+            out.add((r["instance_path"], r["keyword_path"] if strict else toks[-1]))
     return out
 
 
@@ -550,7 +560,8 @@ _LEGACY_SPARK_EXCLUDE = frozenset({"prefixItems"})
 
 
 def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
-                  spark_annot_exclude: frozenset = frozenset()):
+                  spark_annot_exclude: frozenset = frozenset(),
+                  strict_locations: bool = True):
     """Shared verdict + leaf-violation-location + annotation-unit
     comparison. ``ref_outputs`` holds each instance's basic-output
     errors (invalid) or annotations (valid)."""
@@ -564,7 +575,8 @@ def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
             mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
             continue
         if not sv:
-            want, got = _ref_leaf_set(re_), _spark_leaf_set(sviols)
+            want = _ref_leaf_set(re_, strict_locations)
+            got = _spark_leaf_set(sviols, strict_locations)
             if want != got:
                 mismatches.append(
                     f"  data={d!r}: leaf violation locations differ\n"
@@ -859,6 +871,7 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
     mismatches, _ = _compare_case(
         datas, ref_verdicts, ref_outputs, spark_results, f"2019-09 fuzz {seed}",
         spark_annot_exclude=_LEGACY_SPARK_EXCLUDE,
+        strict_locations=False,  # legacy rewrites relocate keywords
     )
     assert not mismatches, (
         f"2019-09 fuzz seed {seed}: Spark engine disagrees with the reference "

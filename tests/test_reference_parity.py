@@ -155,3 +155,101 @@ def test_reference_agrees_2019_09(ref19, idx, schema, data, valid):
         f"REFERENCE (2019-09) disagrees with ported expectation: "
         f"schema={schema!r} data={data!r}: reference says {got}, port says {valid}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden keywordLocation parity: since the compiler emits site-based
+# dynamic /$ref spaths (core.py _target_spath), the engine's basic rows
+# carry the SAME keywordLocation strings as the reference's basic
+# output — compare them exactly (round-4 item; previously the fuzz
+# comparator normalized keywordLocation down to its last token).
+# ---------------------------------------------------------------------------
+
+_GOLDEN_REF_CHAINS = [
+    pytest.param(
+        {
+            "$id": "https://example.com/root",
+            "type": "object",
+            "properties": {"foo": {"$ref": "#/$defs/positive"}},
+            "$defs": {
+                "positive": {
+                    "type": "integer",
+                    "minimum": 1,
+                    "allOf": [{"$ref": "#/$defs/other"}],
+                },
+                "other": {"multipleOf": 2},
+            },
+        },
+        {"foo": -3},
+        id="chained-refs-through-allOf",
+    ),
+    pytest.param(
+        {
+            "$id": "https://example.com/anchored",
+            "properties": {"a": {"$ref": "#big"}},
+            "$defs": {"big": {"$anchor": "big", "minimum": 100}},
+        },
+        {"a": 5},
+        id="anchor-ref",
+    ),
+    pytest.param(
+        {
+            "$id": "https://example.com/tree",
+            "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {
+                "data": {"type": "integer"},
+                "kids": {"type": "array", "items": {"$dynamicRef": "#node"}},
+            },
+        },
+        {"data": 1, "kids": [{"data": "oops", "kids": []}]},
+        id="recursive-dynamicRef",
+    ),
+    pytest.param(
+        {
+            "$id": "https://example.com/nested-res",
+            "properties": {
+                "x": {"$ref": "inner"},
+            },
+            "$defs": {
+                "res": {
+                    "$id": "https://example.com/inner",
+                    "required": ["must"],
+                    "properties": {"must": {"maxLength": 2}},
+                }
+            },
+        },
+        {"x": {"must": "toolong"}},
+        id="nested-resource-ref",
+    ),
+]
+
+
+@pytest.mark.parametrize("schema,data", _GOLDEN_REF_CHAINS)
+def test_basic_keyword_locations_match_reference(spark, ref, schema, data):
+    import copy as _copy
+
+    from jschon_spark.testing import evaluate_batch
+    from tests.test_fuzz_parity import _ref_leaf_set, _spark_leaf_set
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    compiled = JSONSchema(
+        _copy.deepcopy(schema),
+        catalog=ref["catalog"],
+        cacheid=f"golden-{schema['$id']}",
+        metaschema_uri=URI(_META),
+    )
+    res = compiled.evaluate(JSON(_copy.deepcopy(data)))
+    assert not res.valid, "golden cases are failure cases"
+    ref_rows = res.output("basic")["errors"]
+
+    got = evaluate_batch(spark, schema, [data], with_violations=True)[0]
+    assert got is not None, "golden instance must be typeable"
+    sv, sviols = got[0], got[1]
+    assert sv is False
+    # exact string comparison of (instanceLocation, full keywordLocation)
+    # over the directly comparable leaf-assertion rows
+    want = _ref_leaf_set(ref_rows, strict=True)
+    have = _spark_leaf_set(sviols, strict=True)
+    assert want == have, f"\nreference={sorted(want)}\nspark    ={sorted(have)}"
+    assert want, "golden case must exercise at least one leaf row"
