@@ -337,23 +337,33 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic fake extractor over binary payloads — rows-only.
-    # The features array is serialized to a stable string (the driver's
-    # canonicalizer sorts scalar columns; raw array<float> breaks it).
-    from jschon_spark.operators.multimodal import extract_features
+    # REAL pixel statistics (round 4): deterministic PNG/BMP/PPM
+    # payloads synthesized per doc_id (fixtures.gen_images_batch — a
+    # pure function of the id, so the result is stable under any
+    # partitioning), decoded by the built-in numpy/zlib codecs and
+    # reduced to luma/channel stats in one map-only Arrow stage
+    # (operators/multimodal.py image_stats). Rows-only: DuckDB cannot
+    # decode images. Stats are rounded for stable hashing.
+    import pandas as _pd
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    feats = extract_features(docs)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        "content_sha1",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.round(x.cast("double"), 5).cast("string"))
-        ).alias("features_csv"),
+    from jschon_spark import fixtures as fx
+    from jschon_spark.operators.multimodal import IMAGE_STATS_SCHEMA, image_stats
+
+    def synth(batches):
+        for pdf in batches:
+            out = fx.gen_images_batch(pdf["doc_id"].to_numpy())
+            yield out[["media_id", "payload"]]
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    stats = image_stats(media)
+    rounded = [
+        F.round(F.col(f.name), 6).alias(f.name)
+        for f in IMAGE_STATS_SCHEMA.fields
+        if f.dataType.typeName() == "double"
+    ]
+    return stats.select(
+        "media_id", "format", "width", "height", "channels", *rounded, "decode_error"
     )
 
 

@@ -354,3 +354,51 @@ def expected_violation_counts(n_rows: int) -> dict[str, int]:
         "orphan_transcript": count(SLOT_ORPHAN),
         "text_mismatch": count(SLOT_TEXT_MISMATCH),
     }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic image synthesis (multimodal synthesis-contract oracle)
+# ---------------------------------------------------------------------------
+
+def synth_image(seed64: int, w: int = 48, h: int = 32) -> np.ndarray:
+    """Deterministic HxWx3 uint8 test image with ANALYTICALLY known
+    structure: four solid quadrants whose channel values derive from the
+    seed (so quadrant means are exact), plus a single white scanline at
+    a seeded row (known edge contribution). Mirrors synth_pcm: the
+    contract test recomputes the expected statistics from the seed alone
+    and checks them through the full encode → Spark decode → stats path."""
+    rng = np.random.Generator(np.random.PCG64(seed64))
+    quad = rng.integers(16, 240, size=(2, 2, 3), dtype=np.uint8)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[: h // 2, : w // 2] = quad[0, 0]
+    img[: h // 2, w // 2 :] = quad[0, 1]
+    img[h // 2 :, : w // 2] = quad[1, 0]
+    img[h // 2 :, w // 2 :] = quad[1, 1]
+    line = int(rng.integers(0, h))
+    img[line, :, :] = 255
+    return img
+
+
+_IMG_FMT_CYCLE = ("png", "bmp", "ppm")
+
+
+def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
+    """(media_id, format, payload) rows — format round-robins through
+    png/bmp/ppm so every built-in codec is exercised; payload bytes are
+    a pure function of the id (stable under any partitioning). Every
+    MOD-th id gets a corrupted payload (truncated PNG) so decode-error
+    handling has a deterministic oracle: ids ≡ SLOT_TRUNC (mod MOD)."""
+    from jschon_spark.operators.multimodal import encode_bmp, encode_png, encode_ppm
+
+    enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
+    rows = {"media_id": [], "format": [], "payload": []}
+    for i in np.asarray(ids, dtype=np.int64):
+        fmt = _IMG_FMT_CYCLE[int(i) % 3]
+        img = synth_image(int(_splitmix64(np.array([i], dtype=np.uint64))[0]))
+        blob = enc[fmt](img)
+        if int(i) % MOD == SLOT_TRUNC:
+            blob = blob[: max(8, len(blob) // 3)]
+        rows["media_id"].append(f"img{int(i):08d}")
+        rows["format"].append(fmt)
+        rows["payload"].append(blob)
+    return pd.DataFrame(rows)

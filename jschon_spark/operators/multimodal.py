@@ -354,11 +354,159 @@ def decode_image(
 
 def fake_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in feature vector: sha1-seeded uniforms.
-    Keeps the pipeline end-to-end testable without codecs."""
+    Keeps the pipeline end-to-end testable for payloads in formats the
+    built-in codecs can't decode (JPEG etc.)."""
     h = hashlib.sha1(blob or b"").digest()
     seed = int.from_bytes(h[:8], "big")
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.random(dim, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel statistics / features over decoded payloads
+# ---------------------------------------------------------------------------
+
+_LUMA_W = np.array([0.299, 0.587, 0.114], dtype=np.float64)  # BT.601
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("min_luma", T.DoubleType()),
+        T.StructField("max_luma", T.DoubleType()),
+        T.StructField("saturated_ratio", T.DoubleType()),  # luma <=1 or >=254
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("edge_density", T.DoubleType()),  # |∇luma| > 16
+        T.StructField("entropy_bits", T.DoubleType()),  # 16-bin luma hist
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """HxWxC uint8 -> HxW float64 luma (alpha ignored)."""
+    c = img.shape[2]
+    f = img.astype(np.float64)
+    if c >= 3:
+        return f[:, :, :3] @ _LUMA_W
+    return f[:, :, 0]
+
+
+def pixel_stats(img: np.ndarray) -> dict:
+    """All IMAGE_STATS fields for one decoded image — vectorized numpy
+    on a cache-resident decoded array (same row-at-a-time execution
+    rationale as audio/features.py clip_features)."""
+    h, w, c = img.shape
+    y = _luma(img)
+    f = img.astype(np.float64)
+    mr = float(f[:, :, 0].mean())
+    mg = float(f[:, :, 1].mean()) if c >= 3 else mr
+    mb = float(f[:, :, 2].mean()) if c >= 3 else mr
+    gx = np.abs(np.diff(y, axis=1))
+    gy = np.abs(np.diff(y, axis=0))
+    n_edges = float((gx > 16.0).sum() + (gy > 16.0).sum())
+    n_grads = gx.size + gy.size
+    hist, _ = np.histogram(y, bins=16, range=(0.0, 256.0))
+    p = hist / max(1, y.size)
+    nz = p[p > 0]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(c),
+        "mean_luma": float(y.mean()),
+        "std_luma": float(y.std()),
+        "min_luma": float(y.min()),
+        "max_luma": float(y.max()),
+        "saturated_ratio": float(((y <= 1.0) | (y >= 254.0)).mean()),
+        "mean_r": mr,
+        "mean_g": mg,
+        "mean_b": mb,
+        "edge_density": n_edges / max(1, n_grads),
+        "entropy_bits": float(-(nz * np.log2(nz)).sum()),
+    }
+
+
+def image_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL feature vector from decoded pixels: 4x4 block-mean luma
+    (16 dims, /255) + 8-bin luma histogram (8) + [mean_r, mean_g,
+    mean_b]/255 + [std_luma/128, edge_density, aspect, log-ish scaled
+    width, height] = 32 dims. Raises ImageDecodeError /
+    NotImplementedError on undecodable payloads — callers choose the
+    fallback policy."""
+    img = decode_image(blob)
+    h, w, _ = img.shape
+    y = _luma(img)
+    # 4x4 block means via bin edges (handles h,w < 4 by repetition)
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    blocks = np.empty(16, dtype=np.float32)
+    for i in range(4):
+        for j in range(4):
+            cell = y[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            blocks[i * 4 + j] = cell.mean() / 255.0
+    hist, _ = np.histogram(y, bins=8, range=(0.0, 256.0))
+    hist = (hist / max(1, y.size)).astype(np.float32)
+    s = pixel_stats(img)
+    tail = np.array(
+        [
+            s["mean_r"] / 255.0,
+            s["mean_g"] / 255.0,
+            s["mean_b"] / 255.0,
+            s["std_luma"] / 128.0,
+            s["edge_density"],
+            min(4.0, w / max(1, h)) / 4.0,
+            min(1.0, w / 4096.0),
+            min(1.0, h / 4096.0),
+        ],
+        dtype=np.float32,
+    )
+    out = np.concatenate([blocks, hist, tail])
+    assert out.shape == (dim,)
+    return out
+
+
+def image_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "payload",
+    decoder: Optional[Callable] = None,
+) -> DataFrame:
+    """Map-only Arrow-batched pixel statistics. Ships ONLY (id, blob)
+    into the Python workers (column pruning is the caller-visible
+    contract, like audio feature extraction); a malformed payload
+    becomes a (media_id, decode_error) row, never a task failure. The
+    output drops the payload, so everything downstream is
+    metadata-sized — at the 100 TB design point this stage is
+    embarrassingly parallel with no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = {f.name: [] for f in IMAGE_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for mid, blob in zip(pdf[id_col].astype(str), pdf[blob_col]):
+                row = {f.name: None for f in IMAGE_STATS_SCHEMA.fields}
+                row["media_id"] = mid
+                try:
+                    b = bytes(blob) if blob is not None else b""
+                    row["format"] = sniff_format(b)
+                    img = decode_image(b, row["format"], decoder)
+                    row.update(pixel_stats(_as_hwc(img)))
+                except Exception as e:  # malformed payloads must not kill the task
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                for k, v in row.items():
+                    cols[k].append(v)
+            out = pd.DataFrame(cols)
+            for k in cols:
+                cols[k] = []
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(

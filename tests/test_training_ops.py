@@ -188,9 +188,13 @@ def test_multimodal_feature_plumbing(spark):
     assert list(by_id["m1"].features) == list(by_id["m1b"].features)
 
 
-def test_multimodal_decode_stub():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_errors():
+    # malformed payload in a built-in format → typed decode error
+    with pytest.raises(multimodal.ImageDecodeError):
         multimodal.decode_image(b"xx", "png")
+    # codec-library formats still require an injected decoder
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
 
 
 def test_frame_sampling_plan(spark):
