@@ -416,8 +416,9 @@ class Compiler:
         # carriers, keyed by their enclosing resource
         self.dynamic_in_resource: dict[tuple[str, str], tuple[Any, str]] = {}
         self.catalog = catalog  # SchemaCatalog for cross-document $ref
-        # opt-in verbose trace: spath → (schema_node, path Column, Compiled)
-        # for every node applied at row scope (set to {} before apply)
+        # opt-in verbose trace: spath → (schema_node, path Column, Compiled,
+        # applied Column|None, static dtype, value Column) for every node
+        # applied at row scope (set to {} before apply)
         self.trace: Optional[dict[str, tuple[Any, Column, Compiled]]] = None
         # resource URI → (enabled keyword set or None, dialect asserts
         # formats) — per-resource $schema/$vocabulary resolution, ≙ the
@@ -725,11 +726,11 @@ class Compiler:
                 walk = ~node.valid if negate_result else node.valid
                 traced = Compiled(walk, node.viols) if negate_result else node
                 if ctx.spath not in self.trace:
-                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied)
+                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied, ctx.dtype, ctx.col)
                     if ctx.via_ref:
                         self._trace_via_ref.add(ctx.spath)
                 elif not ctx.via_ref and ctx.spath in self._trace_via_ref:
-                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied)
+                    self.trace[ctx.spath] = (schema, ctx.path, traced, ctx.applied, ctx.dtype, ctx.col)
                     self._trace_via_ref.discard(ctx.spath)
             self._expr_stage = _outer_stage
             self._expr_weight = _outer_weight + 1
@@ -826,7 +827,7 @@ class Compiler:
             # full fix keys trace entries by (spath, ref-site); not
             # done because the trace feeds sampled/driver-side output
             # walks, where re-keying multiplies entries per site.
-            entry = (schema, ctx.path, traced, ctx.applied)
+            entry = (schema, ctx.path, traced, ctx.applied, ctx.dtype, ctx.col)
             if ctx.spath not in self.trace:
                 self.trace[ctx.spath] = entry
                 if ctx.via_ref:

@@ -150,6 +150,13 @@ _ANNOTATION_KEYS = (
     "format",
 )
 
+# content-vocabulary annotations are TYPE-SCOPED: the reference's
+# Content*Keyword classes declare instance_types=("string",)
+# (jschon/vocabulary/annotation.py:54-70), so the unit exists only when
+# the instance at that node is a string; contentSchema additionally
+# requires a contentMediaType sibling (depends_on + discard otherwise).
+_CONTENT_KEYS = ("contentEncoding", "contentMediaType", "contentSchema")
+
 
 def verbose_output(
     schema,
@@ -422,7 +429,7 @@ def _applicator_node_gates(entries):
         applied = v[3]
         return val if applied is None else (~applied | val)
 
-    for spath, (node_schema, _pc, _c, _a) in entries:
+    for spath, (node_schema, _pc, _c, _a, *_rest) in entries:
         if not isinstance(node_schema, dict):
             continue
         for kw in ("allOf", "oneOf", "dependentSchemas", "properties", "prefixItems"):
@@ -556,10 +563,22 @@ def annotation_array(trace) -> "F.Column":
             at[p] = base
             down[p] = _conj(base, contrib)
 
-    for spath, (node_schema, path_col, compiled, applied) in entries:
+    for spath, (node_schema, path_col, compiled, applied, dtype, val_col) in entries:
         if not isinstance(node_schema, dict):
             continue
-        if not any(
+        # content* units exist only at STRING instances (see _CONTENT_KEYS
+        # note); the static dtype decides the type, the runtime null check
+        # excludes explicit nulls (jtype 'null' is not 'string')
+        content_keys: tuple = ()
+        if isinstance(dtype, T.StringType):
+            content_keys = tuple(
+                k
+                for k in _CONTENT_KEYS
+                if k in node_schema
+                and node_schema[k] is not None
+                and (k != "contentSchema" or "contentMediaType" in node_schema)
+            )
+        if not content_keys and not any(
             k in node_schema and node_schema[k] is not None for k in _ANNOTATION_KEYS
         ):
             continue
@@ -569,22 +588,26 @@ def annotation_array(trace) -> "F.Column":
         extra = at.get(spath)
         if extra is not None:
             gate = gate & extra
-        for k in _ANNOTATION_KEYS:
+        emit = [
+            (k, gate)
+            for k in _ANNOTATION_KEYS
             # null-valued annotations (``"default": null``) are stored by
             # the reference but filtered out of every output format
             # (output.py:52 ``msgval is not None``) — skip them here too
-            if k in node_schema and node_schema[k] is not None:
-                units.append(
-                    F.when(
-                        gate,
-                        F.struct(
-                            F.coalesce(path_col, F.lit("")).alias("instance_path"),
-                            F.lit(spath).alias("keyword_path"),
-                            F.lit(k).alias("keyword"),
-                            F.lit(_json.dumps(node_schema[k])).alias("value_json"),
-                        ),
-                    )
+            if k in node_schema and node_schema[k] is not None
+        ] + [(k, gate & val_col.isNotNull()) for k in content_keys]
+        for k, kgate in emit:
+            units.append(
+                F.when(
+                    kgate,
+                    F.struct(
+                        F.coalesce(path_col, F.lit("")).alias("instance_path"),
+                        F.lit(spath).alias("keyword_path"),
+                        F.lit(k).alias("keyword"),
+                        F.lit(_json.dumps(node_schema[k])).alias("value_json"),
+                    ),
                 )
+            )
     if not units:
         empty = T.ArrayType(
             T.StructType(

@@ -281,9 +281,19 @@ def _f_annotation(s, rng, depth, defs):
             ("readOnly", rng.choice([True, False])),
             ("examples", [_scalar(rng), _scalar(rng)]),
             ("format", rng.choice(["email", "date-time", "uuid", "ipv4", "x-fuzz"])),
+            # content vocabulary (round-4 family expansion): annotation-
+            # only, TYPE-SCOPED to string instances in the reference
+            ("contentEncoding", rng.choice(["base64", "quoted-printable"])),
+            ("contentMediaType", rng.choice(["application/json", "text/plain"])),
         ]
     )
     s[kw] = val
+    if kw == "contentMediaType" and rng.random() < 0.5:
+        # contentSchema only annotates beside a contentMediaType sibling
+        s["contentSchema"] = rng.choice([{"type": "object"}, {"minLength": 1}, True])
+    elif rng.random() < 0.15:
+        # orphaned contentSchema: the reference DISCARDS its annotation
+        s["contentSchema"] = {"type": "string"}
     _FACETS[rng.randrange(len(_FACETS) - 1)](s, rng, depth, defs)
 
 
@@ -517,6 +527,7 @@ def _spark_leaf_set(viols, strict: bool = True) -> set:
 _ANNOT_KEYWORDS = {
     "title", "description", "default", "deprecated", "readOnly",
     "writeOnly", "examples", "format",
+    "contentEncoding", "contentMediaType", "contentSchema",
 }
 _ANNOT_EXCLUDE_SEGS = {
     "items", "contains", "unevaluatedItems", "unevaluatedProperties",
