@@ -22,7 +22,20 @@ import json
 import re
 from dataclasses import replace as _replace
 from typing import Any, Callable, Optional
-from urllib.parse import unquote, urldefrag, urljoin
+from urllib.parse import unquote, urldefrag, urljoin as _std_urljoin
+
+
+def urljoin(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 resolution that also works for OPAQUE base schemes
+    (urn:, tag:): stdlib urljoin refuses to resolve against schemes
+    outside ``uses_relative`` and returns the reference untouched, which
+    silently breaks same-document/fragment-only references inside
+    URN-identified schema resources ("#anchor" must target the base
+    itself with a new fragment — §5.2's empty-path/no-authority case;
+    the reference's rfc3986 dependency gets this right)."""
+    if ref == "" or ref.startswith("#"):
+        return urldefrag(base).url + ref
+    return _std_urljoin(base, ref)
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -517,3 +517,34 @@ def test_draft_next_id_fragment_rule(spark):
         )
     # same document under 2020-12 compiles (empty fragment is stripped)
     compile_schema({"$schema": "https://json-schema.org/draft/2020-12/schema", "$id": "https://ex.dev/d#"})
+
+
+def test_fragment_ref_inside_urn_resource(spark):
+    """Round-4 dyn-family find: '#anchor' and '#/pointer' refs INSIDE a
+    URN-identified resource must resolve against the URN base (RFC 3986
+    §5.2 fragment-only case). stdlib urljoin refuses opaque schemes and
+    returned the reference untouched, so resolution failed compile with
+    'unresolvable $anchor reference'. $dynamicAnchor must also register
+    as a plain anchor for ordinary $ref (2020-12 §8.2.2)."""
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.testing import evaluate_instance
+
+    schema = {
+        "$id": "urn:example:frag:tree",
+        "type": "object",
+        "properties": {
+            "data": {"$ref": "#leaf"},          # $anchor via fragment-only ref
+            "alt": {"$ref": "#dyn"},            # $dynamicAnchor as plain anchor
+            "ptr": {"$ref": "#/$defs/leaf"},    # pointer fragment, URN base
+        },
+        "$defs": {
+            "leaf": {"$anchor": "leaf", "type": "integer"},
+            "dynleaf": {"$dynamicAnchor": "dyn", "minimum": 10},
+        },
+    }
+    ok, _ = evaluate_instance(spark, schema, {"data": 3, "alt": 11, "ptr": 4})
+    assert ok
+    bad, viols = evaluate_instance(spark, schema, {"data": "x", "alt": 2, "ptr": 5})
+    assert not bad
+    kws = {v["keyword"] for v in viols}
+    assert kws == {"type", "minimum"}, viols

@@ -1144,3 +1144,335 @@ def test_fuzz_deep_equality_matches_reference(spark, ref, seed):
     assert skipped <= len(datas) * 0.7, (
         f"eq fuzz seed {seed}: {skipped}/{len(datas)} untypeable"
     )
+
+
+# ------------------------------------------- MapType dynamic-key fuzzing
+# Round-4 family: the engine has TWO object compilation paths — struct
+# (fixed fields) and MapType (dynamic key set, higher-order functions:
+# core.py patternProperties/propertyNames/additionalProperties/
+# unevaluatedProperties map variants). evaluate_batch always infers
+# structs, so the map paths were reachable only through hand-written
+# tests. This family evaluates every instance through a MapType column
+# directly and compares verdict + full leaf violation locations against
+# the reference.
+
+MAP_SEEDS = list(range(16))
+
+_MAP_KEYS = [
+    "alpha", "beta", "x_one", "x_two", "y1", "k.dot", "ti~lde", "sl/ash",
+    "UPPER", "n0", "",
+]
+_MAP_PATTERNS = ["^x_", "one$", "^[a-z]+$", "^.{0,4}$", "[0-9]", "~", "/", "^$"]
+
+
+def _map_value_schema(rng: random.Random, vtype: str) -> dict:
+    if vtype == "string":
+        pool = [
+            {"maxLength": rng.choice([2, 4, 6])},
+            {"minLength": rng.choice([1, 3])},
+            {"pattern": rng.choice(["^a", "b$", "^[ab]+$"])},
+            {"enum": rng.sample(_STRINGS, 3)},
+            {"const": rng.choice(_STRINGS)},
+            {"type": "string"},
+        ]
+    else:
+        pool = [
+            {"minimum": rng.choice([0, 2])},
+            {"maximum": rng.choice([3, 7])},
+            {"multipleOf": rng.choice([2, 3])},
+            {"enum": rng.sample(_INTS, 3)},
+            {"type": "integer"},
+        ]
+    out: dict = {}
+    for d in rng.sample(pool, rng.randint(1, 2)):
+        out.update(d)
+    return out
+
+
+def gen_map_schema(rng: random.Random) -> tuple[dict, str]:
+    """(schema, value_jtype). An object schema whose keyword mix targets
+    the dynamic-key paths: patternProperties / propertyNames /
+    additionalProperties / unevaluatedProperties (sometimes through an
+    allOf branch), plus required / dependentRequired / min-max
+    Properties / dependentSchemas over a uniform value type."""
+    vtype = rng.choice(["string", "integer"])
+    s: dict = {}
+    picks = rng.sample(
+        ["properties", "patternProperties", "additionalProperties",
+         "propertyNames", "required", "dependentRequired", "counts",
+         "dependentSchemas"],
+        rng.randint(2, 4),
+    )
+    if "properties" in picks:
+        s["properties"] = {
+            k: _map_value_schema(rng, vtype)
+            for k in rng.sample(_MAP_KEYS[:6], rng.randint(1, 3))
+        }
+    if "patternProperties" in picks:
+        s["patternProperties"] = {
+            p: _map_value_schema(rng, vtype)
+            for p in rng.sample(_MAP_PATTERNS, rng.randint(1, 2))
+        }
+    if "additionalProperties" in picks:
+        s["additionalProperties"] = (
+            rng.choice([True, False])
+            if rng.random() < 0.4
+            else _map_value_schema(rng, vtype)
+        )
+    if "propertyNames" in picks:
+        s["propertyNames"] = rng.choice(
+            [
+                {"pattern": rng.choice(_MAP_PATTERNS)},
+                {"maxLength": rng.choice([2, 5, 8])},
+                {"minLength": 1},
+                {"enum": rng.sample(_MAP_KEYS, 4)},
+            ]
+        )
+    if "required" in picks:
+        s["required"] = rng.sample(_MAP_KEYS[:6], rng.randint(1, 2))
+    if "dependentRequired" in picks:
+        s["dependentRequired"] = {
+            rng.choice(_MAP_KEYS[:6]): rng.sample(_MAP_KEYS[:6], rng.randint(1, 2))
+        }
+    if "counts" in picks:
+        if rng.random() < 0.5:
+            s["minProperties"] = rng.randint(0, 3)
+        else:
+            s["maxProperties"] = rng.randint(1, 4)
+    if "dependentSchemas" in picks:
+        s["dependentSchemas"] = {
+            rng.choice(_MAP_KEYS[:6]): {
+                "minProperties": rng.randint(1, 3),
+            }
+        }
+    # unevaluatedProperties over the above, sometimes at a distance
+    # (through allOf) so coverage must flow across branch boundaries
+    r = rng.random()
+    if r < 0.4:
+        s["unevaluatedProperties"] = (
+            False if rng.random() < 0.6 else _map_value_schema(rng, vtype)
+        )
+    elif r < 0.7:
+        inner = s
+        s = {
+            "allOf": [inner],
+            "unevaluatedProperties": False if rng.random() < 0.6 else
+            _map_value_schema(rng, vtype),
+        }
+        if rng.random() < 0.5:
+            s["properties"] = {
+                k: _map_value_schema(rng, vtype)
+                for k in rng.sample(_MAP_KEYS[:6], rng.randint(1, 2))
+            }
+    return s, vtype
+
+
+def gen_map_instance(rng: random.Random, vtype: str) -> dict:
+    n = rng.randint(0, 5)
+    keys = rng.sample(_MAP_KEYS, min(n, len(_MAP_KEYS)))
+    if rng.random() < 0.3:
+        keys.append(rng.choice(["zz_9", "x_zzz", "Ωmega", "a b"]))
+    vals = _STRINGS if vtype == "string" else _INTS
+    return {k: rng.choice(vals) for k in keys}
+
+
+def evaluate_map_batch(spark, schema, datas: list, vtype: str) -> list:
+    """Evaluate dict instances through ONE MapType(string, V) column —
+    the engine's dynamic-key object path — in a single Spark job.
+    Returns [(valid, violation_rows)] aligned with datas."""
+    from pyspark.sql import Row as _Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.compiler.core import apply_stages
+
+    val_t = T.StringType() if vtype == "string" else T.LongType()
+    dtype = T.MapType(T.StringType(), val_t, True)
+    df_schema = T.StructType(
+        [T.StructField("i", T.LongType(), False), T.StructField("m", dtype, True)]
+    )
+    df = spark.createDataFrame(
+        [_Row(i=i, m=d) for i, d in enumerate(datas)], df_schema
+    )
+    compiled = compile_schema(schema)
+    c, stages = compiled.columns_staged(dtype, F.col("m"))
+    out = (
+        apply_stages(df, stages)
+        .select("i", c.valid.alias("valid"), c.viols.alias("violations"))
+        .collect()
+    )
+    res: list = [None] * len(datas)
+    for r in out:
+        res[r["i"]] = (bool(r["valid"]), list(r["violations"]))
+    return res
+
+
+@pytest.mark.parametrize("seed", MAP_SEEDS)
+def test_fuzz_maptype_matches_reference(spark, ref, seed):
+    rng = random.Random(640_000 + seed)
+    schema, vtype = gen_map_schema(rng)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    try:
+        compiled_ref = JSONSchema(
+            copy.deepcopy(schema), catalog=ref["catalog"],
+            cacheid=f"mapfuzz-{seed}", metaschema_uri=URI(_META),
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated schema not accepted by reference: {e}")
+
+    datas = [gen_map_instance(rng, vtype) for _ in range(INSTANCES_PER_SCHEMA)]
+    ref_verdicts, ref_errs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        ref_errs.append([] if res.valid else res.output("basic")["errors"])
+
+    spark_results = evaluate_map_batch(spark, schema, datas, vtype)
+
+    mismatches = []
+    for d, rv, re_, sr in zip(datas, ref_verdicts, ref_errs, spark_results):
+        sv, sviols = sr
+        if sv != rv:
+            mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
+            continue
+        if not sv:
+            want = _ref_leaf_set(re_, strict=True)
+            got = _spark_leaf_set(sviols, strict=True)
+            if want != got:
+                mismatches.append(
+                    f"  data={d!r}: leaf violation locations differ\n"
+                    f"    reference={sorted(want)}\n    spark    ={sorted(got)}"
+                )
+    assert not mismatches, (
+        f"maptype fuzz seed {seed}: Spark MapType path disagrees with the "
+        f"reference on {len(mismatches)}/{len(datas)} instances\n"
+        f"schema={schema!r}\n" + "\n".join(mismatches)
+    )
+
+
+# --------------------------------- URN + $dynamicRef cross-resource fuzzing
+# Round-4 family: $dynamicAnchor BOOKENDING across separately-registered
+# documents addressed by URN $ids — the tree/strict-tree extension
+# pattern (2020-12 §8.2.3.2), fuzzed: varies whether the outer document
+# re-declares the anchor (rebind vs not), whether the initial target
+# carries it (bookending requirement), $anchor decoys, URN vs https
+# ids, and pointer/anchor fragment ref forms.
+
+DYN_SEEDS = list(range(12))
+
+
+def gen_dynamic_pair(rng: random.Random, seed: int) -> tuple[dict, dict]:
+    """(main, ext): ext is a recursive 'tree' resource; main extends it
+    and MAY rebind the $dynamicAnchor."""
+    use_urn = rng.random() < 0.6
+    ext_id = (
+        f"urn:example:fuzz:{seed}:tree" if use_urn
+        else f"https://dynfuzz.example/{seed}/tree"
+    )
+    main_id = (
+        f"urn:example:fuzz:{seed}:strict" if rng.random() < 0.5
+        else f"https://dynfuzz.example/{seed}/strict"
+    )
+    anchor = rng.choice(["node", "items"])
+    # the recursive hop: $dynamicRef through the anchor, or a decoy
+    # plain $ref with the same shape 20% of the time
+    hop = (
+        {"$dynamicRef": f"#{anchor}"} if rng.random() < 0.8
+        else {"$ref": f"#{anchor}"}
+    )
+    ext_root: dict = {
+        "$id": ext_id,
+        "type": "object",
+        "properties": {
+            "data": {"type": rng.choice(["integer", "string"])},
+            "kids": {"type": "array", "items": hop},
+        },
+    }
+    bookended = rng.random() < 0.75
+    if bookended:
+        ext_root["$dynamicAnchor"] = anchor
+    else:
+        # static anchor only: $dynamicRef must NOT rebind through scope
+        ext_root["$anchor"] = anchor
+    if rng.random() < 0.3:
+        # decoy nested resource carrying the same anchor name
+        ext_root["$defs"] = {
+            "decoy": {
+                "$id": f"{ext_id}-decoy" if use_urn else "decoy",
+                "$dynamicAnchor": anchor,
+                "type": "boolean",
+            }
+        }
+    main: dict = {"$id": main_id, "$ref": ext_id}
+    if rng.random() < 0.7:
+        # strict-tree extension: rebinds the dynamic anchor so the
+        # recursion lands HERE (closing over unevaluatedProperties)
+        main["$dynamicAnchor"] = anchor
+        main["unevaluatedProperties"] = False
+    if rng.random() < 0.3:
+        main["properties"] = {"data": {"minimum": 0}}
+    return main, ext_root
+
+
+def _gen_tree_instance(rng: random.Random, depth: int) -> dict:
+    out: dict = {"data": rng.choice([0, 1, -2, "s", 2.5])}
+    if depth > 0 and rng.random() < 0.8:
+        out["kids"] = [
+            _gen_tree_instance(rng, depth - 1) for _ in range(rng.randint(0, 2))
+        ]
+    elif rng.random() < 0.4:
+        out["kids"] = []
+    if rng.random() < 0.25:
+        out["extra"] = rng.choice([1, "x"])  # unevaluatedProperties food
+    return out
+
+
+@pytest.mark.parametrize("seed", DYN_SEEDS)
+def test_fuzz_dynamic_cross_resource_matches_reference(spark, ref, seed):
+    rng = random.Random(520_000 + seed)
+    main, ext = gen_dynamic_pair(rng, seed)
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    cacheid = f"dynfuzz-{seed}"
+    try:
+        JSONSchema(
+            copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+            metaschema_uri=URI(_META),
+        ).validate()
+        compiled_ref = JSONSchema(
+            copy.deepcopy(main), catalog=ref["catalog"], cacheid=cacheid,
+            metaschema_uri=URI(_META),
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"pair not accepted by reference: {e}")
+
+    datas = [_gen_tree_instance(rng, 3) for _ in range(INSTANCES_PER_SCHEMA)]
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+
+    from jschon_spark.compiler.catalog import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(copy.deepcopy(ext))
+    spark_results = evaluate_batch(
+        spark, main, datas, with_violations=True, with_annotations=True, catalog=cat
+    )
+
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"dyn {seed}"
+    )
+    assert not mismatches, (
+        f"dynamic cross-resource fuzz seed {seed}: Spark engine disagrees "
+        f"with the reference on {len(mismatches)}/{len(datas)} instances\n"
+        f"main={main!r}\next={ext!r}\n" + "\n".join(mismatches)
+    )
