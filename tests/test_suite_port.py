@@ -3417,3 +3417,46 @@ def test_ecma_trailing_newline_delta(spark):
 
     got = evaluate_batch(spark, {"type": "string", "pattern": "^abc$"}, ["abc\n", "abc"])
     assert got == [True, True]
+
+
+# --------------------------------------------------------------------------
+# tests/suite_port_status.json: the machine-readable coverage/skip
+# registry (the port analogue of the reference's tests/suite_status.json).
+# These guards keep it honest: every SUITE section tag must be claimed by
+# a registry file entry, every non-ported entry must cite a registered
+# reason, and every section the registry names must actually exist.
+
+def _load_registry():
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    with open(_os.path.join(here, "suite_port_status.json")) as f:
+        return _json.load(f)
+
+
+def test_registry_covers_every_suite_section():
+    reg = _load_registry()
+    claimed = {s for e in reg["files"].values() for s in e.get("sections", [])}
+    actual = {fname for (fname, _g, _s, _t) in SUITE}
+    actual |= {fname for (fname, _g, _s, _t) in SPARK_ONLY_SUITE}
+    missing = actual - claimed
+    assert not missing, f"SUITE sections not claimed by any registry file: {missing}"
+    ghost = claimed - actual
+    assert not ghost, f"registry names sections that do not exist: {ghost}"
+
+
+def test_registry_skips_cite_registered_reasons():
+    reg = _load_registry()
+    reasons = set(reg["reasons"])
+    for fname, entry in reg["files"].items():
+        cov = entry["coverage"]
+        assert cov in ("ported", "partial", "omitted", "covered-elsewhere"), (fname, cov)
+        if cov in ("partial", "omitted"):
+            assert entry.get("reason") in reasons, (
+                f"{fname}: {cov} without a registered reason"
+            )
+        if cov == "covered-elsewhere":
+            assert entry.get("notes"), f"{fname}: covered-elsewhere without notes"
+    # the runtime skip reasons used by the harness are registered too
+    assert {"untypeable", "int64"} <= reasons

@@ -106,6 +106,77 @@ def _run_one(spark, ref, family, seed):
             schema["$recursiveAnchor"] = True
             schema.setdefault("properties", {})["a"] = {"$recursiveRef": "#"}
         meta = None  # $schema picks the dialect
+    elif family == "map":
+        # round-4 family: MapType dynamic-key object path (verdict +
+        # full leaf keywordLocation comparison; no annotation channel)
+        rng = random.Random(640_000 + seed)
+        schema, vtype = fz.gen_map_schema(rng)
+        try:
+            compiled_ref = JSONSchema(
+                copy.deepcopy(schema), catalog=ref["catalog"], cacheid=cacheid,
+                metaschema_uri=URI(_META),
+            )
+            compiled_ref.validate()
+        except Exception as e:
+            return "skip", f"schema rejected by reference: {e}"
+        datas = [fz.gen_map_instance(rng, vtype) for _ in range(fz.INSTANCES_PER_SCHEMA)]
+        ref_verdicts, ref_errs = [], []
+        for d in datas:
+            res = compiled_ref.evaluate(ref["JSON"](copy.deepcopy(d)))
+            ref_verdicts.append(bool(res.valid))
+            ref_errs.append([] if res.valid else res.output("basic")["errors"])
+        spark_results = fz.evaluate_map_batch(spark, schema, datas, vtype)
+        mismatches = []
+        for d, rv, re_, sr in zip(datas, ref_verdicts, ref_errs, spark_results):
+            sv, sviols = sr
+            if sv != rv:
+                mismatches.append(f"  data={d!r}: reference={rv} spark={sv}")
+            elif not sv:
+                want = fz._ref_leaf_set(re_, strict=True)
+                got = fz._spark_leaf_set(sviols, strict=True)
+                if want != got:
+                    mismatches.append(
+                        f"  data={d!r}: ref={sorted(want)} spark={sorted(got)}"
+                    )
+        if mismatches:
+            return "mismatch", {"schema": schema, "detail": mismatches[:5],
+                                "n_bad": len(mismatches), "n": len(datas)}
+        return "ok", {"skipped": 0, "n": len(datas)}
+    elif family == "dyn":
+        # round-4 family: URN ids + $dynamicRef bookending across
+        # separately-registered documents
+        rng = random.Random(520_000 + seed)
+        main_doc, ext_doc = fz.gen_dynamic_pair(rng, seed)
+        try:
+            JSONSchema(
+                copy.deepcopy(ext_doc), catalog=ref["catalog"], cacheid=cacheid,
+                metaschema_uri=URI(_META),
+            ).validate()
+            compiled_ref = JSONSchema(
+                copy.deepcopy(main_doc), catalog=ref["catalog"], cacheid=cacheid,
+                metaschema_uri=URI(_META),
+            )
+            compiled_ref.validate()
+        except Exception as e:
+            return "skip", f"pair rejected by reference: {e}"
+        from jschon_spark.compiler.catalog import SchemaCatalog
+
+        catalog_obj = SchemaCatalog()
+        catalog_obj.add_schema(copy.deepcopy(ext_doc))
+        datas = [fz._gen_tree_instance(rng, 3) for _ in range(fz.INSTANCES_PER_SCHEMA)]
+        ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+        spark_results = evaluate_batch(
+            spark, main_doc, datas, with_violations=True, with_annotations=True,
+            catalog=catalog_obj,
+        )
+        mismatches, skipped = fz._compare_case(
+            datas, ref_verdicts, ref_outputs, spark_results, f"dyn {seed}"
+        )
+        if mismatches:
+            return "mismatch", {"schema": main_doc, "ext": ext_doc,
+                                "detail": mismatches[:5],
+                                "n_bad": len(mismatches), "n": len(datas)}
+        return "ok", {"skipped": skipped, "n": len(datas)}
     elif family == "ext":
         rng = random.Random(77_000 + seed)
         main, ext, _pool = fz.gen_external_pair(rng, seed)
