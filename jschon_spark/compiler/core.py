@@ -825,21 +825,14 @@ class Compiler:
         walk_valid = ~node.valid if negate_result else node.valid
         if self.trace is not None and not ctx.no_trace:
             traced = Compiled(walk_valid, node.viols) if negate_result else node
-            # once-per-static-site: first writer wins, EXCEPT that the
-            # canonical (non-ref) application of a spath replaces a
-            # ref-inlined alias — compile order is post-order, so a
-            # self-referential target's inlined copy would otherwise
-            # claim the slot with the WRONG instance path (campaign
-            # legacy seed 5106: root `default` annotation reported at
-            # /a through properties/a/$recursiveRef)
-            # RESIDUAL LIMIT: a static site reachable ONLY through
-            # multiple DIFFERENT $refs (no canonical application at
-            # all) still records the first ref's instance path in the
-            # single per-spath slot, so annotations from the other
-            # ref's dynamic path are attributed to the first one. A
-            # full fix keys trace entries by (spath, ref-site); not
-            # done because the trace feeds sampled/driver-side output
-            # walks, where re-keying multiplies entries per site.
+            # Since round 4, ref targets compile under SITE-BASED dynamic
+            # spaths (_target_spath: .../$ref/...), so every ref
+            # application owns a distinct trace slot — the old
+            # multi-ref single-slot attribution limit is gone, and
+            # collisions between a canonical and a ref-inlined
+            # application of one spath can no longer occur. The
+            # canonical-wins replacement below is kept as a safety net
+            # for any remaining aliasing (first writer wins otherwise).
             entry = (schema, ctx.path, traced, ctx.applied, ctx.dtype, ctx.col)
             if ctx.spath not in self.trace:
                 self.trace[ctx.spath] = entry
