@@ -1606,11 +1606,16 @@ class Compiler:
     def _site_base(self, ctx: Ctx) -> Optional[str]:
         return ctx.scope[-1] if ctx.scope else None
 
-    def _k_ref(self, value, schema, ctx: Ctx, results) -> Compiled:
+    def _k_ref(self, value, schema, ctx: Ctx, results, refkw: str = "$ref") -> Compiled:
+        # ``refkw`` names the path segment: $dynamicRef keeps ITS keyword
+        # name in keywordLocation even when it degrades to plain-$ref
+        # behavior (non-bookended target / no carrier — the reference's
+        # Result node is still the $dynamicRef keyword's; r4 dyn-fuzz
+        # seeds 16/30)
         target, spath = self.resolve_ref(value, self._site_base(ctx))
         rctx = _replace(
             ctx,
-            spath=self._target_spath(ctx, target, spath, "$ref"),
+            spath=self._target_spath(ctx, target, spath, refkw),
             depth=ctx.depth + 1,
             via_ref=True,
         )
@@ -1635,9 +1640,9 @@ class Compiler:
             if frag == _RECURSIVE_NAME:
                 # rewritten $recursiveRef:"#" with no $recursiveAnchor
                 # carrier anywhere → plain self-reference (legacy.py:15-52)
-                return self._k_ref("#", schema, ctx, results)
+                return self._k_ref("#", schema, ctx, results, refkw="$dynamicRef")
             # no dynamic anchor of that name → plain $ref behavior
-            return self._k_ref(value, schema, ctx, results)
+            return self._k_ref(value, schema, ctx, results, refkw="$dynamicRef")
         # BOOKENDING (2020-12 §8.2.3.2): resolve the initial target like
         # $ref; only rebind through the dynamic scope if that target is
         # itself the $dynamicAnchor carrier, and when no scope resource
@@ -1654,7 +1659,7 @@ class Compiler:
             init_target, init_spath = self.resolve_ref(value, self._site_base(ctx))
         except CompileError:
             if frag == _RECURSIVE_NAME:
-                return self._k_ref("#", schema, ctx, results)
+                return self._k_ref("#", schema, ctx, results, refkw="$dynamicRef")
             raise
         target, spath = init_target, init_spath
         if isinstance(init_target, dict) and init_target.get("$dynamicAnchor") == frag:

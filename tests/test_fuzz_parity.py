@@ -1361,7 +1361,9 @@ def test_fuzz_maptype_matches_reference(spark, ref, seed):
 # carries it (bookending requirement), $anchor decoys, URN vs https
 # ids, and pointer/anchor fragment ref forms.
 
-DYN_SEEDS = list(range(12))
+# 16/30: campaign-found — $dynamicRef falling back to plain-ref
+# behavior must keep the $dynamicRef segment in keywordLocation
+DYN_SEEDS = list(range(12)) + [16, 30]
 
 
 def gen_dynamic_pair(rng: random.Random, seed: int) -> tuple[dict, dict]:
