@@ -959,7 +959,14 @@ def test_fuzz_external_catalog_matches_reference(spark, ref, seed):
 
     ref_verdicts, ref_outputs = [], []
     for d in datas:
-        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        try:
+            res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        except RecursionError:
+            # the REFERENCE itself cannot evaluate this pair: a generated
+            # ref cycle recurses without consuming instance depth and
+            # blows Python's stack (our engine fail-fasts the same
+            # schema with a CompileError depth guard). No oracle → skip.
+            pytest.skip("reference RecursionError evaluating generated pair")
         ref_verdicts.append(bool(res.valid))
         out = res.output("basic")
         ref_outputs.append(

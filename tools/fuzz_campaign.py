@@ -65,11 +65,20 @@ def _load_ref():
     return {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema, "URI": URI}
 
 
+class _RefCannotEvaluate(Exception):
+    """The reference itself cannot evaluate the generated case (e.g. a
+    ref cycle that recurses without consuming instance depth blows
+    Python's stack) — no oracle, so the case is a skip, not an error."""
+
+
 def _ref_eval(ref, compiled_ref, datas):
     JSON = ref["JSON"]
     verdicts, outputs = [], []
     for d in datas:
-        res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        try:
+            res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        except RecursionError as e:
+            raise _RefCannotEvaluate(f"reference RecursionError: {e}") from None
         verdicts.append(bool(res.valid))
         out = res.output("basic")
         outputs.append(out.get("annotations", []) if res.valid else out.get("errors", []))
@@ -122,7 +131,10 @@ def _run_one(spark, ref, family, seed):
         datas = [fz.gen_map_instance(rng, vtype) for _ in range(fz.INSTANCES_PER_SCHEMA)]
         ref_verdicts, ref_errs = [], []
         for d in datas:
-            res = compiled_ref.evaluate(ref["JSON"](copy.deepcopy(d)))
+            try:
+                res = compiled_ref.evaluate(ref["JSON"](copy.deepcopy(d)))
+            except RecursionError as e:
+                return "skip", f"reference RecursionError: {e}"
             ref_verdicts.append(bool(res.valid))
             ref_errs.append([] if res.valid else res.output("basic")["errors"])
         spark_results = fz.evaluate_map_batch(spark, schema, datas, vtype)
@@ -164,7 +176,10 @@ def _run_one(spark, ref, family, seed):
         catalog_obj = SchemaCatalog()
         catalog_obj.add_schema(copy.deepcopy(ext_doc))
         datas = [fz._gen_tree_instance(rng, 3) for _ in range(fz.INSTANCES_PER_SCHEMA)]
-        ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+        try:
+            ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+        except _RefCannotEvaluate as e:
+            return "skip", str(e)
         spark_results = evaluate_batch(
             spark, main_doc, datas, with_violations=True, with_annotations=True,
             catalog=catalog_obj,
@@ -218,7 +233,10 @@ def _run_one(spark, ref, family, seed):
             fz.collect_hints(schema, hints)
         datas = [fz.gen_instance(rng, 2, hints) for _ in range(fz.INSTANCES_PER_SCHEMA)]
 
-    ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+    try:
+        ref_verdicts, ref_outputs = _ref_eval(ref, compiled_ref, datas)
+    except _RefCannotEvaluate as e:
+        return "skip", str(e)
     spark_results = evaluate_batch(
         spark, schema, datas, with_violations=True, with_annotations=True,
         catalog=catalog_obj,
