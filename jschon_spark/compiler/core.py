@@ -412,6 +412,9 @@ class Compiler:
         # trace spaths currently held by a ref-inlined application (the
         # canonical application of the same site replaces them)
         self._trace_via_ref: set[str] = set()
+        # dynamic ref-application spath → canonical URI prefix, for
+        # absoluteKeywordLocation translation (absolute_location)
+        self.ref_sites: dict[str, str] = {}
         # URI → (schema_node, canonical spath); ≙ Catalog schema cache
         self.registry: dict[str, tuple[Any, str]] = {}
         # $dynamicAnchor name → [(node, spath)] in document (outermost-first) order
@@ -1619,10 +1622,44 @@ class Compiler:
             depth=ctx.depth + 1,
             via_ref=True,
         )
+        self._record_ref_site(rctx.spath, target, spath)
         # the $ref node is a result node (target keywords attach to it,
         # RefKeyword.evaluate core.py:82-103): resolve the target's
         # pending if-viols under the ref outcome's own gate
         return resolve_node(self.apply(target, rctx))
+
+    def _record_ref_site(self, dyn_spath: str, target: Any, spath: str) -> None:
+        """Record dynamic-prefix → canonical-URI mapping for
+        absoluteKeywordLocation translation (jschon/output.py:54-59:
+        basic rows carry BOTH the dynamic keywordLocation and the
+        canonical absoluteKeywordLocation). Keyed by the ref
+        application's dynamic spath; value = the target's resource URI +
+        '#' + its pointer WITHIN that resource. Deliberately not stored
+        per violation row — at table scale the absolute location is
+        derivable driver-side (absolute_location) or by a bounded
+        longest-prefix expression (output.basic_output), so the shuffled
+        violation payload stays 4 fields."""
+        owner = self.enclosing_uri.get(id(target))
+        if owner is None or owner == self.base_uri:
+            res_spath = ""
+            owner = self.base_uri
+        else:
+            _node, res_spath = self.registry.get(owner, (None, ""))
+        self.ref_sites[dyn_spath] = owner + "#" + spath[len(res_spath):]
+
+    def absolute_location(self, keyword_path: str) -> str:
+        """Translate a dynamic keywordLocation (violation keyword_path)
+        to the reference's absoluteKeywordLocation: longest recorded
+        ref-site prefix wins; paths with no ref traversal are
+        document-rooted under the root resource URI."""
+        best = None
+        for pref in self.ref_sites:
+            if keyword_path == pref or keyword_path.startswith(pref + "/"):
+                if best is None or len(pref) > len(best):
+                    best = pref
+        if best is None:
+            return self.base_uri + "#" + keyword_path
+        return self.ref_sites[best] + keyword_path[len(best):]
 
     def _k_dynamicRef(self, value, schema, ctx: Ctx, results) -> Compiled:
         """$dynamicRef: resolves like $ref, then rebinds to the
@@ -1674,6 +1711,7 @@ class Compiler:
             depth=ctx.depth + 1,
             via_ref=True,
         )
+        self._record_ref_site(rctx.spath, target, spath)
         return resolve_node(self.apply(target, rctx))
 
     # -- format (annotate-only unless enabled; format.py:14-32) ------------
@@ -2339,6 +2377,14 @@ class CompiledSchema:
 
     def columns(self, dtype: T.DataType, col: Column) -> Compiled:
         return self.apply(Ctx(col=col, dtype=dtype, path=F.lit(""), spath=""))
+
+    def absolute_keyword_location(self, keyword_path: str) -> str:
+        """Reference absoluteKeywordLocation for a violation's dynamic
+        keyword_path (jschon/output.py:54-59): resource canonical URI +
+        '#' + pointer within that resource, via the compile-recorded
+        ref-site prefix map. Only defined after a compile pass
+        (validate/columns) has run."""
+        return self.compiler.absolute_location(keyword_path)
 
     def columns_staged(
         self, dtype: T.DataType, col: Column

@@ -12,20 +12,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def basic_output(df: DataFrame, id_cols: list[str], violations_col: str = "violations") -> DataFrame:
+def basic_output(
+    df: DataFrame,
+    id_cols: list[str],
+    violations_col: str = "violations",
+    compiled=None,
+) -> DataFrame:
     """Explode per-row violation arrays into `basic`-format rows:
-    one row per failed keyword, addressed by instance/keyword paths."""
+    one row per failed keyword, addressed by instance/keyword paths.
+
+    ``keyword_path`` is the reference's dynamic keywordLocation (ref
+    traversals as /$ref//$dynamicRef segments). Pass the
+    ``CompiledSchema`` that produced the violations to ALSO emit
+    ``absolute_keyword_path`` (≙ absoluteKeywordLocation,
+    jschon/output.py:54-59) — translated by a bounded longest-prefix
+    expression over the compile-recorded ref sites, so the shuffled
+    violation payload itself stays 4 fields."""
     v = F.explode(F.col(violations_col)).alias("v")
+    cols = [
+        F.col("v.instance_path").alias("instance_path"),
+        F.col("v.keyword_path").alias("keyword_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.error").alias("error"),
+    ]
+    if compiled is not None:
+        comp = getattr(compiled, "compiler", compiled)
+        kp = F.col("v.keyword_path")
+        # longest prefix first: deeper ref applications have strictly
+        # longer dynamic prefixes, so the first match is the right one
+        expr = F.concat(F.lit(comp.base_uri + "#"), kp)
+        for pref in sorted(comp.ref_sites, key=len):
+            absolute = F.lit(comp.ref_sites[pref])
+            expr = F.when(
+                (kp == F.lit(pref)) | kp.startswith(pref + "/"),
+                F.concat(absolute, F.substring(kp, len(pref) + 1, 1_000_000)),
+            ).otherwise(expr)
+        cols.append(expr.alias("absolute_keyword_path"))
     return (
         df.where(F.size(violations_col) > 0)
         .select(*id_cols, v)
-        .select(
-            *id_cols,
-            F.col("v.instance_path").alias("instance_path"),
-            F.col("v.keyword_path").alias("keyword_path"),
-            F.col("v.keyword").alias("keyword"),
-            F.col("v.error").alias("error"),
-        )
+        .select(*id_cols, *cols)
     )
 
 

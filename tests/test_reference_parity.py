@@ -25,6 +25,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -253,3 +254,68 @@ def test_basic_keyword_locations_match_reference(spark, ref, schema, data):
     have = _spark_leaf_set(sviols, strict=True)
     assert want == have, f"\nreference={sorted(want)}\nspark    ={sorted(have)}"
     assert want, "golden case must exercise at least one leaf row"
+
+
+@pytest.mark.parametrize("schema,data", _GOLDEN_REF_CHAINS)
+def test_absolute_keyword_locations_match_reference(spark, ref, schema, data):
+    """absoluteKeywordLocation parity: the compile-recorded ref-site
+    prefix map translates dynamic keyword_paths to the reference's
+    canonical URIs — checked via BOTH the driver-side helper
+    (CompiledSchema.absolute_keyword_location) and the distributed
+    basic_output expression column."""
+    import copy as _copy
+
+    from pyspark.sql import Row
+    from jschon_spark.compiler import compile_schema
+    from jschon_spark.output import basic_output
+    from jschon_spark.testing import _to_row, infer_spark_type
+    from pyspark.sql import types as T
+    from tests.test_fuzz_parity import _LEAF_KEYWORDS
+
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    compiled_ref = JSONSchema(
+        _copy.deepcopy(schema),
+        catalog=ref["catalog"],
+        cacheid=f"goldenabs-{schema['$id']}",
+        metaschema_uri=URI(_META),
+    )
+    res = compiled_ref.evaluate(JSON(_copy.deepcopy(data)))
+    want = {
+        (e["instanceLocation"], e["keywordLocation"], e["absoluteKeywordLocation"])
+        for e in res.output("basic")["errors"]
+        if e["keywordLocation"].split("/")[-1] in _LEAF_KEYWORDS
+    }
+    assert want, "golden case must exercise leaf rows"
+
+    dtype = infer_spark_type(data)
+    df = spark.createDataFrame(
+        [Row(value=_to_row(data, dtype))],
+        T.StructType([T.StructField("value", dtype, True)]),
+    )
+    from jschon_spark.compiler.core import apply_stages
+
+    cs = compile_schema(schema)
+    c, stages = cs.columns_staged(dtype, F.col("value"))
+    out = (
+        apply_stages(df, stages)
+        .withColumn("valid", c.valid)
+        .withColumn("violations", c.viols)
+        .withColumn("rid", F.lit(1))
+    )
+    rows = basic_output(out, ["rid"], compiled=cs).collect()
+    got_expr = {
+        (r["instance_path"], r["keyword_path"], r["absolute_keyword_path"])
+        for r in rows
+        if r["keyword_path"].split("/")[-1] in _LEAF_KEYWORDS
+    }
+    got_helper = {
+        (r["instance_path"], r["keyword_path"], cs.absolute_keyword_location(r["keyword_path"]))
+        for r in rows
+        if r["keyword_path"].split("/")[-1] in _LEAF_KEYWORDS
+    }
+    # instance paths at top level: our struct wrapper prefixes /value
+    def strip(s):
+        return {(ip.removeprefix("/value"), kp, ak) for ip, kp, ak in s}
+
+    assert strip(got_expr) == want, f"\nref  ={sorted(want)}\nexpr ={sorted(strip(got_expr))}"
+    assert strip(got_helper) == want
