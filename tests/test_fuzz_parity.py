@@ -529,10 +529,19 @@ _ANNOT_KEYWORDS = {
     "writeOnly", "examples", "format",
     "contentEncoding", "contentMediaType", "contentSchema",
 }
+# r4: "$ref"/"$defs"/"$dynamicRef" removed — ref applications now get
+# per-application trace slots with site-based dynamic spaths, so
+# annotation units THROUGH refs are directly comparable. Still excluded:
+# per-element HOF subtrees aren't traced (items/contains/unevaluated*)
+# and multiple struct fields share one trace spath (patternProperties /
+# additionalProperties / propertyNames). "$defs" stays excluded on the
+# REFERENCE side only in the sense that a unit whose dynamic path walks
+# $defs can only be reached through a ref — which now carries a $ref
+# segment on both sides.
 _ANNOT_EXCLUDE_SEGS = {
     "items", "contains", "unevaluatedItems", "unevaluatedProperties",
     "patternProperties", "additionalProperties", "propertyNames",
-    "$ref", "$defs", "$dynamicRef", "$recursiveRef",
+    "$recursiveRef",
 }
 
 
