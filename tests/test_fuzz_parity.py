@@ -545,26 +545,33 @@ _ANNOT_EXCLUDE_SEGS = {
 }
 
 
-def _ref_annot_set(annots) -> set:
+def _ref_annot_set(annots, strict: bool = True) -> set:
+    """``strict`` includes the FULL dynamic keywordLocation in each
+    annotation unit (exact location parity, like the violation sets);
+    legacy families pass strict=False (keyword rewrites relocate)."""
     out = set()
     for a in annots:
         toks = a["keywordLocation"].split("/")
         if set(toks[:-1]) & _ANNOT_EXCLUDE_SEGS:
             continue
         if toks[-1] in _ANNOT_KEYWORDS:
-            out.add((a["instanceLocation"], toks[-1], json.dumps(a.get("annotation"))))
+            loc = a["keywordLocation"] if strict else toks[-1]
+            out.add((a["instanceLocation"], loc, json.dumps(a.get("annotation"))))
     return out
 
 
-def _spark_annot_set(anns, exclude_extra: frozenset = frozenset()) -> set:
+def _spark_annot_set(anns, exclude_extra: frozenset = frozenset(),
+                     strict: bool = True) -> set:
     out = set()
     exclude = _ANNOT_EXCLUDE_SEGS | exclude_extra
     for r in anns:
-        toks = (r["keyword_path"] + "/" + r["keyword"]).split("/")
+        full = r["keyword_path"] + "/" + r["keyword"]
+        toks = full.split("/")
         if set(toks[:-1]) & exclude:
             continue
         if toks[-1] in _ANNOT_KEYWORDS:
-            out.add((r["instance_path"], r["keyword"], r["value_json"]))
+            loc = full if strict else r["keyword"]
+            out.add((r["instance_path"], loc, r["value_json"]))
     return out
 
 
@@ -603,7 +610,8 @@ def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
                     f"    reference={sorted(want)}\n    spark    ={sorted(got)}"
                 )
         else:
-            want, got = _ref_annot_set(re_), _spark_annot_set(sanns, spark_annot_exclude)
+            want = _ref_annot_set(re_, strict_locations)
+            got = _spark_annot_set(sanns, spark_annot_exclude, strict_locations)
             if want != got:
                 mismatches.append(
                     f"  data={d!r}: annotation units differ\n"
