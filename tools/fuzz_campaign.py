@@ -246,6 +246,7 @@ def _run_one(spark, ref, family, seed):
         spark_annot_exclude=(
             fz._LEGACY_SPARK_EXCLUDE if family == "legacy" else frozenset()
         ),
+        strict_locations=(family != "legacy"),  # legacy rewrites relocate keywords
     )
     if mismatches:
         return "mismatch", {"schema": schema, "detail": mismatches[:5],
