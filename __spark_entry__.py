@@ -483,6 +483,37 @@ def q_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-WINDOW drift (streaming.drift_per_window, the batch half of
+    # the windowed streaming drift operator): each day's `value`
+    # distribution scored against the whole-table baseline — PSI +
+    # two-sample KS per window in one distributed plan, O(windows x
+    # bins) after the input aggregation. The same drift_per_window runs
+    # unchanged on the append stream from windowed_bin_counts.
+    from jschon_spark.streaming import drift_per_window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bins = (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.floor(F.col("value") / F.lit(50.0)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+    baseline = ev.groupBy(
+        F.floor(F.col("value") / F.lit(50.0)).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return drift_per_window(bins, baseline).select(
+        F.col("window_start").cast("string").alias("window_start"), "psi", "ks"
+    )
+
+
 def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution drift as ONE distributed plan (PSI + two-sample KS
     # between the click and view event populations' `value` columns) —
@@ -595,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_schema_valid": q_events_props_schema_valid,
         "doc_annotations": q_doc_annotations,
         "events_value_drift": q_events_value_drift,
+        "events_daily_drift": q_events_daily_drift,
         "audio_features": q_audio_features,
         "audio_quality_gate": q_audio_quality_gate,
     }
@@ -613,6 +645,45 @@ _STOP_ES = "['el','la','los','las','de','y','es','que','un','una','por','para']"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_daily_drift": """
+            WITH cur AS (
+              SELECT date_trunc('day', ts) AS ws, floor(value/50.0) AS bin,
+                     count(*)::DOUBLE AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            ct AS (SELECT ws, sum(n) AS t FROM cur GROUP BY 1),
+            base AS (
+              SELECT floor(value/50.0) AS bin, count(*)::DOUBLE AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            allb AS (
+              SELECT ws, bin FROM cur
+              UNION
+              SELECT w.ws, b.bin FROM (SELECT DISTINCT ws FROM cur) w CROSS JOIN base b
+            ),
+            j AS (
+              SELECT a.ws, a.bin,
+                     coalesce(c.n / ct.t, 0.0) AS p,
+                     coalesce(b.n / (SELECT sum(n) FROM base), 0.0) AS q
+              FROM allb a
+              LEFT JOIN cur c ON c.ws = a.ws AND c.bin = a.bin
+              JOIN ct ON ct.ws = a.ws
+              LEFT JOIN base b ON b.bin = a.bin
+            ),
+            s AS (
+              SELECT ws,
+                (greatest(p, 1e-6) - greatest(q, 1e-6))
+                  * ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psi_term,
+                abs(sum(p) OVER w - sum(q) OVER w) AS ecdf_gap
+              FROM j
+              WINDOW w AS (PARTITION BY ws ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   round(sum(psi_term), 6) AS psi,
+                   round(max(ecdf_gap), 6) AS ks
+            FROM s GROUP BY ws
+        """,
         "events_value_drift": """
             WITH cur AS (
               SELECT floor(value/25.0) AS bin, count(*)::DOUBLE AS n

@@ -109,3 +109,98 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def windowed_bin_counts(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    bin_width: float = 100.0,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming half of windowed drift detection: per-event-time-window
+    histogram bin counts of ``value_col`` — a plain watermarked
+    streaming aggregation (map-side partial combine on (window, bin);
+    state bounded by windows-in-watermark × occupied bins). Emit it in
+    append mode and run :func:`drift_per_window` on each closed batch
+    (foreachBatch) or on the sink table."""
+    return (
+        stream_df.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def drift_per_window(bins_df: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Batch half of windowed drift detection: PSI + two-sample KS of
+    each window's bin distribution against a static ``baseline`` of
+    (bin, n) counts — one fully distributed plan, grouped per window
+    (the per-window analogue of table_checks.drift_statistics: per-side
+    share normalization, full-outer bin join, window-partitioned
+    cumulative ECDFs; everything after the input aggregation is
+    O(windows × bins)). Returns one row per window:
+    (window_start, window_end, psi double, ks double), 6dp."""
+    from pyspark.sql import Window
+
+    eps = 1e-6
+    cur_tot = bins_df.groupBy("window_start", "window_end").agg(
+        F.sum("n").alias("ct")
+    )
+    cur = (
+        bins_df.join(cur_tot, ["window_start", "window_end"])
+        .select("window_start", "window_end", "bin", (F.col("n") / F.col("ct")).alias("p"))
+    )
+    base_tot = baseline.select(F.sum("n").alias("bt"))
+    base = baseline.crossJoin(F.broadcast(base_tot)).select(
+        "bin", (F.col("n") / F.col("bt")).alias("q")
+    )
+    # every window needs every baseline bin (full-outer semantics per
+    # window): cross the windows with the baseline bins, then left-join
+    # the current shares
+    windows = cur.select("window_start", "window_end").distinct()
+    all_bins = (
+        cur.select("window_start", "window_end", "bin")
+        .union(windows.crossJoin(F.broadcast(base.select("bin"))))
+        .distinct()
+    )
+    joined = (
+        all_bins.join(cur, ["window_start", "window_end", "bin"], "left")
+        .join(F.broadcast(base), ["bin"], "left")
+        .select(
+            "window_start",
+            "window_end",
+            "bin",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    pc = F.greatest(F.col("p"), F.lit(eps))
+    qc = F.greatest(F.col("q"), F.lit(eps))
+    w = Window.partitionBy("window_start", "window_end").orderBy("bin")
+    scored = joined.select(
+        "window_start",
+        "window_end",
+        ((pc - qc) * F.log(pc / qc)).alias("psi_term"),
+        F.abs(
+            F.sum("p").over(w) - F.sum("q").over(w)
+        ).alias("ecdf_gap"),
+    )
+    return (
+        scored.groupBy("window_start", "window_end")
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.round(F.max("ecdf_gap"), 6).alias("ks"),
+        )
+        .orderBy("window_start")
+    )

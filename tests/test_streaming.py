@@ -237,3 +237,73 @@ def test_streaming_audio_features(spark, clips_stream_dir, tmp_path):
     assert len(out) == 500
     assert out["features_ok"].mean() > 0.95
     assert out["keep"].mean() > 0.8
+
+
+def test_streaming_windowed_drift(spark, tmp_path):
+    """Windowed drift: minute-windows of a value stream are binned by a
+    watermarked streaming aggregation; drift_per_window scores each
+    closed window against a static baseline. The injected shifted
+    window must light up on BOTH statistics, and every window's numbers
+    must agree exactly with the batch drift_statistics oracle on the
+    same rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jschon_spark.operators.table_checks import drift_statistics
+    from jschon_spark.streaming import drift_per_window, windowed_bin_counts
+
+    rng = np.random.default_rng(7)
+    base_vals = rng.normal(500.0, 80.0, 4000).round(1)
+
+    rows = []
+    for minute in range(3):
+        # minute 1 is SHIFTED by +300; minutes 0/2 match the baseline
+        shift = 300.0 if minute == 1 else 0.0
+        for i in range(200):
+            ts = BASE + dt.timedelta(minutes=minute, seconds=i % 60, milliseconds=i)
+            rows.append((ts, float(base_vals[minute * 200 + i] + shift)))
+    src = tmp_path / "drift_src"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "value"]), "ts timestamp, value double"
+    ).coalesce(1).write.parquet(str(src))
+
+    baseline = spark.createDataFrame(
+        pd.DataFrame({"value": base_vals})
+    ).groupBy(F.floor(F.col("value") / F.lit(100.0)).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    baseline.cache().count()
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(str(src))
+    bins = windowed_bin_counts(stream, "value", "ts", bin_width=100.0)
+
+    out = []
+    q = (
+        bins.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _id: out.append(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    flat = [r for batch in out for r in batch]
+    assert flat, "stream produced no bin counts"
+    bins_batch = spark.createDataFrame(
+        flat, "window_start timestamp, window_end timestamp, bin long, n long"
+    )
+    scored = {r["window_start"].minute: r for r in drift_per_window(bins_batch, baseline).collect()}
+    assert set(scored) == {0, 1, 2}
+    # the shifted window dominates both statistics
+    assert scored[1]["psi"] > 4 * max(scored[0]["psi"], scored[2]["psi"])
+    assert scored[1]["ks"] > 4 * max(scored[0]["ks"], scored[2]["ks"])
+    assert scored[1]["ks"] > 0.5 and scored[0]["ks"] < 0.2
+
+    # exact agreement with the batch drift_statistics plan per window
+    df_all = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "value"]))
+    base_df = spark.createDataFrame(pd.DataFrame({"value": base_vals}))
+    for minute, r in scored.items():
+        cur = df_all.where(F.minute("ts") == minute)
+        want = drift_statistics(cur, base_df, "value", 100.0).collect()[0]
+        assert abs(r["psi"] - want["psi"]) < 1e-9, (minute, r, want)
+        assert abs(r["ks"] - want["ks"]) < 1e-9, (minute, r, want)
