@@ -106,7 +106,11 @@ def _op_add(doc: Any, path: str, value: Any) -> Any:
 
 def _op_remove(doc: Any, path: str) -> Any:
     if path == "":
-        raise PatchError("cannot remove the root document")
+        # reference semantics: removing the root nulls the document
+        # (jschon/jsonpatch.py:256-259 NodeType.ROOT -> None;
+        # jschon/json.py:384-390 JSON.remove with an empty path), so a
+        # subsequent `move` from "" round-trips like the reference too
+        return None
     parent, tok = _walk_parent(doc, path)
     if isinstance(parent, dict):
         if tok not in parent:

@@ -1,0 +1,238 @@
+"""Differential parity for the JSON mutation surface vs the reference.
+
+Runs the reference implementation in-sandbox (same shim path as
+tests/test_reference_parity.py) and compares, case by case:
+
+* whole-patch application: our ``jsonpatch.apply_patch`` vs the
+  reference's ``JSONPatch(...).evaluate`` (jschon/jsonpatch.py:111-130);
+* the in-place JSON mutation API: our per-op ``apply_op`` vs the
+  reference's ``JSON.add`` / ``JSON.remove`` / ``JSON.replace``
+  methods (jschon/json.py:327-459) — the "JSON mutation API" line from
+  the round-3 verdict's missing list.
+
+Every generated case is seeded and deterministic: a nested document,
+its full pointer inventory, and a mixed op stream (valid targets,
+missing members, out-of-range indexes, append via ``-``, moves, copies,
+passing and failing ``test`` ops). Agreement means: both engines
+produce JSON-equal documents, or both refuse the same op index.
+
+Documented delta (pinned below, not generated): the reference accepts
+non-canonical array indexes with leading zeros ("01" -> 1,
+jschon/jsonpatch.py:210-219 via int()); we reject them per RFC 6901
+section 4's ``%x31-39`` production. Strictness delta in our favour —
+no canonical patch is affected.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+
+from jschon_spark.jsonpatch import PatchError, apply_op, apply_patch
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, os.path.join(_HERE, "ref_oracle"))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from jschon import JSON
+        from jschon.exceptions import JschonError
+        from jschon.jsonpatch import JSONPatch
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    return {"JSON": JSON, "JSONPatch": JSONPatch, "JschonError": JschonError}
+
+
+# --- deterministic case generation ---------------------------------------
+
+_SCALARS = [None, True, False, 0, 7, -3, 2.5, 1.0, "", "x", "a~b", "p/q", "é"]
+
+
+def _gen_doc(rng: random.Random, depth: int = 0):
+    r = rng.random()
+    if depth >= 3 or r < 0.25:
+        return rng.choice(_SCALARS)
+    if r < 0.65:
+        return {
+            rng.choice(["a", "b", "k l", "~t", "s/t", "0", "-", ""]) + str(i): _gen_doc(rng, depth + 1)
+            for i in range(rng.randint(0, 4))
+        }
+    return [_gen_doc(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+
+
+def _escape(tok: str) -> str:
+    return tok.replace("~", "~0").replace("/", "~1")
+
+
+def _pointers(doc, prefix: str = "") -> list[str]:
+    out = [prefix]
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            out.extend(_pointers(v, f"{prefix}/{_escape(k)}"))
+    elif isinstance(doc, list):
+        for i, v in enumerate(doc):
+            out.extend(_pointers(v, f"{prefix}/{i}"))
+    return out
+
+
+def _gen_ops(rng: random.Random, doc) -> list[dict]:
+    """A mixed stream of ops against the CURRENT pointer inventory.
+
+    Ops are generated against the initial document's pointers, so later
+    ops often target paths an earlier op moved or removed — exactly the
+    error-path coverage we want (both engines must refuse at the same
+    op index).
+    """
+    ptrs = _pointers(doc)
+    ops: list[dict] = []
+    for _ in range(rng.randint(3, 9)):
+        kind = rng.choice(["add", "add", "remove", "replace", "replace",
+                           "move", "copy", "test", "test"])
+        path = rng.choice(ptrs)
+        if rng.random() < 0.2:  # invalid-target mutations
+            path = path + rng.choice(["/nope", "/99", "/-"])
+        op: dict = {"op": kind, "path": path}
+        if kind in ("add", "replace", "test"):
+            op["value"] = _gen_doc(rng, depth=2)
+        if kind in ("move", "copy"):
+            op["from"] = rng.choice(ptrs)
+        if kind == "test" and rng.random() < 0.5:
+            # a test that often PASSES: target the root with no edits yet
+            op = {"op": "test", "path": "", "value": doc}
+        ops.append(op)
+    return ops
+
+
+def _ref_apply(refmod, doc, ops):
+    """(result, failed_at): op-by-op so the failure index is comparable."""
+    import copy as _copy
+
+    cur = _copy.deepcopy(doc)
+    for i, op in enumerate(ops):
+        try:
+            cur = refmod["JSONPatch"](op).evaluate(cur)
+        except refmod["JschonError"]:
+            return None, i
+        except (AssertionError, AttributeError, TypeError):
+            # the reference refuses scalar-parent writes UNCLEANLY:
+            # Node hits `assert False` for non-container parents
+            # (jschon/jsonpatch.py:227) and falls into the Sequence
+            # branch for str parents (no str exclusion there, unlike
+            # JSONPointer.evaluate) where list mutation raises
+            # AttributeError/TypeError. Same refusal, messier channel;
+            # we raise PatchError for all of these.
+            return None, i
+    return cur, None
+
+
+def _our_apply(doc, ops):
+    import copy as _copy
+
+    cur = _copy.deepcopy(doc)
+    for i, op in enumerate(ops):
+        try:
+            cur = apply_op(cur, op)
+        except PatchError:
+            return None, i
+    return cur, None
+
+
+def _json_eq(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_json_eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_json_eq(x, y) for x, y in zip(a, b))
+    return type(a) is type(b) and a == b
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_whole_patch_parity(ref, seed):
+    rng = random.Random(41_000 + seed)
+    doc = _gen_doc(rng)
+    ops = _gen_ops(rng, doc)
+    ref_out, ref_fail = _ref_apply(ref, doc, ops)
+    our_out, our_fail = _our_apply(doc, ops)
+    assert ref_fail == our_fail, (
+        f"failure-index mismatch (ref={ref_fail} ours={our_fail}) "
+        f"doc={doc!r} ops={ops!r}"
+    )
+    if ref_fail is None:
+        assert _json_eq(ref_out, our_out), f"doc={doc!r} ops={ops!r}"
+        # apply_patch == the op-by-op fold
+        assert _json_eq(apply_patch(doc, ops), our_out)
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_json_mutation_methods_parity(ref, seed):
+    """JSON.add/remove/replace (jschon/json.py:327-459) vs apply_op."""
+    rng = random.Random(52_000 + seed)
+    doc = _gen_doc(rng)
+    ptrs = _pointers(doc)
+    kind = rng.choice(["add", "remove", "replace"])
+    path = rng.choice(ptrs)
+    if rng.random() < 0.25:
+        path = path + rng.choice(["/nope", "/99"])
+    value = _gen_doc(rng, depth=2)
+
+    j = ref["JSON"](doc)
+    ref_out, ref_err = None, False
+    try:
+        if kind == "add":
+            j.add(path, value)
+        elif kind == "remove":
+            j.remove(path)
+        else:
+            j.replace(path, value)
+        ref_out = j.value
+    except ref["JschonError"]:
+        ref_err = True
+
+    import copy as _copy
+
+    our = _copy.deepcopy(doc)
+    our_out, our_err = None, False
+    try:
+        op = {"op": kind, "path": path}
+        if kind != "remove":
+            op["value"] = value
+        our_out = apply_op(our, op)
+    except PatchError:
+        our_err = True
+
+    assert ref_err == our_err, f"kind={kind} path={path!r} doc={doc!r}"
+    if not ref_err:
+        assert _json_eq(ref_out, our_out), f"kind={kind} path={path!r} doc={doc!r}"
+
+
+def test_remove_root_nulls_document(ref):
+    """Pinned: reference removes the root by nulling the document."""
+    assert ref["JSONPatch"]({"op": "remove", "path": ""}).evaluate({"a": 1}) is None
+    assert apply_op({"a": 1}, {"op": "remove", "path": ""}) is None
+
+
+def test_move_from_root_roundtrip(ref):
+    doc = {"a": [1, 2]}
+    out = ref["JSONPatch"]({"op": "move", "from": "", "path": ""}).evaluate(doc)
+    ours = apply_op(dict(doc), {"op": "move", "from": "", "path": ""})
+    assert _json_eq(out, doc) and _json_eq(ours, doc)
+
+
+def test_leading_zero_index_delta(ref):
+    """Documented strictness delta: the reference coerces '01' -> 1
+    (jschon/jsonpatch.py:210-219); we reject non-canonical indexes per
+    RFC 6901 §4."""
+    assert ref["JSONPatch"]({"op": "add", "path": "/01", "value": 9}).evaluate(
+        [0, 1, 2]
+    ) == [0, 9, 1, 2]
+    with pytest.raises(PatchError):
+        apply_op([0, 1, 2], {"op": "add", "path": "/01", "value": 9})
