@@ -236,3 +236,29 @@ def test_leading_zero_index_delta(ref):
     ) == [0, 9, 1, 2]
     with pytest.raises(PatchError):
         apply_op([0, 1, 2], {"op": "add", "path": "/01", "value": 9})
+
+
+# --- the reference's own test data ----------------------------------------
+
+def _ref_data_cases():
+    import json
+
+    path = "/root/reference/tests/data/jsonpatch.json"
+    if not os.path.exists(path):  # pragma: no cover
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize(
+    "case", _ref_data_cases(), ids=lambda c: c["description"]
+)
+def test_reference_jsonpatch_data(case):
+    """The reference's own fixture file (tests/data/jsonpatch.json,
+    consumed by its tests/test_jsonpatch.py) run through our engine:
+    ``result: null`` means the patch must be refused."""
+    if case["result"] is None:
+        with pytest.raises(PatchError):
+            apply_patch(case["document"], case["patch"])
+    else:
+        assert _json_eq(apply_patch(case["document"], case["patch"]), case["result"])
