@@ -287,6 +287,40 @@ def _dialect_for(schema_uri: str, catalog: Optional[Any]) -> tuple[Optional[froz
             f"unrecognized dialect {schema_uri!r}; supported: {list(_KNOWN_DIALECTS)} "
             "(or register the metaschema document in the catalog)"
         )
+    if uri not in _KNOWN_DIALECTS and isinstance(meta_doc, dict):
+        # custom metaschema: validate-before-use, like the reference's
+        # Catalog.create_metaschema self-check (CatalogError "metaschema
+        # is invalid against its own metaschema", reference
+        # tests/test_catalog.py:316-319 on tests/data/meta_invalid.json)
+        from jschon_spark.compiler.metaschema import check_schema_document
+
+        if not isinstance(meta_doc.get("$schema"), str):
+            # the reference cannot validate a metaschema that does not
+            # name its own metaschema ("The schema's metaschema URI has
+            # not been set", probed live on tests/data-shaped fixtures)
+            raise CompileError(
+                f"metaschema {uri!r} does not declare its own '$schema'"
+            )
+        viols = check_schema_document(meta_doc)
+        if viols:
+            raise CompileError(
+                f"metaschema {uri!r} is invalid against its own metaschema: "
+                + "; ".join(str(v) for v in viols[:5])
+            )
+        vocab = meta_doc.get("$vocabulary")
+        core_uris = {
+            "https://json-schema.org/draft/2020-12/vocab/core",
+            "https://json-schema.org/draft/2019-09/vocab/core",
+        }
+        if not isinstance(vocab, dict) or not any(
+            isinstance(v, str) and v.rstrip("#") in core_uris for v in vocab
+        ):
+            # ≙ reference Metaschema.__init__ "No core vocabulary in
+            # '$vocabulary' ... and no default provided"
+            # (tests/data/meta_no_vocabs.json)
+            raise CompileError(
+                f"metaschema {uri!r} declares no core vocabulary in '$vocabulary'"
+            )
     if isinstance(meta_doc, dict) and isinstance(meta_doc.get("$vocabulary"), dict):
         enabled: set = set()
         assert_formats = False

@@ -342,7 +342,7 @@ def test_nested_id_base_uri_resolution(spark):
 
 
 def test_fragment_only_ref_inside_nested_resource(spark):
-    """'#/...' inside a nested \$id resource points into THAT resource,
+    r"""'#/...' inside a nested \$id resource points into THAT resource,
     not the document root (the fragment resolves against the current
     base URI)."""
     schema = {
@@ -446,6 +446,7 @@ def test_per_resource_dialect_keyword_gating(spark):
     cat = SchemaCatalog()
     cat.add_schema(
         {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
             "$id": "https://ex.org/no-validation-meta",
             "$vocabulary": {
                 "https://json-schema.org/draft/2020-12/vocab/core": True,

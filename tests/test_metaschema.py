@@ -143,12 +143,39 @@ def test_schema_dialect_selection(spark):
         compile_schema({"$schema": uri, "type": "integer"})
     with pytest.raises(CompileError, match="dialect"):
         compile_schema({"$schema": "https://example.com/my-dialect", "type": "integer"})
-    # ...unless the catalog can resolve the custom metaschema
+    # ...unless the catalog can resolve a WELL-FORMED custom metaschema
+    # (validate-before-use like the reference's create_metaschema):
     from jschon_spark.compiler import SchemaCatalog
 
     cat = SchemaCatalog()
-    cat.add_schema({"$id": "https://example.com/my-dialect", "type": "object"})
+    cat.add_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": "https://example.com/my-dialect",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation": True,
+            },
+        }
+    )
     cat.compile({"$schema": "https://example.com/my-dialect", "type": "integer"})
+    # a metaschema without $vocabulary refuses, like the reference on
+    # tests/data/meta_no_vocabs.json ("No core vocabulary ... and no
+    # default provided")
+    cat.add_schema({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://example.com/no-vocabs", "type": "object",
+    })
+    with pytest.raises(CompileError, match="core vocabulary"):
+        cat.compile({"$schema": "https://example.com/no-vocabs", "type": "integer"})
+    # ...and one that omits its own $schema refuses too ("The schema's
+    # metaschema URI has not been set")
+    cat.add_schema({
+        "$id": "https://example.com/no-meta-uri",
+        "$vocabulary": {"https://json-schema.org/draft/2020-12/vocab/core": True},
+    })
+    with pytest.raises(CompileError, match=r"\$schema"):
+        cat.compile({"$schema": "https://example.com/no-meta-uri", "type": "integer"})
 
 
 def test_vocabulary_driven_keyword_registry(spark):
@@ -165,6 +192,7 @@ def test_vocabulary_driven_keyword_registry(spark):
     cat = SchemaCatalog()
     cat.add_schema(
         {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
             "$id": "https://ex.dev/meta/no-validation",
             "$vocabulary": {
                 "https://json-schema.org/draft/2020-12/vocab/core": True,
@@ -177,17 +205,55 @@ def test_vocabulary_driven_keyword_registry(spark):
     c = compiled.columns(T.IntegerType(), F.col("v"))
     assert df.select(c.valid.alias("ok")).collect()[0].ok is True  # minimum ignored
 
+    # no core vocabulary at all: refused BEFORE the unknown-vocab check,
+    # matching the reference's precedence ("Cannot determine unique
+    # known core vocabulary", probed live)
     cat.add_schema(
         {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
             "$id": "https://ex.dev/meta/exotic",
             "$vocabulary": {"https://ex.dev/vocab/quantum": True},
         }
     )
-    with pytest.raises(CompileError, match="unknown vocabulary"):
+    with pytest.raises(CompileError, match="core vocabulary"):
         cat.compile({"$schema": "https://ex.dev/meta/exotic", "type": "integer"})
+
+    # core + REQUIRED unknown vocabulary: "requires an unrecognized
+    # vocabulary" (2020-12 §8.1.2)
+    cat.add_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": "https://ex.dev/meta/core-plus-unknown",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://ex.dev/vocab/quantum": True,
+            },
+        }
+    )
+    with pytest.raises(CompileError, match="unknown vocabulary"):
+        cat.compile({"$schema": "https://ex.dev/meta/core-plus-unknown", "type": "integer"})
+
+    # core + OPTIONAL unknown vocabulary: fine, and `type` is inert
+    # (core-only keyword set — reference probe: valid(5) AND valid("x"))
+    cat.add_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": "https://ex.dev/meta/core-plus-optional-unknown",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://ex.dev/vocab/quantum": False,
+            },
+        }
+    )
+    compiled = cat.compile(
+        {"$schema": "https://ex.dev/meta/core-plus-optional-unknown", "type": "integer"}
+    )
+    c = compiled.columns(T.StringType(), F.lit("not an integer"))
+    assert df.select(c.valid.alias("ok")).collect()[0].ok is True  # type inert
 
     cat.add_schema(
         {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
             "$id": "https://ex.dev/meta/strict-format",
             "$vocabulary": {
                 "https://json-schema.org/draft/2020-12/vocab/core": True,
@@ -275,6 +341,7 @@ def test_2019_09_applicator_vocab_includes_unevaluated(spark):
     cat = SchemaCatalog()
     cat.add_schema(
         {
+            "$schema": "https://json-schema.org/draft/2019-09/schema",
             "$id": "https://ex.dev/meta/2019",
             "$vocabulary": {
                 "https://json-schema.org/draft/2019-09/vocab/core": True,
@@ -295,3 +362,55 @@ def test_2019_09_applicator_vocab_includes_unevaluated(spark):
     c = compiled.columns(dtype, F.struct(F.col("a"), F.col("b")))
     # 'b' is unevaluated → must FAIL (the bug silently passed it)
     assert df.select(c.valid.alias("ok")).collect()[0].ok is False
+
+
+def test_reference_metaschema_fixtures(spark):
+    """The reference's own custom-metaschema fixtures
+    (/root/reference/tests/data/meta_*.json, consumed by its
+    tests/test_catalog.py:292-340), with the live-probed expectations:
+
+    * meta_with_core: core-only vocabulary — compiles, and validation
+      keywords are INERT (the reference evaluates both 5 and "ab" as
+      valid under a type/minLength schema governed by it);
+    * meta_invalid: refused — invalid against its own metaschema;
+    * meta_no_vocabs: refused — no core vocabulary and no default.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    data_dir = "/root/reference/tests/data"
+    if not os.path.isdir(data_dir):  # pragma: no cover
+        pytest.skip("reference test data not available")
+
+    cat = SchemaCatalog()
+    for name in ("meta_invalid", "meta_no_vocabs", "meta_with_core"):
+        with open(os.path.join(data_dir, f"{name}.json")) as f:
+            cat.add_schema(json.load(f), uri=f"https://example.com/{name}")
+
+    compiled = cat.compile(
+        {
+            "$schema": "https://example.com/meta_with_core",
+            "$id": "https://example.com/uses-core-only",
+            "type": "string",
+            "minLength": 100,
+        }
+    )
+    df = spark.range(1)
+    ok_int = df.select(compiled.columns(T.IntegerType(), F.lit(5)).valid.alias("ok"))
+    ok_str = df.select(compiled.columns(T.StringType(), F.lit("ab")).valid.alias("ok"))
+    assert ok_int.collect()[0].ok is True
+    assert ok_str.collect()[0].ok is True
+
+    with pytest.raises(CompileError, match="invalid against its own metaschema"):
+        cat.compile(
+            {"$schema": "https://example.com/meta_invalid", "type": "string"}
+        )
+    with pytest.raises(CompileError, match="core vocabulary"):
+        cat.compile(
+            {"$schema": "https://example.com/meta_no_vocabs", "type": "string"}
+        )
