@@ -16,6 +16,7 @@ from jschon_spark.compiler.core import (
     drop_stage_columns,
 )
 from jschon_spark.compiler.catalog import SchemaCatalog
+from jschon_spark.compiler.vocabulary import CustomKeyword
 from jschon_spark.compiler.pointer import (
     PointerError,
     json_pointer_get,
@@ -46,6 +47,7 @@ __all__ = [
     "spark_schema_for",
     "validate_json_column",
     "SchemaCatalog",
+    "CustomKeyword",
     "PointerError",
     "json_pointer_get",
     "pointer_get",

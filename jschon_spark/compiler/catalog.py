@@ -23,6 +23,29 @@ class SchemaCatalog:
         self._sources: list[tuple[str, str, str]] = []  # (uri_prefix, dir, suffix)
         self._compiled: dict[str, Any] = {}
         self._nested: dict[str, str] = {}  # nested-resource uri -> containing doc uri
+        # vocabulary URI -> {keyword name: CustomKeyword} (create_vocabulary)
+        self.vocabularies: dict[str, dict[str, Any]] = {}
+
+    def create_vocabulary(self, uri: str, *keywords: Any) -> str:
+        """Register user-defined keywords under a vocabulary URI.
+
+        ≙ the reference's ``Catalog.create_vocabulary(URI, *KwClasses)``
+        (jschon/catalog/__init__.py:149-160, examples/custom_keyword.py:
+        60-64): a metaschema that lists ``uri`` in its ``$vocabulary``
+        activates these keywords for the resources it governs. Takes
+        :class:`~jschon_spark.compiler.vocabulary.CustomKeyword` specs;
+        registering the same URI again replaces the set."""
+        from jschon_spark.compiler.vocabulary import CustomKeyword
+
+        kws: dict[str, Any] = {}
+        for kw in keywords:
+            if not isinstance(kw, CustomKeyword):
+                raise TypeError(f"create_vocabulary takes CustomKeyword specs, got {kw!r}")
+            kws[kw.key] = kw
+        key = uri.rstrip("#")
+        self.vocabularies[key] = kws
+        self._compiled.clear()  # keyword sets changed; cached plans are stale
+        return key
 
     def add_schema(self, doc: Any, uri: Optional[str] = None) -> str:
         """Register a schema document under ``uri`` (default: its $id).

@@ -324,9 +324,18 @@ def _dialect_for(schema_uri: str, catalog: Optional[Any]) -> tuple[Optional[froz
     if isinstance(meta_doc, dict) and isinstance(meta_doc.get("$vocabulary"), dict):
         enabled: set = set()
         assert_formats = False
+        custom_vocabs = getattr(catalog, "vocabularies", None) or {}
         for vuri, req in meta_doc["$vocabulary"].items():
             kws = _VOCAB_KEYWORDS.get(vuri.rstrip("#"))
             if kws is None:
+                # user-registered vocabulary (catalog.create_vocabulary)
+                # ≙ the reference resolving a vocabulary URI to its
+                # registered Keyword classes (vocabulary/__init__.py:
+                # 57-76 Metaschema kwclasses)
+                custom = custom_vocabs.get(vuri.rstrip("#"))
+                if custom is not None:
+                    enabled |= set(custom)
+                    continue
                 if req is True:
                     raise CompileError(
                         f"metaschema {uri!r} requires unknown vocabulary {vuri!r}"
@@ -466,10 +475,28 @@ class Compiler:
         # carriers, keyed by their enclosing resource
         self.dynamic_in_resource: dict[tuple[str, str], tuple[Any, str]] = {}
         self.catalog = catalog  # SchemaCatalog for cross-document $ref
+        # user-defined keywords (catalog.create_vocabulary); dispatched
+        # only in resources whose metaschema enables the vocabulary —
+        # under the standard dialects they stay inert, exactly like the
+        # reference where only the metaschema's kwclasses evaluate
+        # (jschon/vocabulary/__init__.py:57-101)
+        self.custom_keywords: dict[str, Any] = {}
+        for vkws in (getattr(catalog, "vocabularies", None) or {}).values():
+            for name, spec in vkws.items():
+                if name in _ORDER or name in _ANNOTATION_ONLY:
+                    raise CompileError(
+                        f"custom keyword {name!r} shadows a built-in keyword"
+                    )
+                self.custom_keywords[name] = spec
         # opt-in verbose trace: spath → (schema_node, path Column, Compiled,
         # applied Column|None, static dtype, value Column) for every node
         # applied at row scope (set to {} before apply)
         self.trace: Optional[dict[str, tuple[Any, Column, Compiled]]] = None
+        # spath → [(keyword, annotation value JSON, needs_nonnull)] for
+        # ACTIVE custom keywords that annotate (≙ result.annotate on
+        # success); recorded during _apply_custom so the output layer
+        # never emits for a resource whose dialect left the keyword inert
+        self.custom_annotations: dict[str, list[tuple[str, str, bool]]] = {}
         # resource URI → (enabled keyword set or None, dialect asserts
         # formats) — per-resource $schema/$vocabulary resolution, ≙ the
         # reference resolving a metaschema PER SCHEMA RESOURCE rather
@@ -482,6 +509,8 @@ class Compiler:
             self.resource_uri[id(root)] = self.base_uri
             self.resource_dialect[self.base_uri] = (self.enabled_keywords, assert_formats)
             self._index(root, self.base_uri, "", (self.enabled_keywords, assert_formats))
+            if self.custom_keywords and validate_schema:
+                self._check_custom_values(root, "", self.enabled_keywords)
         # resources declared WITHIN the root document (snapshot before
         # any catalog document is lazily loaded): ref targets OUTSIDE
         # this set get site-based /$ref spaths — their document-relative
@@ -732,6 +761,7 @@ class Compiler:
             # depth): the budget is per compiled plan, not per Compiler
             self._node_count = 0
             self._trace_via_ref = set()
+            self.custom_annotations = {}
             self.stages = []
             self._expr_stage = 0
             self._expr_weight = 0
@@ -808,6 +838,17 @@ class Compiler:
             results[kw] = out
             if kw not in ("if",):  # `if` never asserts (applicator.py:89-94)
                 parts.append(out)
+        if self.custom_keywords and enabled is not None and not ref_only:
+            # user-defined keywords run after the built-ins (reference:
+            # unregistered kwclasses sort last in declaration order) and
+            # only where the resource's metaschema enabled them
+            for kw in sorted(self.custom_keywords.keys() & schema.keys()):
+                if kw not in enabled:
+                    continue
+                out = self._apply_custom(self.custom_keywords[kw], schema[kw], ctx)
+                if out is not None:
+                    results[kw] = out
+                    parts.append(out)
         node = combine(parts)
         if "if" in results:
             # `if` never asserts, but the reference's output walk still
@@ -879,6 +920,90 @@ class Compiler:
                 self.trace[ctx.spath] = entry
                 self._trace_via_ref.discard(ctx.spath)
         return node
+
+    _SUBSCHEMA_MAPS = ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions")
+    _SUBSCHEMA_LISTS = ("allOf", "anyOf", "oneOf", "prefixItems")
+    _SUBSCHEMA_SINGLES = (
+        "items", "additionalProperties", "additionalItems", "propertyNames",
+        "not", "if", "then", "else", "contains",
+        "unevaluatedItems", "unevaluatedProperties", "contentSchema",
+    )
+
+    def _check_custom_values(self, node: Any, spath: str, enabled) -> None:
+        """Eagerly run custom keywords' compile-time value checks over
+        the document's SCHEMA positions (the reference constructs every
+        Keyword object — hence runs its __init__ validation — while the
+        schema document is built, jschon/jsonschema.py:137-175; a bad
+        value must abort compile(), not the first validate())."""
+        if not isinstance(node, dict):
+            return
+        if isinstance(node.get("$schema"), str) and (
+            spath == "" or isinstance(node.get("$id"), str)
+        ):
+            enabled = _dialect_for(node["$schema"], self.catalog)[0]
+        if enabled is not None:
+            for ckw in sorted(self.custom_keywords.keys() & node.keys()):
+                if ckw not in enabled:
+                    continue
+                spec = self.custom_keywords[ckw]
+                if spec.check is not None:
+                    try:
+                        spec.check(node[ckw])
+                    except CompileError:
+                        raise
+                    except Exception as e:
+                        raise CompileError(
+                            f"invalid {ckw!r} value at {spath or '/'}: {e}"
+                        )
+        for k in self._SUBSCHEMA_MAPS:
+            v = node.get(k)
+            if isinstance(v, dict):
+                for pk, pv in v.items():
+                    self._check_custom_values(
+                        pv, f"{spath}/{k}/{escape_pointer(pk)}", enabled
+                    )
+        for k in self._SUBSCHEMA_LISTS:
+            v = node.get(k)
+            if isinstance(v, list):
+                for i, pv in enumerate(v):
+                    self._check_custom_values(pv, f"{spath}/{k}/{i}", enabled)
+        for k in self._SUBSCHEMA_SINGLES:
+            v = node.get(k)
+            if isinstance(v, dict):
+                self._check_custom_values(v, f"{spath}/{k}", enabled)
+
+    def _apply_custom(self, spec: Any, value: Any, ctx: Ctx) -> Optional[Compiled]:
+        """Compile one user-defined keyword application (a
+        vocabulary.CustomKeyword spec — ≙ the reference constructing
+        the Keyword instance, which may raise, then gating evaluate on
+        ``instance_types``; jschon/vocabulary/__init__.py:104-200)."""
+        if spec.check is not None:
+            try:
+                spec.check(value)
+            except CompileError:
+                raise
+            except Exception as e:
+                raise CompileError(
+                    f"invalid {spec.key!r} value at {ctx.spath or '/'}: {e}"
+                )
+        if spec.instance_types:
+            types = set(spec.instance_types)
+            if "number" in types:
+                types.add("integer")  # every JSON integer is a number
+            if jtype_of(ctx.dtype) not in types:
+                return None  # type-mismatched keyword constant-folds away
+        if spec.annotate is not None and not ctx.no_trace:
+            ann = json.dumps(spec.annotate(value))
+            lst = self.custom_annotations.setdefault(ctx.spath, [])
+            if all(k != spec.key for k, _, _ in lst):
+                # null instances are JSON type "null": a type-scoped
+                # keyword skips them at runtime, so its annotation needs
+                # a non-null gate (untyped keywords evaluate nulls too)
+                lst.append((spec.key, ann, bool(spec.instance_types)))
+        if not spec.assertion:
+            return None  # annotation-only (output side reads the spec)
+        pred = spec.predicate(value, ctx)
+        return leaf(ctx, spec.key, pred, spec.error_message(value))
 
     # -- validation keywords (jschon/vocabulary/validation.py) -------------
 

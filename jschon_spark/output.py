@@ -523,7 +523,7 @@ def _applicator_node_gates(entries):
     return gates
 
 
-def annotation_array(trace) -> "F.Column":
+def annotation_array(trace, custom_annotations=None) -> "F.Column":
     """array<struct<instance_path,keyword_path,keyword,value_json>> of
     the annotation units a traced compilation contributes for one
     document. jschon collects annotations by walking the Result tree
@@ -533,7 +533,12 @@ def annotation_array(trace) -> "F.Column":
     INVALID nodes — a valid node buried under a failed anyOf branch
     contributes nothing. Reproduce both: the compile-time ctx.applied
     condition covers (a); the ancestor-chain validity conjunction
-    covers (b)."""
+    covers (b).
+
+    ``custom_annotations`` (Compiler.custom_annotations: spath →
+    [(keyword, value_json, needs_nonnull)]) adds units for ACTIVE
+    user-defined keywords that annotate (≙ result.annotate from a
+    custom Keyword.evaluate on success)."""
     import json as _json
 
     from pyspark.sql import types as T
@@ -604,8 +609,14 @@ def annotation_array(trace) -> "F.Column":
                 and node_schema[k] is not None
                 and (k != "contentSchema" or "contentMediaType" in node_schema)
             )
-        if not content_keys and not any(
-            k in node_schema and node_schema[k] is not None for k in _ANNOTATION_KEYS
+        custom = (custom_annotations or {}).get(spath, ())
+        if (
+            not content_keys
+            and not custom
+            and not any(
+                k in node_schema and node_schema[k] is not None
+                for k in _ANNOTATION_KEYS
+            )
         ):
             continue
         gate = compiled.valid
@@ -631,6 +642,19 @@ def annotation_array(trace) -> "F.Column":
                         F.lit(spath).alias("keyword_path"),
                         F.lit(k).alias("keyword"),
                         F.lit(_json.dumps(node_schema[k])).alias("value_json"),
+                    ),
+                )
+            )
+        for k, vjson, needs_nonnull in custom:
+            kgate = gate & val_col.isNotNull() if needs_nonnull else gate
+            units.append(
+                F.when(
+                    kgate,
+                    F.struct(
+                        F.coalesce(path_col, F.lit("")).alias("instance_path"),
+                        F.lit(spath).alias("keyword_path"),
+                        F.lit(k).alias("keyword"),
+                        F.lit(vjson).alias("value_json"),
                     ),
                 )
             )
@@ -690,7 +714,7 @@ def annotation_output(
     finally:
         comp._staging = False
 
-    arr = annotation_array(comp.trace)
+    arr = annotation_array(comp.trace, comp.custom_annotations)
     ident = [F.col(c) for c in (id_cols or [])]
     out = (
         apply_stages(df, comp.stages)

@@ -278,7 +278,7 @@ def evaluate_batch(
                     compiled.schema, Ctx(col=col, dtype=dtype, path=F.lit(""), spath="")
                 )
             )
-            arr = annotation_array(comp.trace)
+            arr = annotation_array(comp.trace, comp.custom_annotations)
             stages = comp.stages
         finally:
             comp._staging = False
