@@ -589,10 +589,54 @@ def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_custom_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined keyword over the documents table: a `memberOf`
+    keyword (≙ the reference's enumRef extension example,
+    examples/custom_keyword.py) activated through a custom metaschema's
+    $vocabulary, compiled to a pure Column predicate (no Python in the
+    plan)."""
+    from jschon_spark.compiler import CustomKeyword, SchemaCatalog
+
+    langs = ["en", "de", "fr"]
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": "https://example.com/meta/curation",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation": True,
+                "https://example.com/vocab/curation": True,
+            },
+        }
+    )
+    cat.create_vocabulary(
+        "https://example.com/vocab/curation",
+        CustomKeyword(
+            key="memberOf",
+            instance_types=("string",),
+            check=lambda v: list(v),
+            predicate=lambda v, ctx: ctx.col.isin(*v),
+            message=lambda v: f"the value is not a member of {v}",
+        ),
+    )
+    schema = {
+        "$schema": "https://example.com/meta/curation",
+        "type": "object",
+        "required": ["lang"],
+        "properties": {"lang": {"type": "string", "memberOf": langs}},
+    }
+    docs = _t(spark, sf_dir, "documents")
+    v = cat.compile(schema).validate(docs, instance_columns=["lang"])
+    return v.select("doc_id", "valid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
         "validate_orders_violations": q_validate_orders_violations,
+        "validate_custom_vocab": q_validate_custom_vocab,
         "column_stats_lineitem": q_column_stats_lineitem,
         "distinct_counts": q_distinct_counts,
         "hll_distinct": q_hll_distinct,
@@ -942,6 +986,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors jschon keyword semantics incl. null-gating: a missing
         # (null) property passes its subschema, so `not` FAILS on null
+        "validate_custom_vocab": """
+            SELECT doc_id,
+                   lang IS NOT NULL AND lang IN ('en','de','fr') AS valid
+            FROM documents
+        """,
         "validate_customer_applicators": """
             SELECT c_custkey,
                    coalesce(c_acctbal IS NULL OR (c_acctbal >= -999.99 AND c_acctbal <= 9999.99), true)
