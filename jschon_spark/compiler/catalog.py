@@ -131,14 +131,37 @@ class SchemaCatalog:
                 )
         return None
 
+    def del_schema(self, uri: str) -> None:
+        """Drop a registered document and every compiled plan derived
+        from it (≙ the reference's Catalog.del_schema,
+        jschon/catalog/__init__.py:305-311 — deleting a nonexistent
+        entry is a no-op there too)."""
+        key = urldefrag(uri).url
+        self._docs.pop(key, None)
+        self._nested = {n: r for n, r in self._nested.items() if r != key and n != key}
+        # compiled plans may have inlined the document through $refs —
+        # conservatively drop the whole cache
+        self._compiled.clear()
+
     def compile(self, uri_or_doc: Any, **kw):
         """Compile a registered URI (cached) or an ad-hoc document with
-        this catalog resolving its external $refs."""
+        this catalog resolving its external $refs.
+
+        A URI with a fragment — a JSON pointer (``doc#/$defs/x``) or a
+        plain-name anchor (``doc#items``) — compiles THAT subschema,
+        like the reference's ``catalog.get_schema`` pointer/anchor
+        resolution (jschon/catalog/__init__.py:313-368,
+        tests/test_catalog.py:213-228): the plan is a ``$ref`` wrapper
+        into the containing document, so the target's own ``$refs`` and
+        dynamic scope resolve within its resource. Violation
+        keyword_paths therefore carry the wrapper's ``/$ref`` prefix —
+        a documented location delta vs the reference's target-relative
+        paths."""
         from jschon_spark.compiler.core import CompileError, CompiledSchema
 
         if isinstance(uri_or_doc, str):
-            key = urldefrag(uri_or_doc).url
-            cache_key = (key, tuple(sorted(kw.items())))
+            key, frag = urldefrag(uri_or_doc)
+            cache_key = ((key, frag), tuple(sorted(kw.items())))
             try:
                 hash(cache_key)
             except TypeError:
@@ -148,7 +171,15 @@ class SchemaCatalog:
             doc = self.lookup(key)
             if doc is None:
                 raise CompileError(f"unknown schema uri {uri_or_doc!r}")
-            compiled = CompiledSchema(doc, catalog=self, **kw)
+            if frag:
+                # match the ad-hoc wrapper's dialect to the target
+                # document's, so keyword gating follows its metaschema
+                wrapper: dict = {"$ref": f"{key}#{frag}"}
+                if isinstance(doc, dict) and isinstance(doc.get("$schema"), str):
+                    wrapper["$schema"] = doc["$schema"]
+                compiled = CompiledSchema(wrapper, catalog=self, **kw)
+            else:
+                compiled = CompiledSchema(doc, catalog=self, **kw)
             if cache_key is not None:
                 self._compiled[cache_key] = compiled
             return compiled

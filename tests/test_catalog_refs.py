@@ -549,3 +549,81 @@ def test_fragment_ref_inside_urn_resource(spark):
     assert not bad
     kws = {v["keyword"] for v in viols}
     assert kws == {"type", "minimum"}, viols
+
+
+def test_compile_by_fragment_uri(spark):
+    """catalog.compile('doc#/ptr') / ('doc#anchor') compiles THAT
+    subschema — ≙ the reference's catalog.get_schema pointer/anchor
+    resolution (jschon/catalog/__init__.py:313-368,
+    tests/test_catalog.py:213-228). The target's own refs resolve
+    within its document."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler import SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": "https://ex.org/frag-doc",
+            "type": "object",
+            "$defs": {
+                "port": {
+                    "$anchor": "port",
+                    "type": "integer",
+                    "minimum": 1,
+                    "maximum": 65535,
+                },
+                # the pointer target itself uses an in-document ref:
+                # resolution must stay within frag-doc
+                "ports": {"type": "array", "items": {"$ref": "#port"}},
+            },
+        }
+    )
+    df = spark.range(1)
+
+    by_ptr = cat.compile("https://ex.org/frag-doc#/$defs/port")
+    ok = by_ptr.columns(T.IntegerType(), F.lit(8080))
+    bad = by_ptr.columns(T.IntegerType(), F.lit(0))
+    assert df.select(ok.valid.alias("v")).collect()[0].v is True
+    assert df.select(bad.valid.alias("v")).collect()[0].v is False
+
+    by_anchor = cat.compile("https://ex.org/frag-doc#port")
+    assert (
+        df.select(
+            by_anchor.columns(T.IntegerType(), F.lit(70000)).valid.alias("v")
+        ).collect()[0].v
+        is False
+    )
+
+    # nested-ref target: items/$ref resolves inside frag-doc
+    arr = cat.compile("https://ex.org/frag-doc#/$defs/ports")
+    dtype = T.ArrayType(T.IntegerType())
+    good = arr.columns(dtype, F.array(F.lit(1), F.lit(443)))
+    wrong = arr.columns(dtype, F.array(F.lit(1), F.lit(-5)))
+    assert df.select(good.valid.alias("v")).collect()[0].v is True
+    assert df.select(wrong.valid.alias("v")).collect()[0].v is False
+
+    # the root document still compiles unchanged, and the two plans
+    # cache under distinct fragment keys
+    whole = cat.compile("https://ex.org/frag-doc")
+    assert whole is cat.compile("https://ex.org/frag-doc")
+    assert whole is not cat.compile("https://ex.org/frag-doc#/$defs/port")
+
+
+def test_del_schema(spark):
+    """del_schema drops the document and invalidates compiled plans
+    (≙ reference Catalog.del_schema; deleting an unknown URI is a
+    no-op, tests/test_catalog.py:271-276)."""
+    import pytest as _pytest
+
+    from jschon_spark.compiler import CompileError, SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema({"$id": "https://ex.org/gone", "type": "integer"})
+    assert cat.compile("https://ex.org/gone") is not None
+    cat.del_schema("https://ex.org/gone")
+    with _pytest.raises(CompileError, match="unknown schema uri"):
+        cat.compile("https://ex.org/gone")
+    cat.del_schema("https://ex.org/never-was")  # no-op
