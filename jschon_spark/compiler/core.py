@@ -492,11 +492,13 @@ class Compiler:
         # applied Column|None, static dtype, value Column) for every node
         # applied at row scope (set to {} before apply)
         self.trace: Optional[dict[str, tuple[Any, Column, Compiled]]] = None
-        # spath → [(keyword, annotation value JSON, needs_nonnull)] for
-        # ACTIVE custom keywords that annotate (≙ result.annotate on
-        # success); recorded during _apply_custom so the output layer
-        # never emits for a resource whose dialect left the keyword inert
-        self.custom_annotations: dict[str, list[tuple[str, str, bool]]] = {}
+        # spath → [(keyword, annotation value JSON, needs_nonnull,
+        # own-validity Column|None)] for ACTIVE custom keywords that
+        # annotate (≙ result.annotate on success); recorded during
+        # _apply_custom so the output layer never emits for a resource
+        # whose dialect left the keyword inert, and gated on the
+        # keyword's OWN success for asserting keywords
+        self.custom_annotations: dict[str, list] = {}
         # resource URI → (enabled keyword set or None, dialect asserts
         # formats) — per-resource $schema/$vocabulary resolution, ≙ the
         # reference resolving a metaschema PER SCHEMA RESOURCE rather
@@ -992,18 +994,30 @@ class Compiler:
                 types.add("integer")  # every JSON integer is a number
             if jtype_of(ctx.dtype) not in types:
                 return None  # type-mismatched keyword constant-folds away
+        node = None
+        if spec.assertion:
+            node = leaf(
+                ctx, spec.key, spec.predicate(value, ctx), spec.error_message(value)
+            )
         if spec.annotate is not None and not ctx.no_trace:
             ann = json.dumps(spec.annotate(value))
+            # the annotation exists iff the KEYWORD's own evaluation
+            # succeeded (result.annotate on the success path) — node
+            # validity is NOT a proxy for that: under a passing `not`
+            # the walk validity is flipped, so a failed keyword's node
+            # can walk as valid (ckw-fuzz seed 12). For asserting
+            # keywords record applied-and-passed explicitly; vacuous
+            # passes (runtime null) don't annotate either.
+            own = None
+            if node is not None:
+                own = node.valid & ctx.col.isNotNull()
             lst = self.custom_annotations.setdefault(ctx.spath, [])
-            if all(k != spec.key for k, _, _ in lst):
+            if all(k != spec.key for k, _, _, _ in lst):
                 # null instances are JSON type "null": a type-scoped
                 # keyword skips them at runtime, so its annotation needs
                 # a non-null gate (untyped keywords evaluate nulls too)
-                lst.append((spec.key, ann, bool(spec.instance_types)))
-        if not spec.assertion:
-            return None  # annotation-only (output side reads the spec)
-        pred = spec.predicate(value, ctx)
-        return leaf(ctx, spec.key, pred, spec.error_message(value))
+                lst.append((spec.key, ann, bool(spec.instance_types), own))
+        return node  # None for annotation-only keywords
 
     # -- validation keywords (jschon/vocabulary/validation.py) -------------
 

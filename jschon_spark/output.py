@@ -536,9 +536,9 @@ def annotation_array(trace, custom_annotations=None) -> "F.Column":
     covers (b).
 
     ``custom_annotations`` (Compiler.custom_annotations: spath →
-    [(keyword, value_json, needs_nonnull)]) adds units for ACTIVE
-    user-defined keywords that annotate (≙ result.annotate from a
-    custom Keyword.evaluate on success)."""
+    [(keyword, value_json, needs_nonnull, own_valid|None)]) adds units
+    for ACTIVE user-defined keywords that annotate (≙ result.annotate
+    from a custom Keyword.evaluate on success)."""
     import json as _json
 
     from pyspark.sql import types as T
@@ -645,8 +645,12 @@ def annotation_array(trace, custom_annotations=None) -> "F.Column":
                     ),
                 )
             )
-        for k, vjson, needs_nonnull in custom:
+        for k, vjson, needs_nonnull, own in custom:
             kgate = gate & val_col.isNotNull() if needs_nonnull else gate
+            if own is not None:
+                # asserting keywords annotate iff their own evaluation
+                # succeeded (walk validity can be flipped under `not`)
+                kgate = kgate & own
             units.append(
                 F.when(
                     kgate,

@@ -1502,3 +1502,194 @@ def test_fuzz_dynamic_cross_resource_matches_reference(spark, ref, seed):
         f"with the reference on {len(mismatches)}/{len(datas)} instances\n"
         f"main={main!r}\next={ext!r}\n" + "\n".join(mismatches)
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-keyword family (round 4): the SAME user-defined keyword is
+# registered in both engines (a reference `Keyword` subclass vs our
+# `CustomKeyword` spec) and sprinkled through generated schemas, so the
+# new apply()-loop dispatch, per-resource activation, and annotation
+# emission are differentially exercised against every standard-keyword
+# interaction (anyOf branches, refs, unevaluated*, conditionals).
+# ---------------------------------------------------------------------------
+
+CKW_META_URI = "https://fuzz.dev/meta/ckw"
+CKW_VOCAB_URI = "https://fuzz.dev/vocab/ckw"
+CKW_META = {
+    "$schema": _META,
+    "$id": CKW_META_URI,
+    "$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/core": True,
+        "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+        "https://json-schema.org/draft/2020-12/vocab/unevaluated": True,
+        "https://json-schema.org/draft/2020-12/vocab/validation": True,
+        "https://json-schema.org/draft/2020-12/vocab/meta-data": True,
+        "https://json-schema.org/draft/2020-12/vocab/format-annotation": True,
+        "https://json-schema.org/draft/2020-12/vocab/content": True,
+        CKW_VOCAB_URI: True,
+    },
+}
+_CKW_PREFIXES = ["a", "b", "ab", "c", "1"]
+
+# family-only annotation keyword: standard families never emit it, so
+# extending the comparison set is side-effect-free for them
+_ANNOT_KEYWORDS.add("stringPrefix")
+
+_CKW_SCHEMA_MAPS = ("properties", "patternProperties", "dependentSchemas", "$defs")
+_CKW_SCHEMA_LISTS = ("allOf", "anyOf", "oneOf", "prefixItems")
+_CKW_SCHEMA_SINGLES = (
+    "items", "additionalProperties", "propertyNames", "not", "if", "then",
+    "else", "contains", "unevaluatedItems", "unevaluatedProperties",
+)
+
+
+def _inject_string_prefix(node, rng) -> None:
+    """Sprinkle stringPrefix into SCHEMA positions of a generated tree."""
+    if not isinstance(node, dict):
+        return
+    if rng.random() < 0.45:
+        node["stringPrefix"] = rng.choice(_CKW_PREFIXES)
+    for k in _CKW_SCHEMA_MAPS:
+        v = node.get(k)
+        if isinstance(v, dict):
+            for sub in v.values():
+                _inject_string_prefix(sub, rng)
+    for k in _CKW_SCHEMA_LISTS:
+        v = node.get(k)
+        if isinstance(v, list):
+            for sub in v:
+                _inject_string_prefix(sub, rng)
+    for k in _CKW_SCHEMA_SINGLES:
+        if isinstance(node.get(k), dict):
+            _inject_string_prefix(node[k], rng)
+
+
+def gen_custom_kw_schema(rng: random.Random) -> dict:
+    root = gen_root_schema(rng)
+    _inject_string_prefix(root, rng)
+    root.setdefault("stringPrefix", rng.choice(_CKW_PREFIXES))
+    root["$schema"] = CKW_META_URI
+    return root
+
+
+@pytest.fixture(scope="module")
+def ref_ckw(ref, tmp_path_factory):
+    """Reference catalog 'ckwfuzz' with the stringPrefix vocabulary and
+    its metaschema registered through the reference's own extension API
+    (Keyword subclass + create_vocabulary + create_metaschema)."""
+    import json as _json
+
+    from jschon import URI
+    from jschon.catalog import Catalog, LocalSource, _2020_12
+    from jschon.vocabulary import Keyword
+
+    meta_dir = os.path.join(_HERE, "ref_oracle", "json-schema-2020-12")
+    orig = _2020_12.LocalSource
+    _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    created = False
+    try:
+        try:
+            catalog = Catalog.get_catalog("ckwfuzz")
+        except Exception:
+            catalog = Catalog(name="ckwfuzz")
+            _2020_12.initialize(catalog)
+            created = True
+    finally:
+        _2020_12.LocalSource = orig
+
+    if created:
+        d = tmp_path_factory.mktemp("ckwmeta")
+        with open(d / "ckw.json", "w") as f:
+            _json.dump(CKW_META, f)
+        catalog.add_uri_source(
+            URI("https://fuzz.dev/meta/"), LocalSource(str(d), suffix=".json")
+        )
+
+        class StringPrefixKeyword(Keyword):
+            key = "stringPrefix"
+            instance_types = ("string",)
+
+            def evaluate(self, instance, result):
+                if instance.data.startswith(self.json.value):
+                    result.annotate(self.json.value)
+                else:
+                    result.fail(
+                        f"the string does not start with {self.json.value!r}"
+                    )
+
+        catalog.create_vocabulary(URI(CKW_VOCAB_URI), StringPrefixKeyword)
+        catalog.create_metaschema(URI(CKW_META_URI))
+    return {
+        "catalog": catalog,
+        "JSON": ref["JSON"],
+        "JSONSchema": ref["JSONSchema"],
+        "URI": ref["URI"],
+    }
+
+
+def _spark_ckw_catalog():
+    from jschon_spark.compiler import CustomKeyword, SchemaCatalog
+
+    cat = SchemaCatalog()
+    cat.add_schema(copy.deepcopy(CKW_META))
+    cat.create_vocabulary(
+        CKW_VOCAB_URI,
+        CustomKeyword(
+            key="stringPrefix",
+            instance_types=("string",),
+            predicate=lambda v, ctx: ctx.col.startswith(v),
+            message=lambda v: f"the string does not start with {v!r}",
+            annotate=lambda v: v,
+        ),
+    )
+    return cat
+
+
+CKW_SEEDS = list(range(24))
+
+
+@pytest.mark.parametrize("seed", CKW_SEEDS)
+def test_fuzz_custom_keyword_matches_reference(spark, ref_ckw, seed):
+    rng = random.Random(55_000 + seed)
+    schema = gen_custom_kw_schema(rng)
+
+    JSON, JSONSchema = ref_ckw["JSON"], ref_ckw["JSONSchema"]
+    try:
+        compiled_ref = JSONSchema(
+            copy.deepcopy(schema), catalog=ref_ckw["catalog"], cacheid=f"ckwf-{seed}"
+        )
+        compiled_ref.validate()
+    except Exception as e:
+        pytest.skip(f"generated schema not accepted by reference: {e}")
+
+    hints = {"values": [], "keys": []}
+    collect_hints(schema, hints)
+    # make sure instances actually probe the prefixes both ways
+    hints["values"].extend(["a1c", "ab", "abc", "ba", "b", "ca", "1x"])
+    datas = [gen_instance(rng, 2, hints) for _ in range(INSTANCES_PER_SCHEMA)]
+
+    ref_verdicts, ref_outputs = [], []
+    for d in datas:
+        try:
+            res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+        except RecursionError:
+            pytest.skip("reference RecursionError evaluating generated schema")
+        ref_verdicts.append(bool(res.valid))
+        out = res.output("basic")
+        ref_outputs.append(
+            out.get("annotations", []) if res.valid else out.get("errors", [])
+        )
+
+    spark_results = evaluate_batch(
+        spark, schema, datas,
+        with_violations=True, with_annotations=True, catalog=_spark_ckw_catalog(),
+    )
+
+    mismatches, skipped = _compare_case(
+        datas, ref_verdicts, ref_outputs, spark_results, f"ckw {seed}"
+    )
+    assert not mismatches, (
+        f"custom-keyword fuzz seed {seed}: Spark engine disagrees with the "
+        f"reference on {len(mismatches)}/{len(datas)} instances\n"
+        f"schema={schema!r}\n" + "\n".join(mismatches)
+    )
