@@ -8,7 +8,9 @@ engine:
   differential port, including annotations);
 * examples/format_validation.py -> custom format validators below;
 * examples/load_from_files_{1,2,3}.py -> catalog loading flows below,
-  evaluated against the example's own data files and golden verdicts.
+  evaluated against the example's own data files and golden verdicts;
+* examples/recursive_schema_extension.py -> tree/strict-tree
+  $dynamicRef rebinding below, differential against the live reference.
 """
 
 from __future__ import annotations
@@ -205,3 +207,110 @@ def test_load_from_files_directory_source(spark):
     row = bad.select(cb.valid.alias("v"), cb.viols.alias("viols")).collect()[0]
     assert row.v is False
     assert any(v.instance_path == "/people/0/name" for v in row.viols)
+
+
+# ---------------------------------------------------------------------------
+# recursive_schema_extension.py: tree / strict-tree $dynamicRef rebinding
+# ---------------------------------------------------------------------------
+
+_TREE = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.com/tree",
+    "$dynamicAnchor": "node",
+    "type": "object",
+    "properties": {
+        "data": True,
+        "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+    },
+}
+_STRICT_TREE = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.com/strict-tree",
+    "$dynamicAnchor": "node",
+    "$ref": "tree",
+    "unevaluatedProperties": False,
+}
+
+
+def test_recursive_schema_extension_example(spark):
+    """examples/recursive_schema_extension.py: the strict-tree schema's
+    $dynamicAnchor REBINDS tree's recursive $dynamicRef, so the
+    misspelled field fails deep in the recursion — and, per the golden
+    verbose output (examples/output/recursive_schema_extension.txt),
+    the failed `properties` contributes NO annotation, so root-level
+    unevaluatedProperties ALSO fails on 'children'. Differential: both
+    engines evaluate both schemas on the example's instance plus a
+    well-formed tree, comparing verdicts AND basic-output units via the
+    fuzz comparator."""
+    import copy
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "ref_oracle"))
+    sys.path.insert(0, "/root/reference")
+    from test_fuzz_parity import _compare_case
+
+    from jschon_spark.testing import evaluate_batch
+
+    bad = {"children": [{"daat": 1}]}       # the example's instance
+    good = {"data": 1, "children": [{"data": 2, "children": []}]}
+    datas = [bad, good]
+
+    # --- Spark engine ---
+    cat = SchemaCatalog()
+    cat.add_schema(copy.deepcopy(_TREE))
+    tree_res = evaluate_batch(
+        spark, copy.deepcopy(_TREE), datas,
+        with_violations=True, with_annotations=True,
+    )
+    strict_res = evaluate_batch(
+        spark, copy.deepcopy(_STRICT_TREE), datas,
+        with_violations=True, with_annotations=True, catalog=cat,
+    )
+    assert tree_res[0][0] is True and tree_res[1][0] is True
+    assert strict_res[0][0] is False and strict_res[1][0] is True
+    # the golden output's two unevaluatedProperties failures
+    locs = {
+        (v["keyword_path"] + "/" + v["keyword"]).rstrip("/")
+        for v in strict_res[0][1]
+    }
+    assert "/$ref/properties/children/items/$dynamicRef/unevaluatedProperties" in locs, locs
+    assert "/unevaluatedProperties" in locs, locs
+
+    # --- reference differential ---
+    try:
+        from jschon import JSONSchema
+        from jschon.catalog import Catalog, LocalSource, _2020_12
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    from jschon import JSON
+
+    meta_dir = os.path.join(os.path.dirname(__file__), "ref_oracle",
+                            "json-schema-2020-12")
+    orig = _2020_12.LocalSource
+    _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    try:
+        try:
+            catalog = Catalog.get_catalog("examples")
+        except Exception:
+            catalog = Catalog(name="examples")
+            _2020_12.initialize(catalog)
+    finally:
+        _2020_12.LocalSource = orig
+
+    ref_tree = JSONSchema(copy.deepcopy(_TREE), catalog=catalog, cacheid="rse")
+    ref_strict = JSONSchema(copy.deepcopy(_STRICT_TREE), catalog=catalog, cacheid="rse")
+    for compiled_ref, spark_results, label in (
+        (ref_tree, tree_res, "tree"),
+        (ref_strict, strict_res, "strict-tree"),
+    ):
+        verdicts, outputs = [], []
+        for d in datas:
+            res = compiled_ref.evaluate(JSON(copy.deepcopy(d)))
+            verdicts.append(bool(res.valid))
+            out = res.output("basic")
+            outputs.append(out.get("annotations", []) if res.valid
+                           else out.get("errors", []))
+        mismatches, _ = _compare_case(datas, verdicts, outputs,
+                                      spark_results, label)
+        assert not mismatches, "\n".join(mismatches)
