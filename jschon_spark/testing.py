@@ -393,6 +393,7 @@ def check_case_in_group(
     cache: dict,
     cache_key: Any,
     assert_formats: bool = False,
+    **compile_kw: Any,
 ) -> None:
     """Batched ``check_case`` for ported-suite slabs: evaluates the whole
     ``tests`` group (``[(desc, data, expected_valid), ...]`` sharing one
@@ -410,6 +411,7 @@ def check_case_in_group(
             [d for _, d, _ in tests],
             assert_formats=assert_formats,
             with_violations=True,
+            **compile_kw,
         )
         cache[cache_key] = got
     _desc, data, expected_valid = tests[index]

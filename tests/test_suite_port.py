@@ -16,8 +16,10 @@ Documented deltas (mirroring suite_status.json's xfail families):
 - float-overflow probes (multipleOf 0.123456789 vs 1e308) are xfail in
   the reference suite run too and are omitted;
 - non-BMP regex ranges are xfail in the reference and omitted;
-- remote-ref (refRemote.json) and metaschema-fetching cases need the
-  network; local-catalog equivalents live in tests/test_catalog_refs.py.
+- remote-ref (refRemote.json), vocabulary.json, and format-assertion
+  cases are ported in tests/test_suite_port_remote.py with their remote
+  documents registered in the catalog (the reference's own harness
+  serves them from local disk too — no network in either engine).
 """
 
 from __future__ import annotations

@@ -1,0 +1,549 @@
+"""refRemote.json + vocabulary.json from the official suite (draft2020-12),
+ported WITHOUT network: the suite serves its `remotes/` directory at
+http://localhost:1234/ over HTTP, but the reference's own harness never
+actually hits the network either — it maps that URI prefix onto the
+local directory (/root/reference/tests/test_suite.py:84-89,
+``LocalSource(testsuite_dir / 'remotes')``). This port does the same
+thing with in-memory documents: every remote the draft2020-12 cases
+reference is re-stated literally from the public suite's ``remotes/``
+tree and registered in a :class:`SchemaCatalog` under its
+http://localhost:1234/ URI. vocabulary.json's custom metaschemas ride
+the same mechanism (the $schema URI resolves through the catalog).
+
+The reference-parity half writes the same remote documents into a tmp
+directory and registers it on the in-sandbox reference catalog exactly
+as the reference's suite harness does, so both engines consume the same
+bytes and the ported expectations are machine-checked against jschon.
+
+Registry: suite_port_status.json marks both files `ported` pointing
+here (they previously sat at `omitted|network` / `omitted|vocabulary-
+meta`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+from jschon_spark.compiler.catalog import SchemaCatalog
+from jschon_spark.testing import Untypeable, check_case_in_group
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_META_2020 = "https://json-schema.org/draft/2020-12/schema"
+
+# ---------------------------------------------------------------------------
+# remotes/ — the suite documents the cases retrieve from
+# http://localhost:1234/ (re-stated from the public suite's remotes/ tree;
+# relative path == URI path, as LocalSource serves them)
+
+REMOTES: dict[str, dict] = {
+    "draft2020-12/integer.json": {"$schema": _META_2020, "type": "integer"},
+    "draft2020-12/subSchemas.json": {
+        "$schema": _META_2020,
+        "$defs": {
+            "integer": {"type": "integer"},
+            "refToInteger": {"$ref": "#/$defs/integer"},
+        },
+    },
+    "draft2020-12/locationIndependentIdentifier.json": {
+        "$schema": _META_2020,
+        "$defs": {
+            "refToInteger": {"$ref": "#foo"},
+            "A": {"$anchor": "foo", "type": "integer"},
+        },
+    },
+    "draft2020-12/baseUriChange/folderInteger.json": {
+        "$schema": _META_2020,
+        "type": "integer",
+    },
+    "draft2020-12/baseUriChangeFolder/folderInteger.json": {
+        "$schema": _META_2020,
+        "type": "integer",
+    },
+    "draft2020-12/baseUriChangeFolderInSubschema/folderInteger.json": {
+        "$schema": _META_2020,
+        "type": "integer",
+    },
+    "draft2020-12/name-defs.json": {
+        "$schema": _META_2020,
+        "$defs": {
+            "orNull": {"anyOf": [{"type": "null"}, {"$ref": "#"}]},
+        },
+        "type": "string",
+    },
+    "draft2020-12/ref-and-defs.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/ref-and-defs.json",
+        "$defs": {"inner": {"properties": {"bar": {"type": "string"}}}},
+        "$ref": "#/$defs/inner",
+    },
+    # retrieval URI differs from the declared $id — the resolver must
+    # honor the document's own identity once loaded
+    "draft2020-12/different-id-ref-string.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/real-id-ref-string.json",
+        "$defs": {"bar": {"type": "string"}},
+        "$ref": "#/$defs/bar",
+    },
+    "draft2020-12/urn-ref-string.json": {
+        "$schema": _META_2020,
+        "$id": "urn:uuid:feebdaed-ffff-0000-ffff-0000deadbeef",
+        "$defs": {"bar": {"type": "string"}},
+        "$ref": "#/$defs/bar",
+    },
+    "draft2020-12/nested-absolute-ref-to-string.json": {
+        "$schema": _META_2020,
+        "$defs": {
+            "real_string_schema": {
+                "$id": "http://localhost:4242/the-nested-absolute-ref-to-string.json",
+                "type": "string",
+            },
+            "string_schema_ref": {
+                "$ref": "http://localhost:4242/the-nested-absolute-ref-to-string.json"
+            },
+        },
+        "$ref": "#/$defs/string_schema_ref",
+    },
+    # "retrieved nested refs resolve relative to their URI not $id":
+    # foo-ref-string.json's relative "string.json" must resolve inside
+    # nested/
+    "draft2020-12/nested/foo-ref-string.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/nested/foo-ref-string.json",
+        "properties": {"foo": {"$ref": "string.json"}},
+    },
+    "draft2020-12/nested/string.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/nested/string.json",
+        "type": "string",
+    },
+    "draft2020-12/detached-ref.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/detached-ref.json",
+        "$defs": {
+            "foo": {"$ref": "#detached"},
+            "detached": {"$anchor": "detached", "type": "integer"},
+        },
+    },
+    # vocabulary.json's custom metaschemas
+    "draft2020-12/metaschema-no-validation.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/metaschema-no-validation.json",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+        },
+        "allOf": [
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/applicator"},
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/core"},
+        ],
+    },
+    # optional/format-assertion.json's custom metaschemas: DECLARING the
+    # format-assertion vocabulary (with either boolean) makes `format`
+    # assert (2020-12 §7.2)
+    "draft2020-12/format-assertion-false.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/format-assertion-false.json",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/format-assertion": False,
+        },
+        "allOf": [
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/core"},
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/format-assertion"},
+        ],
+    },
+    "draft2020-12/format-assertion-true.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/format-assertion-true.json",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/format-assertion": True,
+        },
+        "allOf": [
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/core"},
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/format-assertion"},
+        ],
+    },
+    "draft2020-12/metaschema-optional-vocabulary.json": {
+        "$schema": _META_2020,
+        "$id": "http://localhost:1234/draft2020-12/metaschema-optional-vocabulary.json",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/validation": True,
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "http://localhost:1234/draft/2020-12/vocab/custom": False,
+        },
+        "allOf": [
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/validation"},
+            {"$ref": "https://json-schema.org/draft/2020-12/meta/core"},
+        ],
+    },
+}
+
+_BASE = "http://localhost:1234/"
+
+# ---------------------------------------------------------------------------
+# refRemote.json groups (descriptions are the suite's own)
+
+REF_REMOTE = [
+    (
+        "remote ref",
+        {"$ref": "http://localhost:1234/draft2020-12/integer.json"},
+        [
+            ("remote ref valid", 1, True),
+            ("remote ref invalid", "a", False),
+        ],
+    ),
+    (
+        "fragment within remote ref",
+        {"$ref": "http://localhost:1234/draft2020-12/subSchemas.json#/$defs/integer"},
+        [
+            ("remote fragment valid", 1, True),
+            ("remote fragment invalid", "a", False),
+        ],
+    ),
+    (
+        "anchor within remote ref",
+        {"$ref": "http://localhost:1234/draft2020-12/locationIndependentIdentifier.json#foo"},
+        [
+            ("remote anchor valid", 1, True),
+            ("remote anchor invalid", "a", False),
+        ],
+    ),
+    (
+        "ref within remote ref",
+        {"$ref": "http://localhost:1234/draft2020-12/subSchemas.json#/$defs/refToInteger"},
+        [
+            ("ref within ref valid", 1, True),
+            ("ref within ref invalid", "a", False),
+        ],
+    ),
+    (
+        "base URI change",
+        {
+            "$id": "http://localhost:1234/draft2020-12/",
+            "items": {
+                "$id": "baseUriChange/",
+                "items": {"$ref": "folderInteger.json"},
+            },
+        },
+        [
+            ("base URI change ref valid", [[1]], True),
+            ("base URI change ref invalid", [["a"]], False),
+        ],
+    ),
+    (
+        "base URI change - change folder",
+        {
+            "$id": "http://localhost:1234/draft2020-12/scope_change_defs1.json",
+            "type": "object",
+            "properties": {"list": {"$ref": "baseUriChangeFolder/"}},
+            "$defs": {
+                "baz": {
+                    "$id": "baseUriChangeFolder/",
+                    "type": "array",
+                    "items": {"$ref": "folderInteger.json"},
+                }
+            },
+        },
+        [
+            ("number is valid", {"list": [1]}, True),
+            ("string is invalid", {"list": ["a"]}, False),
+        ],
+    ),
+    (
+        "base URI change - change folder in subschema",
+        {
+            "$id": "http://localhost:1234/draft2020-12/scope_change_defs2.json",
+            "type": "object",
+            "properties": {"list": {"$ref": "baseUriChangeFolderInSubschema/#/$defs/bar"}},
+            "$defs": {
+                "baz": {
+                    "$id": "baseUriChangeFolderInSubschema/",
+                    "$defs": {
+                        "bar": {
+                            "type": "array",
+                            "items": {"$ref": "folderInteger.json"},
+                        }
+                    },
+                }
+            },
+        },
+        [
+            ("number is valid", {"list": [1]}, True),
+            ("string is invalid", {"list": ["a"]}, False),
+        ],
+    ),
+    (
+        "root ref in remote ref",
+        {
+            "$id": "http://localhost:1234/draft2020-12/object",
+            "type": "object",
+            "properties": {"name": {"$ref": "name-defs.json#/$defs/orNull"}},
+        },
+        [
+            ("string is valid", {"name": "foo"}, True),
+            ("null is valid", {"name": None}, True),
+            ("object is invalid", {"name": {"name": None}}, False),
+        ],
+    ),
+    (
+        "remote ref with ref to defs",
+        {
+            "$id": "http://localhost:1234/draft2020-12/schema-remote-ref-ref-defs1.json",
+            "$ref": "ref-and-defs.json",
+        },
+        [
+            ("invalid on inner field", {"bar": 1}, False),
+            ("valid on inner field", {"bar": "a"}, True),
+        ],
+    ),
+    (
+        "Location-independent identifier in remote ref",
+        {
+            "$ref": "http://localhost:1234/draft2020-12/locationIndependentIdentifier.json#/$defs/refToInteger"
+        },
+        [
+            ("integer is valid", 1, True),
+            ("string is invalid", "foo", False),
+        ],
+    ),
+    (
+        "retrieved nested refs resolve relative to their URI not $id",
+        {
+            "$id": "http://localhost:1234/draft2020-12/some-id",
+            "properties": {"name": {"$ref": "nested/foo-ref-string.json"}},
+        },
+        [
+            ("number is invalid", {"name": {"foo": 1}}, False),
+            ("string is valid", {"name": {"foo": "a"}}, True),
+        ],
+    ),
+    (
+        "remote HTTP ref with different $id",
+        {"$ref": "http://localhost:1234/draft2020-12/different-id-ref-string.json"},
+        [
+            ("number is invalid", 1, False),
+            ("string is valid", "foo", True),
+        ],
+    ),
+    (
+        "remote HTTP ref with different URN $id",
+        {"$ref": "http://localhost:1234/draft2020-12/urn-ref-string.json"},
+        [
+            ("number is invalid", 1, False),
+            ("string is valid", "foo", True),
+        ],
+    ),
+    (
+        "remote HTTP ref with nested absolute ref",
+        {"$ref": "http://localhost:1234/draft2020-12/nested-absolute-ref-to-string.json"},
+        [
+            ("number is invalid", 1, False),
+            ("string is valid", "foo", True),
+        ],
+    ),
+    (
+        "$ref to $ref finds detached $anchor",
+        {"$ref": "http://localhost:1234/draft2020-12/detached-ref.json#/$defs/foo"},
+        [
+            ("integer is valid", 1, True),
+            ("non-number is invalid", "a", False),
+        ],
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# vocabulary.json groups
+
+VOCABULARY = [
+    (
+        "schema that uses custom metaschema with no validation vocabulary",
+        {
+            "$id": "https://schema/using/no/validation",
+            "$schema": "http://localhost:1234/draft2020-12/metaschema-no-validation.json",
+            "properties": {
+                "badProperty": False,
+                "numberProperty": {"minimum": 10},
+            },
+        },
+        [
+            (
+                "applicator vocabulary still works",
+                {"badProperty": "this property should not exist"},
+                False,
+            ),
+            ("no validation: valid number", {"numberProperty": 20}, True),
+            (
+                "no validation: invalid number, but it still validates",
+                {"numberProperty": 1},
+                True,
+            ),
+        ],
+    ),
+    (
+        "ignore unrecognized optional vocabulary",
+        {
+            "$schema": "http://localhost:1234/draft2020-12/metaschema-optional-vocabulary.json",
+            "type": "number",
+        },
+        [
+            ("string value", "foobar", False),
+            ("number value", 20, True),
+        ],
+    ),
+]
+
+SUITE_REMOTE = [("refRemote", *g) for g in REF_REMOTE] + [
+    ("vocabulary", *g) for g in VOCABULARY
+]
+
+# optional/format-assertion.json: the REFERENCE xfails all the asserting
+# cases in its own suite run ("unsupported optional test",
+# /root/reference/tests/suite_status.json — it registers no ipv4
+# validator), so these groups are Spark-only, asserted against the
+# suite expectation with no parity leg — same pattern as the
+# ecmascript-regex Spark-only slab in test_suite_port.py.
+SPARK_ONLY_REMOTE = [
+    (
+        "format-assertion",
+        "schema that uses custom metaschema with format-assertion: false",
+        {
+            "$id": "https://schema/using/format-assertion/false",
+            "$schema": "http://localhost:1234/draft2020-12/format-assertion-false.json",
+            "format": "ipv4",
+        },
+        [
+            ("format-assertion: false: valid string", "127.0.0.1", True),
+            ("format-assertion: false: invalid string", "not-an-ipv4", False),
+        ],
+    ),
+    (
+        "format-assertion",
+        "schema that uses custom metaschema with format-assertion: true",
+        {
+            "$id": "https://schema/using/format-assertion/true",
+            "$schema": "http://localhost:1234/draft2020-12/format-assertion-true.json",
+            "format": "ipv4",
+        },
+        [
+            ("format-assertion: true: valid string", "127.0.0.1", True),
+            ("format-assertion: true: invalid string", "not-an-ipv4", False),
+        ],
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def remote_catalog():
+    cat = SchemaCatalog()
+    for rel, doc in REMOTES.items():
+        cat.add_schema(doc, uri=_BASE + rel)
+    return cat
+
+
+CASES = [
+    pytest.param(gi, ti, id=f"{fname}|{gdesc}|{tdesc}")
+    for gi, (fname, gdesc, schema, tests) in enumerate(SUITE_REMOTE)
+    for ti, (tdesc, data, valid) in enumerate(tests)
+]
+
+_BATCH: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", CASES)
+def test_suite_remote_case(spark, remote_catalog, gi, ti):
+    _fname, _gdesc, schema, tests = SUITE_REMOTE[gi]
+    try:
+        check_case_in_group(spark, schema, tests, ti, _BATCH, gi, catalog=remote_catalog)
+    except Untypeable as e:
+        pytest.skip(f"no single Spark type for instance (typed-column delta, SURVEY §2.9.1): {e}")
+
+
+SPARK_ONLY_CASES = [
+    pytest.param(gi, ti, id=f"{fname}|{gdesc}|{tdesc}")
+    for gi, (fname, gdesc, schema, tests) in enumerate(SPARK_ONLY_REMOTE)
+    for ti, (tdesc, data, valid) in enumerate(tests)
+]
+
+_BATCH_SPARK_ONLY: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", SPARK_ONLY_CASES)
+def test_suite_remote_case_spark_only(spark, remote_catalog, gi, ti):
+    _fname, _gdesc, schema, tests = SPARK_ONLY_REMOTE[gi]
+    check_case_in_group(
+        spark, schema, tests, ti, _BATCH_SPARK_ONLY, gi, catalog=remote_catalog
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference parity: run the SAME cases through the in-sandbox jschon with
+# the remotes served from a tmp directory via LocalSource, exactly like
+# the reference's own suite harness (/root/reference/tests/test_suite.py:84-89)
+
+
+@pytest.fixture(scope="module")
+def ref_remote(tmp_path_factory):
+    sys.path.insert(0, os.path.join(_HERE, "ref_oracle"))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from jschon import JSON, JSONSchema, URI
+        from jschon.catalog import Catalog, LocalSource, _2020_12
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+
+    remotes_dir = tmp_path_factory.mktemp("remotes")
+    for rel, doc in REMOTES.items():
+        path = remotes_dir / rel
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(doc))
+
+    meta_dir = os.path.join(_HERE, "ref_oracle", "json-schema-2020-12")
+    orig_source = _2020_12.LocalSource
+    _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    try:
+        try:
+            catalog = Catalog.get_catalog("remote-parity")
+        except Exception:
+            catalog = Catalog(name="remote-parity")
+            _2020_12.initialize(catalog)
+    finally:
+        _2020_12.LocalSource = orig_source
+    catalog.add_uri_source(URI(_BASE), LocalSource(str(remotes_dir)))
+    return {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema, "URI": URI}
+
+
+_REF_SCHEMA_CACHE: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", CASES)
+def test_reference_agrees_with_remote_port(ref_remote, gi, ti):
+    JSON, JSONSchema, URI = (
+        ref_remote["JSON"],
+        ref_remote["JSONSchema"],
+        ref_remote["URI"],
+    )
+    _fname, _gdesc, schema, tests = SUITE_REMOTE[gi]
+    if gi not in _REF_SCHEMA_CACHE:
+        try:
+            _REF_SCHEMA_CACHE[gi] = JSONSchema(
+                schema,
+                catalog=ref_remote["catalog"],
+                cacheid=f"remote-case-{gi}",
+                metaschema_uri=URI(_META_2020),
+            )
+        except Exception as e:
+            _REF_SCHEMA_CACHE[gi] = e
+    compiled = _REF_SCHEMA_CACHE[gi]
+    if isinstance(compiled, Exception):
+        pytest.fail(f"reference could not compile remote-port schema: {compiled}")
+    _tdesc, data, valid = tests[ti]
+    got = compiled.evaluate(JSON(data)).valid
+    assert got == valid, (
+        f"REFERENCE disagrees with ported expectation: schema={schema!r} "
+        f"data={data!r}: reference says {got}, port says {valid}"
+    )
