@@ -73,7 +73,13 @@ def json_pointer_to_jsonpath(pointer: str) -> str:
 
 def json_pointer_get(json_col: Column, pointer: str) -> Column:
     """Pointer walk over a JSON STRING column (dynamic payloads):
-    compiles to one get_json_object call."""
+    compiles to one get_json_object call.
+
+    Documented delta vs the reference's JSONPointer.evaluate
+    (jschon/jsonpointer.py:286-312): Hive JSONPath cannot address an
+    EMPTY object key (``$['']`` returns null), so RFC 6901 pointers with
+    empty tokens (``/``, ``//``) resolve to SQL null here instead of the
+    value — pinned in tests/test_pointer_parity.py."""
     return F.get_json_object(json_col, json_pointer_to_jsonpath(pointer))
 
 
