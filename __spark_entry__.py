@@ -198,6 +198,47 @@ def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs).select("content_hash", "n_docs", "doc_ids")
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: exact-duplicate groups become
+    consecutive-pair CHAIN edges (a path per group — the worst case for
+    label propagation), unioned with exact-Jaccard near-dup pairs from a
+    fixed id band (verification-bounded, like doc_ngram_jaccard); then
+    distributed connected components (large-star/small-star,
+    operators/graph.py) labels every member with the component's min
+    doc_id. Oracle: DuckDB recursive-CTE closure over the same edges."""
+    from jschon_spark.operators.dedup import exact_duplicates, ngram_jaccard_pairs
+    from jschon_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    chain_edges = (
+        exact_duplicates(docs)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(doc_ids)-1),"
+                    " i -> struct(doc_ids[i-1] AS a, doc_ids[i] AS b))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    band = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .where("id_a < 250")
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")).where("id_b < 250"))
+        .where("id_a < id_b")
+    )
+    near_edges = (
+        ngram_jaccard_pairs(docs, band)
+        .where(F.col("jaccard") >= 0.5)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    return connected_components(
+        chain_edges.union(near_edges), src="a", dst="b",
+        id_col="doc_id", component_col="component",
+    ).orderBy("doc_id")
+
+
 def q_doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based — no DuckDB equivalent; rows-only check
     from jschon_spark.operators.dedup import minhash_near_duplicates
@@ -652,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -939,6 +981,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "doc_dup_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT list_sort(list(doc_id)) AS ids
+              FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            ),
+            chain AS (
+              SELECT unnest(ids[1:len(ids)-1]) AS s,
+                     unnest(ids[2:len(ids)]) AS t
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([
+                       array_to_string(ws[i:i+2], ' ')
+                       FOR i IN range(1, len(ws) - 1)
+                     ]) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+              )
+              WHERE len(ws) >= 3
+            ),
+            near AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE a.doc_id < 250 AND b.doc_id < 250
+                AND len(list_intersect(a.grams, b.grams))::double
+                    / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ),
+            e0 AS (SELECT s, t FROM chain UNION SELECT s, t FROM near),
+            e AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+            reach AS (
+              SELECT s AS id, t AS r FROM e
+              UNION
+              SELECT r.id, e.t FROM reach r JOIN e ON e.s = r.r
+            )
+            SELECT id AS doc_id, least(id, min(r)) AS component
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "doc_ngram_jaccard": """
             WITH g AS (
