@@ -222,14 +222,17 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.a", "e.b")
     )
+    # filter BEFORE gram computation: the pairs' id bounds must not rely
+    # on constraint inference (connected_components materializes its
+    # input with constraintPropagation scoped off)
+    banded = docs.where("doc_id < 250")
     band = (
-        docs.select(F.col("doc_id").alias("id_a"))
-        .where("id_a < 250")
-        .crossJoin(docs.select(F.col("doc_id").alias("id_b")).where("id_b < 250"))
+        banded.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(banded.select(F.col("doc_id").alias("id_b")))
         .where("id_a < id_b")
     )
     near_edges = (
-        ngram_jaccard_pairs(docs, band)
+        ngram_jaccard_pairs(banded, band)
         .where(F.col("jaccard") >= 0.5)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )

@@ -96,7 +96,9 @@ def connected_components(
     # duration; every job this function triggers runs inside the scope,
     # and the result is checkpointed before the conf is restored.
     conf_key = "spark.sql.constraintPropagation.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key, None)
+    saved_parts = spark.conf.get(parts_key)
     spark.conf.set(conf_key, "false")
     try:
         edges = (
@@ -105,7 +107,17 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        prev = None
+        prev = _edge_stamp(edges)
+        # size the loop's shuffles to the MEASURED edge count (free from
+        # the stamp): a dedup pair graph is usually a sliver of the
+        # corpus, and star contraction only shrinks it, so running every
+        # round at the session's corpus-sized shuffle width is pure
+        # scheduling overhead. Capped at the session setting — a
+        # genuinely huge graph keeps the cluster's width.
+        parts = max(1, min(int(saved_parts), (prev[0] // 2_000_000) + 1))
+        spark.conf.set(parts_key, str(parts))
+        if parts < edges.rdd.getNumPartitions():
+            edges = edges.coalesce(parts)
         for _ in range(max_iterations):
             edges = _small_star(_large_star(edges)).localCheckpoint()
             stamp = _edge_stamp(edges)
@@ -127,6 +139,7 @@ def connected_components(
             .localCheckpoint()
         )
     finally:
+        spark.conf.set(parts_key, saved_parts)
         if saved is None:
             spark.conf.unset(conf_key)
         else:
