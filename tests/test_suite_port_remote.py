@@ -481,6 +481,75 @@ def test_suite_remote_case_spark_only(spark, remote_catalog, gi, ti):
 
 
 # ---------------------------------------------------------------------------
+# draft2019-09 refRemote: the same retrieval semantics under the legacy
+# dialect (the suite keeps a parallel remotes/draft2019-09/ tree; $defs
+# and $anchor exist in 2019-09, so the documents differ only in their
+# $schema and path prefix). Compiles through the legacy rewrite with
+# per-resource dialect resolution.
+
+_META_1909 = "https://json-schema.org/draft/2019-09/schema"
+
+
+def _as_1909(doc: dict) -> dict:
+    out = json.loads(json.dumps(doc).replace("draft2020-12", "draft2019-09"))
+    out["$schema"] = _META_1909
+    return out
+
+
+REMOTES_1909: dict[str, dict] = {
+    rel.replace("draft2020-12", "draft2019-09"): _as_1909(doc)
+    for rel, doc in REMOTES.items()
+    if not rel.endswith(
+        (
+            "metaschema-no-validation.json",
+            "metaschema-optional-vocabulary.json",
+            "format-assertion-false.json",
+            "format-assertion-true.json",
+        )
+    )
+}
+
+REF_REMOTE_1909 = [
+    (
+        gdesc,
+        {**_as_1909(schema)},
+        tests,
+    )
+    for gdesc, schema, tests in REF_REMOTE
+]
+
+SUITE_REMOTE_1909 = [("refRemote-2019-09", *g) for g in REF_REMOTE_1909]
+
+
+@pytest.fixture(scope="module")
+def remote_catalog_1909():
+    cat = SchemaCatalog()
+    for rel, doc in REMOTES_1909.items():
+        cat.add_schema(doc, uri=_BASE + rel)
+    return cat
+
+
+CASES_1909 = [
+    pytest.param(gi, ti, id=f"{fname}|{gdesc}|{tdesc}")
+    for gi, (fname, gdesc, schema, tests) in enumerate(SUITE_REMOTE_1909)
+    for ti, (tdesc, data, valid) in enumerate(tests)
+]
+
+_BATCH_1909: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", CASES_1909)
+def test_suite_remote_case_2019_09(spark, remote_catalog_1909, gi, ti):
+    _fname, _gdesc, schema, tests = SUITE_REMOTE_1909[gi]
+    try:
+        check_case_in_group(
+            spark, schema, tests, ti, _BATCH_1909, gi, catalog=remote_catalog_1909
+        )
+    except Untypeable as e:
+        pytest.skip(f"no single Spark type for instance (typed-column delta, SURVEY §2.9.1): {e}")
+
+
+# ---------------------------------------------------------------------------
 # reference parity: run the SAME cases through the in-sandbox jschon with
 # the remotes served from a tmp directory via LocalSource, exactly like
 # the reference's own suite harness (/root/reference/tests/test_suite.py:84-89)
@@ -496,23 +565,30 @@ def ref_remote(tmp_path_factory):
     except Exception as e:  # pragma: no cover
         pytest.skip(f"reference not importable: {e}")
 
+    from jschon.catalog import _2019_09
+
     remotes_dir = tmp_path_factory.mktemp("remotes")
-    for rel, doc in REMOTES.items():
+    for rel, doc in {**REMOTES, **REMOTES_1909}.items():
         path = remotes_dir / rel
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(doc))
 
     meta_dir = os.path.join(_HERE, "ref_oracle", "json-schema-2020-12")
+    meta_dir19 = os.path.join(_HERE, "ref_oracle", "json-schema-2019-09")
     orig_source = _2020_12.LocalSource
+    orig_source19 = _2019_09.LocalSource
     _2020_12.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir, **kw)
+    _2019_09.LocalSource = lambda base_dir, **kw: LocalSource(meta_dir19, **kw)
     try:
         try:
             catalog = Catalog.get_catalog("remote-parity")
         except Exception:
             catalog = Catalog(name="remote-parity")
             _2020_12.initialize(catalog)
+            _2019_09.initialize(catalog)
     finally:
         _2020_12.LocalSource = orig_source
+        _2019_09.LocalSource = orig_source19
     catalog.add_uri_source(URI(_BASE), LocalSource(str(remotes_dir)))
     return {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema, "URI": URI}
 
@@ -545,5 +621,36 @@ def test_reference_agrees_with_remote_port(ref_remote, gi, ti):
     got = compiled.evaluate(JSON(data)).valid
     assert got == valid, (
         f"REFERENCE disagrees with ported expectation: schema={schema!r} "
+        f"data={data!r}: reference says {got}, port says {valid}"
+    )
+
+
+_REF_SCHEMA_CACHE_1909: dict = {}
+
+
+@pytest.mark.parametrize("gi,ti", CASES_1909)
+def test_reference_agrees_with_remote_port_2019_09(ref_remote, gi, ti):
+    JSON, JSONSchema, URI = (
+        ref_remote["JSON"],
+        ref_remote["JSONSchema"],
+        ref_remote["URI"],
+    )
+    _fname, _gdesc, schema, tests = SUITE_REMOTE_1909[gi]
+    if gi not in _REF_SCHEMA_CACHE_1909:
+        try:
+            _REF_SCHEMA_CACHE_1909[gi] = JSONSchema(
+                schema,
+                catalog=ref_remote["catalog"],
+                cacheid=f"remote19-case-{gi}",
+            )
+        except Exception as e:
+            _REF_SCHEMA_CACHE_1909[gi] = e
+    compiled = _REF_SCHEMA_CACHE_1909[gi]
+    if isinstance(compiled, Exception):
+        pytest.fail(f"reference could not compile 2019-09 remote-port schema: {compiled}")
+    _tdesc, data, valid = tests[ti]
+    got = compiled.evaluate(JSON(data)).valid
+    assert got == valid, (
+        f"REFERENCE (2019-09) disagrees with ported expectation: schema={schema!r} "
         f"data={data!r}: reference says {got}, port says {valid}"
     )
