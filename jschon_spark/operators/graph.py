@@ -114,7 +114,10 @@ def connected_components(
         # round at the session's corpus-sized shuffle width is pure
         # scheduling overhead. Capped at the session setting — a
         # genuinely huge graph keeps the cluster's width.
-        parts = max(1, min(int(saved_parts), (prev[0] // 2_000_000) + 1))
+        # ~250k edges per task: small enough to parallelize a few-million-
+        # edge graph across the box, large enough that scheduling doesn't
+        # dominate; the session cap still rules for genuinely huge graphs
+        parts = max(1, min(int(saved_parts), (prev[0] // 250_000) + 1))
         spark.conf.set(parts_key, str(parts))
         if parts < edges.rdd.getNumPartitions():
             edges = edges.coalesce(parts)
