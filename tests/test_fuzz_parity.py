@@ -538,10 +538,16 @@ _ANNOT_KEYWORDS = {
 # REFERENCE side only in the sense that a unit whose dynamic path walks
 # $defs can only be reached through a ref — which now carries a $ref
 # segment on both sides.
+# r4 late: "$recursiveRef" removed too — it had survived the r4 cleanup
+# by oversight, and the exclusion was ASYMMETRIC (campaign legacy seed
+# 7059): the legacy rewrite renames the keyword to $dynamicRef on the
+# Spark side, so reference units through $recursiveRef were dropped
+# while the matching Spark units survived. $recursiveRef only occurs in
+# legacy families, which compare loose (leaf keyword) locations, so the
+# rename itself is invisible to the comparison.
 _ANNOT_EXCLUDE_SEGS = {
     "items", "contains", "unevaluatedItems", "unevaluatedProperties",
     "patternProperties", "additionalProperties", "propertyNames",
-    "$recursiveRef",
 }
 
 
@@ -836,7 +842,9 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
 # 5106: campaign-found — a self-referential target's ref-inlined trace
 # entry claimed the canonical site's slot (wrong instance path on the
 # annotation); canonical applications now win the trace slot
-LEGACY_SEEDS = list(range(12)) + [5014, 5061, 5106]
+# 7059: $recursiveRef annotation units were asymmetrically excluded
+# (see _ANNOT_EXCLUDE_SEGS note) — pinned from the r4 late sweep.
+LEGACY_SEEDS = list(range(12)) + [5014, 5061, 5106, 7059]
 _META_1909 = "https://json-schema.org/draft/2019-09/schema"
 
 
