@@ -115,6 +115,44 @@ def test_component_labels_are_component_minimum(spark):
     assert comps == {2}
 
 
+def test_composes_with_embedding_near_dups(spark):
+    """End-to-end composition: embedding LSH near-dup PAIRS →
+    connected components → canonical selection. Three planted cliques
+    of near-identical vectors (tiny jitter on a shared base) must each
+    collapse to their min id; the decoys survive."""
+    import math
+    import random
+
+    from jschon_spark.operators.similarity import embedding_near_duplicates
+
+    rng = random.Random(7)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for clique, base_id in enumerate([0, 100, 200]):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for k in range(4):  # ids base_id..base_id+3 are near-dups
+            rows.append(
+                (base_id + k, unit([x + rng.gauss(0, 0.004) for x in base]))
+            )
+    for decoy in range(300, 320):
+        rows.append((decoy, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_near_duplicates(df, threshold=0.98, n_rows=len(rows))
+    kept = sorted(
+        r.vec_id
+        for r in dedup_by_components(
+            df, pairs, id_col="vec_id", src="id_a", dst="id_b"
+        ).collect()
+    )
+    assert kept == [0, 100, 200] + list(range(300, 320)), kept
+
+
 def test_union_child_with_aggregate_lineage(spark):
     """Regression: Spark 4.1's Union constraint rewrite throws
     NoSuchElementException when a union child carries aggregate/filter
