@@ -111,6 +111,41 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    n_perm: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: drop documents whose full MinHash
+    signature collides with an earlier document inside the watermark
+    horizon. Full-signature equality is the streaming-safe tightening
+    of the batch LSH (dedup.minhash_near_duplicates): band-join +
+    exact-verify needs a stream-stream self-join with unbounded reach,
+    while an equality key rides ``dropDuplicatesWithinWatermark``'s
+    engine-managed bounded state. At 16 permutations a signature
+    collision implies estimated Jaccard ≈ 1 (every per-permutation
+    minimum equal), so this catches the boilerplate/replay tier of
+    near-dups and never drops a non-near-dup (P[all-16 collide] at
+    J=0.9 is ~0.19: a conservative, high-precision gate — run the batch
+    clusterer over the sink for full recall). Signature computation is
+    the same whole-batch Arrow kernel as the batch path."""
+    from jschon_spark.operators.dedup import minhash_udf
+
+    sig = minhash_udf(n_perm=n_perm, shingle_size=shingle_size)
+    return (
+        stream_df.withColumn("minhash_sig", sig(F.col(content_col)))
+        # the dedup key must be an orderable scalar: pack the signature
+        # longs into one string key (state stores the key per row)
+        .withColumn("sig_key", F.concat_ws(",", F.col("minhash_sig").cast("array<string>")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["sig_key"])
+        .drop("sig_key")
+    )
+
+
 def windowed_bin_counts(
     stream_df: DataFrame,
     value_col: str,

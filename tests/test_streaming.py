@@ -169,6 +169,45 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert kept[0] in (0, 1)  # exactly one of the duplicate pair
 
 
+def test_streaming_near_dedup(spark, tmp_path):
+    """Byte-identical docs and word-identical replays share a full
+    MinHash signature and collapse; genuinely different docs pass.
+    (Full-signature equality is deliberately high-precision: a one-word
+    edit on a long doc usually changes some permutation minimum and is
+    the batch clusterer's job — see the operator docstring.)"""
+    from jschon_spark.streaming import streaming_near_dedup
+
+    src = tmp_path / "src_near"
+    src.mkdir()
+    ddl = "ts timestamp, doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (dt.datetime(2026, 1, 1, 12, 0, 0), 0, base),
+        (dt.datetime(2026, 1, 1, 12, 0, 3), 1, base),          # replay
+        (dt.datetime(2026, 1, 1, 12, 0, 5), 2, base + " "),    # whitespace-only edit
+        (dt.datetime(2026, 1, 1, 12, 0, 7), 3, "completely different content here " * 8),
+    ]
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_near"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT doc_id, minhash_sig FROM near_dedup_sink").toPandas()
+    finally:
+        q.stop()
+    kept = sorted(out["doc_id"].tolist())
+    assert len(kept) == 2 and 3 in kept
+    assert kept[0] in (0, 1, 2)  # one survivor from the near-dup trio
+    assert all(len(s) == 16 for s in out["minhash_sig"])  # signature rides along
+
+
 # ---------------------------------------------- audio payload streaming
 
 
