@@ -626,11 +626,83 @@ def _compare_case(datas, ref_verdicts, ref_outputs, spark_results, label,
     return mismatches, skipped
 
 
+def test_unevaluated_ref_member_order(spark, ref):
+    """Pins the reference bug ref_canonical works around, in BOTH
+    directions: (a) OUR engine gives the spec verdict for both member
+    orders; (b) the reference's two orders DISAGREE — if a future
+    jschon release fixes its unevaluated* depends_on, this assertion
+    flips and the canonicalization should be re-adjudicated."""
+    JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
+    defs = {"d0": {"items": True}}
+    ref_first = {"$defs": defs, "$ref": "#/$defs/d0", "unevaluatedItems": False}
+    uei_first = {"$defs": defs, "unevaluatedItems": False, "$ref": "#/$defs/d0"}
+    data = [1.5, 2.0]
+
+    ours = evaluate_batch(spark, ref_first, [data]) + evaluate_batch(
+        spark, uei_first, [data]
+    )
+    assert ours == [True, True], f"engine must be member-order-insensitive: {ours}"
+
+    meta = URI("https://json-schema.org/draft/2020-12/schema")
+    got = []
+    for i, s in enumerate((ref_first, uei_first)):
+        compiled = JSONSchema(
+            s, catalog=ref["catalog"], cacheid=f"order-pin-{i}", metaschema_uri=meta
+        )
+        got.append(bool(compiled.evaluate(JSON(data)).valid))
+    assert got == [True, False], (
+        f"reference member-order sensitivity changed ({got}) — re-adjudicate "
+        "ref_canonical if jschon fixed unevaluated* depends_on"
+    )
+    # and the canonicalized spelling restores agreement
+    fixed = JSONSchema(
+        ref_canonical(uei_first), catalog=ref["catalog"], cacheid="order-pin-c",
+        metaschema_uri=meta,
+    )
+    assert bool(fixed.evaluate(JSON(data)).valid) is True
+
+
+def ref_canonical(schema):
+    """Deep copy of ``schema`` with unevaluatedItems/unevaluatedProperties
+    moved LAST in every object — for the REFERENCE side of the
+    comparison only.
+
+    jschon 0.11.1 evaluates keywords in MEMBER ORDER subject to
+    ``depends_on`` (jsonschema.py:169-183), and the unevaluated*
+    keywords' depends_on lists omit $ref/$dynamicRef/$recursiveRef
+    (vocabulary/applicator.py:193, :336), so a document that spells
+    unevaluatedItems BEFORE an adjacent $ref evaluates it before the
+    ref's coverage annotations exist: probed live, {"unevaluatedItems":
+    false, "$ref": "#/$defs/d0"} with d0={"items": true} REJECTS
+    [1.5, 2.0] while the $ref-first spelling accepts it — member-order-
+    sensitive verdicts, a reference bug its own suite never trips
+    (suite files all spell $ref first). Our compiled engine is
+    member-order-insensitive per 2020-12 §11.2, so the fuzz comparison
+    canonicalizes the reference's input (JSON objects are unordered;
+    reordering members never changes document semantics). Found by
+    campaign main seed 7205; pinned in test_unevaluated_ref_member_order."""
+    if isinstance(schema, dict):
+        late = {
+            k: schema[k]
+            for k in ("unevaluatedItems", "unevaluatedProperties")
+            if k in schema
+        }
+        out = {k: ref_canonical(v) for k, v in schema.items() if k not in late}
+        for k, v in late.items():
+            out[k] = ref_canonical(v)
+        return out
+    if isinstance(schema, list):
+        return [ref_canonical(v) for v in schema]
+    return schema
+
+
 # ---------------------------------------------------------------- the fuzz
 
 # 5069: the round-3 deep-nesting OOM seed — pinned since staged
 # materialization (compiler/core.py) made it compile within budget.
-SEEDS = list(range(32)) + [5069]
+# 7205: unevaluatedItems spelled before $ref — the reference's member-
+# order sensitivity (see ref_canonical); green under canonicalization.
+SEEDS = list(range(32)) + [5069, 7205]
 INSTANCES_PER_SCHEMA = 40
 
 
@@ -642,7 +714,7 @@ def test_fuzz_spark_matches_reference(spark, ref, seed):
     JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
     try:
         compiled_ref = JSONSchema(
-            schema, catalog=ref["catalog"], cacheid=f"fuzz-{seed}", metaschema_uri=URI(_META)
+            ref_canonical(schema), catalog=ref["catalog"], cacheid=f"fuzz-{seed}", metaschema_uri=URI(_META)
         )
         # force full resolution so schema bugs surface here, not per-instance
         compiled_ref.validate()
@@ -749,7 +821,7 @@ def test_fuzz_negation_coverage_matches_reference(spark, ref, seed):
     JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
     try:
         compiled_ref = JSONSchema(
-            schema, catalog=ref["catalog"], cacheid=f"negfuzz-{seed}", metaschema_uri=URI(_META)
+            ref_canonical(schema), catalog=ref["catalog"], cacheid=f"negfuzz-{seed}", metaschema_uri=URI(_META)
         )
         compiled_ref.validate()
     except Exception as e:
@@ -797,7 +869,7 @@ def test_fuzz_refs_spark_matches_reference(spark, ref, seed):
     JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
     try:
         compiled_ref = JSONSchema(
-            schema, catalog=ref["catalog"], cacheid=f"fuzzref-{seed}",
+            ref_canonical(schema), catalog=ref["catalog"], cacheid=f"fuzzref-{seed}",
             metaschema_uri=URI(_META),
         )
         compiled_ref.validate()
@@ -882,7 +954,7 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
     JSON, JSONSchema = ref19["JSON"], ref19["JSONSchema"]
     try:
         compiled_ref = JSONSchema(
-            schema, catalog=ref19["catalog"], cacheid=f"fuzz1909-{seed}"
+            ref_canonical(schema), catalog=ref19["catalog"], cacheid=f"fuzz1909-{seed}"
         )
         compiled_ref.validate()
     except Exception as e:
@@ -966,11 +1038,11 @@ def test_fuzz_external_catalog_matches_reference(spark, ref, seed):
         # reference's add-to-catalog path (JSONSchema.__init__ →
         # catalog.add_schema)
         JSONSchema(
-            copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+            ref_canonical(ext), catalog=ref["catalog"], cacheid=cacheid,
             metaschema_uri=URI(_META),
         ).validate()
         compiled_ref = JSONSchema(
-            copy.deepcopy(main), catalog=ref["catalog"], cacheid=cacheid,
+            ref_canonical(main), catalog=ref["catalog"], cacheid=cacheid,
             metaschema_uri=URI(_META),
         )
         compiled_ref.validate()
@@ -1141,7 +1213,7 @@ def test_fuzz_deep_equality_matches_reference(spark, ref, seed):
     JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
     try:
         compiled_ref = JSONSchema(
-            copy.deepcopy(schema), catalog=ref["catalog"],
+            ref_canonical(schema), catalog=ref["catalog"],
             cacheid=f"eqfuzz-{seed}", metaschema_uri=URI(_META),
         )
         compiled_ref.validate()
@@ -1348,7 +1420,7 @@ def test_fuzz_maptype_matches_reference(spark, ref, seed):
     JSON, JSONSchema, URI = ref["JSON"], ref["JSONSchema"], ref["URI"]
     try:
         compiled_ref = JSONSchema(
-            copy.deepcopy(schema), catalog=ref["catalog"],
+            ref_canonical(schema), catalog=ref["catalog"],
             cacheid=f"mapfuzz-{seed}", metaschema_uri=URI(_META),
         )
         compiled_ref.validate()
@@ -1473,11 +1545,11 @@ def test_fuzz_dynamic_cross_resource_matches_reference(spark, ref, seed):
     cacheid = f"dynfuzz-{seed}"
     try:
         JSONSchema(
-            copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+            ref_canonical(ext), catalog=ref["catalog"], cacheid=cacheid,
             metaschema_uri=URI(_META),
         ).validate()
         compiled_ref = JSONSchema(
-            copy.deepcopy(main), catalog=ref["catalog"], cacheid=cacheid,
+            ref_canonical(main), catalog=ref["catalog"], cacheid=cacheid,
             metaschema_uri=URI(_META),
         )
         compiled_ref.validate()
@@ -1664,7 +1736,7 @@ def test_fuzz_custom_keyword_matches_reference(spark, ref_ckw, seed):
     JSON, JSONSchema = ref_ckw["JSON"], ref_ckw["JSONSchema"]
     try:
         compiled_ref = JSONSchema(
-            copy.deepcopy(schema), catalog=ref_ckw["catalog"], cacheid=f"ckwf-{seed}"
+            ref_canonical(schema), catalog=ref_ckw["catalog"], cacheid=f"ckwf-{seed}"
         )
         compiled_ref.validate()
     except Exception as e:

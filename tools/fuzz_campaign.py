@@ -122,7 +122,7 @@ def _run_one(spark, ref, family, seed):
         schema, vtype = fz.gen_map_schema(rng)
         try:
             compiled_ref = JSONSchema(
-                copy.deepcopy(schema), catalog=ref["catalog"], cacheid=cacheid,
+                fz.ref_canonical(schema), catalog=ref["catalog"], cacheid=cacheid,
                 metaschema_uri=URI(_META),
             )
             compiled_ref.validate()
@@ -161,11 +161,11 @@ def _run_one(spark, ref, family, seed):
         main_doc, ext_doc = fz.gen_dynamic_pair(rng, seed)
         try:
             JSONSchema(
-                copy.deepcopy(ext_doc), catalog=ref["catalog"], cacheid=cacheid,
+                fz.ref_canonical(ext_doc), catalog=ref["catalog"], cacheid=cacheid,
                 metaschema_uri=URI(_META),
             ).validate()
             compiled_ref = JSONSchema(
-                copy.deepcopy(main_doc), catalog=ref["catalog"], cacheid=cacheid,
+                fz.ref_canonical(main_doc), catalog=ref["catalog"], cacheid=cacheid,
                 metaschema_uri=URI(_META),
             )
             compiled_ref.validate()
@@ -197,7 +197,7 @@ def _run_one(spark, ref, family, seed):
         main, ext, _pool = fz.gen_external_pair(rng, seed)
         try:
             JSONSchema(
-                copy.deepcopy(ext), catalog=ref["catalog"], cacheid=cacheid,
+                fz.ref_canonical(ext), catalog=ref["catalog"], cacheid=cacheid,
                 metaschema_uri=URI(_META),
             ).validate()
         except Exception as e:
@@ -217,7 +217,7 @@ def _run_one(spark, ref, family, seed):
     try:
         kw = {"metaschema_uri": URI(meta)} if meta else {}
         compiled_ref = JSONSchema(
-            copy.deepcopy(schema), catalog=ref["catalog"], cacheid=cacheid, **kw
+            fz.ref_canonical(schema), catalog=ref["catalog"], cacheid=cacheid, **kw
         )
         compiled_ref.validate()
         if family == "ref":
