@@ -676,6 +676,66 @@ def q_validate_custom_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("doc_id", "valid")
 
 
+def q_doc_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate discovery: word 3-grams shared by >= 5 distinct
+    documents (corpus.py — explode + hash agg with map-side combine)."""
+    from jschon_spark.operators.corpus import boilerplate_phrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_phrases(docs, n=3, min_docs=5)
+
+
+def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate load against the corpus phrase table
+    (broadcast phrase lookup; one id-keyed aggregation)."""
+    from jschon_spark.operators.corpus import with_boilerplate_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_boilerplate_fraction(docs, n=3, min_docs=5)
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing word 4-grams with the
+    held-out set (doc_id % 100 == 7), via broadcast gram lookup."""
+    from jschon_spark.operators.corpus import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 7)
+    corpus = docs.where(F.col("doc_id") % 100 != 7)
+    return contamination_report(corpus, bench, n=4)
+
+
+def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training mix (hash-gated Bernoulli per
+    lang) — a pure map-side filter, reproducible across engines."""
+    from jschon_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.1}, "lang", "doc_id", default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def q_clip_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowing plan for long clips (5 s window / 4 s hop) — pure
+    sequence+explode integer arithmetic, no UDF, no shuffle.  Durations
+    are derived deterministically from doc_id so the DuckDB oracle can
+    reconstruct the identical clips table (the parquet fixtures carry
+    no audio metadata)."""
+    from jschon_spark.audio.chunking import chunk_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = docs.select(
+        F.col("doc_id").alias("clip_id"),
+        (F.lit(20) + (F.col("doc_id") * 9973) % 15000).alias("dur_ms"),
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(8000)
+        .alias("sr_hz"),
+    )
+    return chunk_plan(clips)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -718,12 +778,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_drift": q_events_daily_drift,
         "audio_features": q_audio_features,
         "audio_quality_gate": q_audio_quality_gate,
+        "doc_boilerplate_phrases": q_doc_boilerplate_phrases,
+        "doc_boilerplate_fraction": q_doc_boilerplate_fraction,
+        "doc_contamination": q_doc_contamination,
+        "training_mix_sample": q_training_mix_sample,
+        "clip_chunk_plan": q_clip_chunk_plan,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _hex_rate(rate: float) -> str:
+    from jschon_spark.operators.sampling import rate_threshold_hex
+
+    return rate_threshold_hex(rate)
+
 
 _WORDS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _STOP_EN = "['the','a','of','to','and','in','is','it','you','that','he','was','for','on','are','with','as','his','they','be']"
@@ -1119,6 +1190,111 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0
                    END AS n_violations
             FROM p
+        """,
+        # Distinct word-3-grams per doc ≙ word_ngrams (text.py): lowercase,
+        # whitespace-split, empties dropped, distinct within the document.
+        "doc_boilerplate_phrases": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                       array_to_string(ws[i:i+2], ' ')
+                       FOR i IN range(1, len(ws) - 1)
+                     ])) AS gram
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+              )
+              WHERE len(ws) >= 3
+            )
+            SELECT gram, count(*) AS n_docs
+            FROM g GROUP BY gram HAVING count(*) >= 5
+        """,
+        "doc_boilerplate_fraction": """
+            WITH gd AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN list_distinct([
+                       array_to_string(ws[i:i+2], ' ')
+                       FOR i IN range(1, len(ws) - 1)
+                     ]) ELSE [] END AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+              )
+            ),
+            g AS (SELECT doc_id, unnest(grams) AS gram FROM gd),
+            bp AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5),
+            hits AS (
+              SELECT doc_id, count(*) AS boilerplate_grams
+              FROM g JOIN bp USING (gram) GROUP BY doc_id
+            )
+            SELECT gd.doc_id,
+                   len(gd.grams)::INT AS n_distinct_grams,
+                   coalesce(h.boilerplate_grams, 0) AS boilerplate_grams,
+                   round(CASE WHEN len(gd.grams) > 0
+                         THEN coalesce(h.boilerplate_grams, 0) / len(gd.grams)
+                         ELSE 0.0 END, 6) AS boilerplate_frac
+            FROM gd LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_contamination": """
+            WITH gd AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 4 THEN list_distinct([
+                       array_to_string(ws[i:i+3], ' ')
+                       FOR i IN range(1, len(ws) - 2)
+                     ]) ELSE [] END AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT gram
+              FROM (SELECT unnest(grams) AS gram FROM gd WHERE doc_id % 100 = 7)
+            ),
+            g AS (SELECT doc_id, unnest(grams) AS gram FROM gd WHERE doc_id % 100 <> 7),
+            hits AS (
+              SELECT doc_id, count(*) AS hit_grams
+              FROM g JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT gd.doc_id,
+                   len(gd.grams)::INT AS n_distinct_grams,
+                   h.hit_grams,
+                   round(h.hit_grams / len(gd.grams), 6) AS contamination
+            FROM gd JOIN hits h USING (doc_id)
+        """,
+        "training_mix_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), '|mix-v1')), 1, 8) <
+              CASE lang
+                WHEN 'en' THEN '{_hex_rate(0.5)}'
+                WHEN 'de' THEN '{_hex_rate(0.25)}'
+                WHEN 'zh' THEN '{_hex_rate(0.1)}'
+                ELSE '{_hex_rate(0.05)}'
+              END
+        """,
+        "clip_chunk_plan": """
+            WITH clips AS (
+              SELECT doc_id AS clip_id,
+                     (20 + (doc_id * 9973) % 15000)::BIGINT AS dur_ms,
+                     (CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 8000 END)::BIGINT AS sr_hz
+              FROM documents
+            ),
+            c AS (
+              SELECT clip_id, dur_ms, sr_hz,
+                     unnest(generate_series(
+                       0, ((greatest(dur_ms - 5000, 0) + 3999) // 4000) * 4000, 4000
+                     )) AS start_ms
+              FROM clips
+            )
+            SELECT clip_id,
+                   start_ms // 4000 AS chunk_idx,
+                   start_ms,
+                   least(start_ms + 5000, dur_ms) AS end_ms,
+                   ((least(start_ms + 5000, dur_ms) - start_ms) * sr_hz) // 1000 AS n_samples
+            FROM c
         """,
     }
 
