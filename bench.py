@@ -81,6 +81,12 @@ def run_clips_pipeline(spark, data_dir: str) -> dict:
         tk = time.perf_counter()
         _noop(out["audio_flag"])
         stage_times["audio_flag"] = round(time.perf_counter() - tk, 3)
+        # the combined transcript check materializes its single
+        # full-outer join here (persisted); the three derived outputs
+        # below then measure as filters over it
+        tk = time.perf_counter()
+        _noop(out["transcript_checks"])
+        stage_times["transcript_checks"] = round(time.perf_counter() - tk, 3)
 
         def run_stage(item):
             key, df = item
@@ -91,12 +97,13 @@ def run_clips_pipeline(spark, data_dir: str) -> dict:
         rest = [
             (k, df)
             for k, df in out.items()
-            if k not in ("rows", "audio", "drift", "audio_flag")
+            if k not in ("rows", "audio", "drift", "audio_flag", "transcript_checks")
         ]
         with ThreadPoolExecutor(max_workers=4) as ex:
             for key, sec in ex.map(run_stage, rest):
                 stage_times[key] = sec
         out["audio"].unpersist()
+        out["transcript_checks"].unpersist()
         return time.perf_counter() - t0, stage_times
 
     # warm until steady state (pass-over-pass delta < 30%, max 3

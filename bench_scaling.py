@@ -62,11 +62,13 @@ def one_run():
     # engine (a production pipeline writes independent outputs from
     # parallel submitter threads)
     out["audio_flag"].write.format("noop").mode("overwrite").save()
+    out["transcript_checks"].write.format("noop").mode("overwrite").save()
     rest = [df for key, df in out.items()
-            if key not in ("rows", "audio", "drift", "audio_flag")]
+            if key not in ("rows", "audio", "drift", "audio_flag", "transcript_checks")]
     with ThreadPoolExecutor(max_workers=4) as ex:
         list(ex.map(lambda df: df.write.format("noop").mode("overwrite").save(), rest))
     out["audio"].unpersist()
+    out["transcript_checks"].unpersist()
     return time.perf_counter() - t0
 
 # Steady-state protocol: 2 warmup runs (python-worker spawn + module

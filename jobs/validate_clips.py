@@ -92,6 +92,9 @@ def main(argv=None) -> int:
         out["audio"].unpersist()
     if transcripts is not None:
         _write(out["missing_transcripts"], "missing_transcripts")
+        _write(out["orphan_transcripts"], "orphan_transcripts")
+        _write(out["transcript_mismatches"], "transcript_mismatches")
+        out["transcript_checks"].unpersist()
 
     if args.manifest:
         # COMMIT: one manifest row per completed partition, after all

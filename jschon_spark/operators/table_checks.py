@@ -196,6 +196,50 @@ def referential_violations(
     )
 
 
+def transcript_checks(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    key: str = "clip_id",
+    clip_text: str = "transcript",
+    transcript_text: str = "text",
+) -> DataFrame:
+    """All three clip↔transcript referential checks in ONE
+    co-partitioned pass: ``missing_transcript`` (clip key absent from
+    the side table), ``orphan_transcript`` (side-table key absent from
+    clips), ``transcript_mismatch`` (both present, payload text differs,
+    null-safe).  ≙ failed ``$ref`` in both directions plus
+    const-equality of the payload (reference
+    jschon/vocabulary/core.py:82-103, validation.py const).
+
+    The separate anti/anti/inner joins shuffle both tables three times;
+    when BOTH sides are fact-sized (10^12 clips vs ~10^12 transcripts —
+    neither broadcastable) this full-outer formulation is a single
+    sort-merge join (AQE skew-split still applies) and every check is a
+    filter over its output.  Keep ``referential_check`` for the
+    asymmetric small-dim case where a broadcast anti-join wins.
+
+    Returns ``(key, check, <transcripts' payload columns>)`` — payload
+    columns are non-null for orphan rows so callers can emit the full
+    orphaned side-table row without a join back."""
+    extra = [c for c in transcripts.columns if c != key]
+    left = clips.select(
+        F.col(key), F.col(clip_text).alias("__clip_text"), F.lit(1).alias("__l")
+    )
+    right = transcripts.select(F.col(key), *extra, F.lit(1).alias("__r"))
+    j = left.join(right, key, "full_outer")
+    check = (
+        F.when(F.col("__r").isNull(), F.lit("missing_transcript"))
+        .when(F.col("__l").isNull(), F.lit("orphan_transcript"))
+        .when(
+            ~F.col("__clip_text").eqNullSafe(F.col(transcript_text)),
+            F.lit("transcript_mismatch"),
+        )
+    )
+    return j.select(F.col(key), check.alias("check"), *extra).where(
+        F.col("check").isNotNull()
+    )
+
+
 # -- distribution drift ------------------------------------------------------
 
 

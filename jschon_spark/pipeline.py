@@ -86,19 +86,32 @@ def run_validation(
         )
 
     if transcripts is not None:
-        out["missing_transcripts"] = tc.referential_violations(
-            meta.select("clip_id", partition_col), transcripts, "clip_id"
+        # all three referential checks from ONE full-outer join (both
+        # sides are fact-sized at the design point — three separate
+        # anti/anti/inner joins would shuffle them three times); the
+        # combined frame is tiny (violating keys only) and persisted so
+        # the three derived outputs are filters, not re-joins. Caller
+        # unpersists via out["transcript_checks"].unpersist().
+        combined = tc.transcript_checks(
+            meta.select("clip_id", "transcript"), transcripts
+        ).persist()
+        out["transcript_checks"] = combined
+        out["missing_transcripts"] = combined.where(
+            F.col("check") == "missing_transcript"
+        ).select(
+            F.col("clip_id"),
+            F.lit("/clip_id").alias("instance_path"),
+            F.lit("/$ref").alias("keyword_path"),
+            F.lit("$ref").alias("keyword"),
+            F.lit("no matching row for clip_id").alias("error"),
         )
-        out["orphan_transcripts"] = tc.referential_check(
-            transcripts, meta.select("clip_id"), "clip_id"
-        )
-        joined = meta.select("clip_id", "transcript").join(
-            transcripts.select("clip_id", "text"), "clip_id", "inner"
-        )
+        out["orphan_transcripts"] = combined.where(
+            F.col("check") == "orphan_transcript"
+        ).select(*transcripts.columns)
         # distinct keys: duplicate clip_ids fan out in the join, but one
         # mismatching key is one violation
         out["transcript_mismatches"] = (
-            joined.where(~F.col("transcript").eqNullSafe(F.col("text")))
+            combined.where(F.col("check") == "transcript_mismatch")
             .select("clip_id")
             .distinct()
         )

@@ -249,3 +249,67 @@ def test_drift_distributed_is_default_and_matches_driver_path(spark, clips_df):
     # the bin key is a floor() expression (visible pre-optimization; the
     # optimizer may constant-fold it into a LocalRelation for tiny inputs)
     assert "FLOOR" in qe.analyzed().toString().upper()
+
+
+def test_transcript_checks_single_join(spark):
+    """Round-4: the three clip<->transcript referential checks come out
+    of ONE full-outer join (both sides are fact-sized at 10^12 rows —
+    three anti/anti/inner joins would shuffle both tables three times).
+    Value semantics: hand-built rows covering all three categories plus
+    agreeing/dup/null-key rows."""
+    from jschon_spark.operators.table_checks import transcript_checks
+
+    clips = spark.createDataFrame(
+        [
+            ("c1", "hello world"),   # agrees
+            ("c2", "goodbye"),       # text differs -> mismatch
+            ("c3", "no transcript"), # missing from side table
+            ("c5", None),            # both null -> agrees (null-safe)
+            ("c6", "dup"),           # duplicate key, one copy mismatches
+            ("c6", "dup"),
+            (None, "null key"),      # null key never matches -> missing
+        ],
+        "clip_id string, transcript string",
+    )
+    transcripts = spark.createDataFrame(
+        [
+            ("t1", "c1", "hello world"),
+            ("t2", "c2", "goodbye!"),
+            ("t4", "c4", "orphan row"),  # no such clip
+            ("t5", "c5", None),
+            ("t6", "c6", "dup"),
+        ],
+        "transcript_id string, clip_id string, text string",
+    )
+    got = transcript_checks(clips, transcripts)
+    by = {}
+    for r in got.collect():
+        by.setdefault(r["check"], []).append(r)
+    assert sorted(r["clip_id"] or "∅" for r in by["missing_transcript"]) == ["c3", "∅"]
+    assert [(r["transcript_id"], r["clip_id"], r["text"]) for r in by["orphan_transcript"]] == [
+        ("t4", "c4", "orphan row")
+    ]
+    assert sorted(r["clip_id"] for r in by["transcript_mismatch"]) == ["c2"]
+
+    # plan: exactly one join, no Python (AQE plan strings repeat the
+    # initial plan below the final one — look at the final section only)
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    joins = re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_transcript_outputs_schema_compat(spark, clips_df, transcripts_df):
+    """The derived outputs keep their pre-combination schemas (consumers
+    write them as-is)."""
+    from jschon_spark.pipeline import run_validation
+
+    out = run_validation(spark, clips_df, transcripts=transcripts_df, audio=False)
+    assert out["missing_transcripts"].columns == [
+        "clip_id", "instance_path", "keyword_path", "keyword", "error",
+    ]
+    assert out["orphan_transcripts"].columns == transcripts_df.columns
+    assert out["transcript_mismatches"].columns == ["clip_id"]
+    out["transcript_checks"].unpersist()
