@@ -89,6 +89,24 @@ def categorical_histogram(df: DataFrame, col: str) -> DataFrame:
     return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
 
 
+def categorical_histograms(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Histograms for SEVERAL low-cardinality columns in one scan + one
+    shuffle via ``GROUPING SETS ((c1),(c2),…)`` — per-column groupBys
+    would each rescan the table, which at 10^12 rows is k full passes
+    for k histograms.  Long-form output ``(column, value, count)``
+    (values rendered as strings); ``grouping()`` disambiguates a null
+    data value from a column aggregated away by the other sets."""
+    sets = df.groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
+    name = F.lit(None).cast("string")
+    val = F.lit(None).cast("string")
+    for c in cols:
+        name = F.when(F.grouping(c) == 0, F.lit(c)).otherwise(name)
+        val = F.when(F.grouping(c) == 0, F.col(c).cast("string")).otherwise(val)
+    return sets.agg(
+        name.alias("column"), val.alias("value"), F.count(F.lit(1)).alias("count")
+    ).select("column", "value", "count")
+
+
 def numeric_histogram(df: DataFrame, col: str, bin_width: float, lo: float = 0.0) -> DataFrame:
     """Fixed-width bins; the shuffle carries only (bin, partial count)."""
     bin_col = F.floor((F.col(col) - F.lit(lo)) / F.lit(bin_width)).cast("long")

@@ -67,8 +67,9 @@ def run_validation(
         "flag": flag_summary(validated, partition_col),
         "violations": basic_output(validated, ["clip_id", partition_col]),
         "stats": tc.column_stats(meta, [c for c in meta.columns if c != partition_col]),
-        "codec_histogram": tc.categorical_histogram(meta, "codec"),
-        "sr_histogram": tc.categorical_histogram(meta, "sr_hz"),
+        # one scan + one shuffle for both histograms (grouping sets) —
+        # separate groupBys would rescan the table per column
+        "categorical_histograms": tc.categorical_histograms(meta, ["codec", "sr_hz"]),
         "duplicates": tc.duplicate_keys(meta, "clip_id"),
     }
 

@@ -313,3 +313,30 @@ def test_pipeline_transcript_outputs_schema_compat(spark, clips_df, transcripts_
     assert out["orphan_transcripts"].columns == transcripts_df.columns
     assert out["transcript_mismatches"].columns == ["clip_id"]
     out["transcript_checks"].unpersist()
+
+
+def test_categorical_histograms_one_pass_matches_per_column(spark, clips_df):
+    """Round-4: both categorical histograms come from ONE grouping-sets
+    scan; values match the per-column groupBys exactly (null data
+    values included — grouping() disambiguates them)."""
+    from jschon_spark.operators.table_checks import (
+        categorical_histogram,
+        categorical_histograms,
+    )
+
+    meta = clips_df.drop("bytes")
+    combined = categorical_histograms(meta, ["codec", "sr_hz"])
+    by: dict = {}
+    for r in combined.collect():
+        by.setdefault(r["column"], {})[r["value"]] = r["count"]
+    for col in ("codec", "sr_hz"):
+        per = {
+            (str(r["value"]) if r["value"] is not None else None): r["count"]
+            for r in categorical_histogram(meta, col).collect()
+        }
+        assert by[col] == per, col
+
+    # plan: a single Exchange (one shuffle) feeds both histograms
+    plan = combined._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan  # grouping-sets expansion, not two scans
