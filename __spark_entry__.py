@@ -736,6 +736,53 @@ def q_clip_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_plan(clips)
 
 
+def q_clip_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD speech segmentation over decoded payloads (rows-only:
+    audio decode has no SQL oracle) — per-clip segment count, active
+    speech milliseconds, and speech fraction from the map-only
+    mapInArrow stage (audio/segments.py; kernel pinned against the
+    synthesis contract in tests/test_audio_segments.py)."""
+    from jschon_spark.audio.segments import with_speech_segments
+
+    seg = with_speech_segments(_synth_clips(spark))
+    return seg.select(
+        "clip_id",
+        "segments_ok",
+        F.size(F.coalesce(F.col("segments"), F.array())).alias("n_segments"),
+        "speech_ms",
+        F.round(F.col("speech_ms") / F.greatest(F.col("dur_ms"), F.lit(1)), 4).alias(
+            "speech_frac"
+        ),
+    )
+
+
+def q_clip_segment_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-segment chunking (5 s window / 4 s hop applied PER speech
+    segment, offset back onto the clip timeline) — pure
+    sequence+explode arithmetic, no shuffle.  Segments are derived
+    deterministically from doc_id so the DuckDB oracle reconstructs the
+    identical two-segment layout per clip."""
+    from jschon_spark.audio.segments import segment_chunk_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    s0a = (F.col("doc_id") * 31 % 2000).cast("long")
+    s0b = s0a + 1000 + (F.col("doc_id") * 97 % 9000).cast("long")
+    s1a = s0b + 500 + (F.col("doc_id") * 13 % 1500).cast("long")
+    s1b = s1a + 200 + (F.col("doc_id") * 7 % 6000).cast("long")
+    clips = docs.select(
+        F.col("doc_id").alias("clip_id"),
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(8000)
+        .alias("sr_hz"),
+        F.array(
+            F.struct(s0a.alias("start_ms"), s0b.alias("end_ms")),
+            F.struct(s1a.alias("start_ms"), s1b.alias("end_ms")),
+        ).alias("segments"),
+    )
+    return segment_chunk_plan(clips)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -783,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "training_mix_sample": q_training_mix_sample,
         "clip_chunk_plan": q_clip_chunk_plan,
+        "clip_speech_segments": q_clip_speech_segments,
+        "clip_segment_chunks": q_clip_segment_chunks,
     }
 
 
@@ -1294,6 +1343,38 @@ def oracle_sql() -> dict[str, str]:
                    start_ms,
                    least(start_ms + 5000, dur_ms) AS end_ms,
                    ((least(start_ms + 5000, dur_ms) - start_ms) * sr_hz) // 1000 AS n_samples
+            FROM c
+        """,
+        "clip_segment_chunks": """
+            WITH clips AS (
+              SELECT doc_id AS clip_id,
+                     (CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 8000 END)::BIGINT AS sr_hz,
+                     ((doc_id * 31) % 2000)::BIGINT AS s0a,
+                     ((doc_id * 31) % 2000 + 1000 + (doc_id * 97) % 9000)::BIGINT AS s0b
+              FROM documents
+            ),
+            segs AS (
+              SELECT clip_id, sr_hz, 0::BIGINT AS seg_idx,
+                     s0a AS seg_start, (s0b - s0a)::BIGINT AS seg_dur
+              FROM clips
+              UNION ALL
+              SELECT clip_id, sr_hz, 1::BIGINT,
+                     (s0b + 500 + (clip_id * 13) % 1500)::BIGINT,
+                     (200 + (clip_id * 7) % 6000)::BIGINT
+              FROM clips
+            ),
+            c AS (
+              SELECT clip_id, sr_hz, seg_idx, seg_start, seg_dur,
+                     unnest(generate_series(
+                       0, ((greatest(seg_dur - 5000, 0) + 3999) // 4000) * 4000, 4000
+                     )) AS rel_start
+              FROM segs
+            )
+            SELECT clip_id, seg_idx,
+                   rel_start // 4000 AS chunk_idx,
+                   seg_start + rel_start AS start_ms,
+                   seg_start + least(rel_start + 5000, seg_dur) AS end_ms,
+                   ((least(rel_start + 5000, seg_dur) - rel_start) * sr_hz) // 1000 AS n_samples
             FROM c
         """,
     }

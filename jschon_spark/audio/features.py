@@ -140,58 +140,71 @@ def clip_features(x: np.ndarray, sr: int, scratch: dict) -> tuple:
     )
 
 
+def iter_decoded(batch):
+    """Shared zero-copy decode walk for Arrow audio kernels: yields
+    ``(row_index, int16_samples, sample_rate)`` for every decodable row
+    of the batch (pcm_s16le as a direct frombuffer view on the Arrow
+    data buffer; WAV via the allocation-free header parse with a stdlib
+    fallback). Undecodable rows (null payload, odd length, unknown
+    codec, corrupt header) are silently not yielded — callers treat
+    absence as their not-ok state."""
+    names = batch.schema.names
+    blob = batch.column(names.index("bytes"))
+    n = len(blob)
+    bufs = blob.buffers()
+    if not n or bufs[1] is None:
+        return
+    width, odt = (8, np.int64) if pa.types.is_large_binary(blob.type) else (4, np.int32)
+    offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1, offset=blob.offset * width)
+    raw = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    srs = batch.column(names.index("sr_hz")).to_numpy(zero_copy_only=False)
+    codecs = batch.column(names.index("codec")).to_pylist()
+    row_valid = blob.is_valid().to_numpy(zero_copy_only=False) if blob.null_count else None
+    for i in range(n):
+        if row_valid is not None and not row_valid[i]:
+            continue
+        s0, s1 = int(offs[i]), int(offs[i + 1])
+        c = codecs[i]
+        sr = int(srs[i])
+        if c == "pcm_s16le":
+            if (s1 - s0) % 2:
+                continue
+            dec = np.frombuffer(raw, dtype="<i2", count=(s1 - s0) // 2, offset=s0)
+        elif c == "wav":
+            parsed = _parse_wav_header(raw, s0, s1)
+            if parsed is None:
+                dec, hdr_sr = decode_pcm(bytes(raw[s0:s1]), "wav")
+                if dec is None:
+                    continue
+                if hdr_sr:
+                    sr = hdr_sr
+            else:
+                d0, d1, hdr_sr = parsed
+                if (d1 - d0) % 2:
+                    continue
+                dec = np.frombuffer(raw, dtype="<i2", count=(d1 - d0) // 2, offset=d0)
+                sr = hdr_sr
+        else:
+            continue
+        yield i, dec, sr
+
+
 def _arrow_feature_batches(batches):
     """mapInArrow kernel: zero-copy decode (same buffer walk as the
     invariant kernel) then clip_features per row. Emits every non-bytes
     input column plus the feature columns."""
     for batch in batches:
         names = batch.schema.names
-        blob = batch.column(names.index("bytes"))
-        n = len(blob)
+        n = batch.num_rows
         cols = {name: np.full(n, np.nan, dtype=np.float64) for name, _ in FEATURE_FIELDS}
         ok = np.zeros(n, dtype=bool)
 
-        bufs = blob.buffers()
-        if n and bufs[1] is not None:
-            width, odt = (8, np.int64) if pa.types.is_large_binary(blob.type) else (4, np.int32)
-            offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1, offset=blob.offset * width)
-            raw = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-            srs = batch.column(names.index("sr_hz")).to_numpy(zero_copy_only=False)
-            codecs = batch.column(names.index("codec")).to_pylist()
-            scratch: dict = {}
-            row_valid = (
-                blob.is_valid().to_numpy(zero_copy_only=False) if blob.null_count else None
-            )
-            for i in range(n):
-                if row_valid is not None and not row_valid[i]:
-                    continue
-                s0, s1 = int(offs[i]), int(offs[i + 1])
-                c = codecs[i]
-                sr = int(srs[i])
-                if c == "pcm_s16le":
-                    if (s1 - s0) % 2:
-                        continue
-                    dec = np.frombuffer(raw, dtype="<i2", count=(s1 - s0) // 2, offset=s0)
-                elif c == "wav":
-                    parsed = _parse_wav_header(raw, s0, s1)
-                    if parsed is None:
-                        dec, hdr_sr = decode_pcm(bytes(raw[s0:s1]), "wav")
-                        if dec is None:
-                            continue
-                        if hdr_sr:
-                            sr = hdr_sr
-                    else:
-                        d0, d1, hdr_sr = parsed
-                        if (d1 - d0) % 2:
-                            continue
-                        dec = np.frombuffer(raw, dtype="<i2", count=(d1 - d0) // 2, offset=d0)
-                        sr = hdr_sr
-                else:
-                    continue
-                vals = clip_features(dec, sr, scratch)
-                ok[i] = True
-                for (name, _), v in zip(FEATURE_FIELDS, vals):
-                    cols[name][i] = v
+        scratch: dict = {}
+        for i, dec, sr in iter_decoded(batch):
+            vals = clip_features(dec, sr, scratch)
+            ok[i] = True
+            for (name, _), v in zip(FEATURE_FIELDS, vals):
+                cols[name][i] = v
 
         arrays = [batch.column(j) for j, nm in enumerate(names) if nm != "bytes"]
         out_names = [nm for nm in names if nm != "bytes"]
