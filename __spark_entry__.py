@@ -783,6 +783,37 @@ def q_clip_segment_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_chunk_plan(clips)
 
 
+def q_training_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing of the documents corpus into
+    512-token training sequences across 8 hash buckets — one
+    bucket-keyed exchange, then pure window/integer arithmetic
+    (operators/packing.py).  DuckDB replays the identical md5 ordering
+    and window cumsum, so placements match token-for-token."""
+    from jschon_spark.operators.packing import pack_concat_chop
+    from jschon_spark.operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return pack_concat_chop(
+        docs, key_col="doc_id", tokens_col="n_tokens", budget=512, n_buckets=8
+    )
+
+
+def q_training_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split packing utilization: first-fit-decreasing bins per
+    bucket (grouped Arrow stage, sequential only within a bucket) →
+    per-bucket bin count + padding waste (rows-only: the FFD order is
+    not SQL-expressible; invariants pytest-pinned in
+    tests/test_packing.py)."""
+    from jschon_spark.operators.packing import pack_first_fit, packing_stats
+    from jschon_spark.operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    packed = pack_first_fit(
+        docs, key_col="doc_id", tokens_col="n_tokens", budget=512, n_buckets=8
+    )
+    return packing_stats(packed, 512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -832,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_chunk_plan": q_clip_chunk_plan,
         "clip_speech_segments": q_clip_speech_segments,
         "clip_segment_chunks": q_clip_segment_chunks,
+        "training_pack_plan": q_training_pack_plan,
+        "training_pack_bins": q_training_pack_bins,
     }
 
 
@@ -1375,6 +1408,31 @@ def oracle_sql() -> dict[str, str]:
                    seg_start + rel_start AS start_ms,
                    seg_start + least(rel_start + 5000, seg_dur) AS end_ms,
                    ((least(rel_start + 5000, seg_dur) - rel_start) * sr_hz) // 1000 AS n_samples
+            FROM c
+        """,
+        "training_pack_plan": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     len({_WORDS_SQL})::BIGINT AS n_tokens,
+                     CAST(('0x' || substr(md5(doc_id::VARCHAR || '|pack-v1'), 1, 4)) AS INTEGER) % 8 AS bucket,
+                     substr(md5(doc_id::VARCHAR || '|pack-v1'), 1, 8) AS ord_
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, bucket, n_tokens,
+                     (sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY ord_, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ))::BIGINT - n_tokens AS start_off
+              FROM d
+            )
+            SELECT doc_id, bucket, n_tokens, start_off,
+                   start_off // 512 AS seq_first,
+                   greatest((start_off + greatest(n_tokens - 1, 0)) // 512,
+                            start_off // 512) AS seq_last,
+                   start_off % 512 AS offset_in_seq,
+                   greatest((start_off + greatest(n_tokens - 1, 0)) // 512,
+                            start_off // 512) > (start_off // 512) AS straddles
             FROM c
         """,
     }
