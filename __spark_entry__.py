@@ -814,6 +814,59 @@ def q_training_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, 512)
 
 
+def q_clip_transcript_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript↔duration plausibility violations (speakingRate /
+    articulationRate) — map-only codegen'd arithmetic, no shuffle
+    (operators/table_checks.speaking_rate_checks).  Clips are documents
+    re-keyed with a deterministic doc_id-derived duration so the DuckDB
+    oracle reconstructs the identical table."""
+    from jschon_spark.operators.table_checks import speaking_rate_checks
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = docs.select(
+        F.col("doc_id").alias("clip_id"),
+        F.col("text").alias("transcript"),
+        (F.lit(500) + (F.col("doc_id") * 7919) % 120000).alias("dur_ms"),
+    )
+    return speaking_rate_checks(clips)
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 16 BPE merges learned over the documents corpus
+    (operators/bpe.learn_bpe, merges_per_round=4 → 4 distributed
+    rounds; rows-only — iterative vocabulary induction has no SQL
+    oracle; exactness vs a pure-Python BPE reference is pytest-pinned
+    in tests/test_bpe.py)."""
+    from jschon_spark.operators.bpe import learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, wf = learn_bpe(docs, n_merges=16, merges_per_round=4)
+    wf.unpersist()
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_idx int, sym_left string, sym_right string, pair_count bigint",
+    )
+
+
+def q_doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted token inventory after the 16 learned merges —
+    the distributed end state of BPE induction (explode + one hash agg
+    with map-side combine; rows-only, same pytest pin as
+    doc_bpe_merges). Top 50 tokens by frequency."""
+    from jschon_spark.operators.bpe import bpe_vocab, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, wf = learn_bpe(docs, n_merges=16, merges_per_round=4)
+    out = (
+        bpe_vocab(wf)
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+    rows = out.collect()  # bounded (50) — materialize before unpersist
+    wf.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
@@ -865,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_segment_chunks": q_clip_segment_chunks,
         "training_pack_plan": q_training_pack_plan,
         "training_pack_bins": q_training_pack_bins,
+        "clip_transcript_rate": q_clip_transcript_rate,
+        "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_vocab": q_doc_bpe_vocab,
     }
 
 
@@ -1356,6 +1412,41 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'zh' THEN '{_hex_rate(0.1)}'
                 ELSE '{_hex_rate(0.05)}'
               END
+        """,
+        "clip_transcript_rate": f"""
+            WITH clips AS (
+              SELECT doc_id AS clip_id,
+                     len({_WORDS_SQL})::DOUBLE AS n_words,
+                     length(text)::DOUBLE AS n_chars,
+                     (500 + (doc_id * 7919) % 120000)::BIGINT AS dur_ms
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            r AS (
+              SELECT clip_id,
+                     n_words / (dur_ms / 1000.0) AS wps,
+                     n_chars / (dur_ms / 1000.0) AS cps
+              FROM clips
+              WHERE dur_ms > 0
+            ),
+            v AS (
+              SELECT clip_id, 'speakingRate' AS keyword,
+                     CASE WHEN wps < 0.4 THEN 'speaking_rate_low'
+                          WHEN wps > 8.0 THEN 'speaking_rate_high' END AS "check",
+                     wps, cps
+              FROM r
+              UNION ALL
+              SELECT clip_id, 'articulationRate',
+                     CASE WHEN cps < 2.0 THEN 'articulation_rate_low'
+                          WHEN cps > 45.0 THEN 'articulation_rate_high' END,
+                     wps, cps
+              FROM r
+            )
+            SELECT clip_id, keyword, "check",
+                   round(wps, 6) AS words_per_sec,
+                   round(cps, 6) AS chars_per_sec
+            FROM v
+            WHERE "check" IS NOT NULL
         """,
         "clip_chunk_plan": """
             WITH clips AS (

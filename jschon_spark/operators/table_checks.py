@@ -258,6 +258,78 @@ def transcript_checks(
     )
 
 
+def speaking_rate_columns(
+    transcript: Column, dur_ms: Column
+) -> "dict[str, Column]":
+    """Words/sec and chars/sec of a transcript against its clip
+    duration — pure codegen'd arithmetic, no UDF, no shuffle.
+    Null-safe: null transcript or non-positive duration yield nulls
+    (the required/minimum keywords own those failures)."""
+    secs = dur_ms.cast("double") / F.lit(1000.0)
+    n_words = F.size(F.filter(F.split(F.trim(transcript), r"\s+"), lambda w: w != ""))
+    n_chars = F.length(transcript)
+    ok = transcript.isNotNull() & (dur_ms > 0)
+    return {
+        "words_per_sec": F.when(ok, n_words / secs),
+        "chars_per_sec": F.when(ok, n_chars / secs),
+    }
+
+
+def speaking_rate_checks(
+    clips: DataFrame,
+    key: str = "clip_id",
+    text_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    min_wps: float = 0.4,
+    max_wps: float = 8.0,
+    min_cps: float = 2.0,
+    max_cps: float = 45.0,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Transcript↔duration plausibility: flags clips whose transcript is
+    too short or too long for the audio duration (wrong pairing,
+    truncation, or runaway ASR). Human speech sits ~2-3 words/sec;
+    the default band [0.4, 8.0] wps / [2, 45] cps only catches
+    physically implausible pairs. Emits jschon-style violation rows
+    ``(key, keyword, check, words_per_sec, chars_per_sec)`` where
+    keyword is ``speakingRate`` (word rate) or ``articulationRate``
+    (char rate) — map-only, fully SQL-expressible (driver oracle:
+    ``clip_transcript_rate``). Rows with null transcript / non-positive
+    duration are skipped here; required/minimum own them."""
+    rates = speaking_rate_columns(F.col(text_col), F.col(dur_col))
+    wps, cps = rates["words_per_sec"], rates["chars_per_sec"]
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    base = clips.select(
+        F.col(key),
+        rnd(wps).alias("words_per_sec"),
+        rnd(cps).alias("chars_per_sec"),
+        F.when(wps < min_wps, F.lit("speaking_rate_low"))
+        .when(wps > max_wps, F.lit("speaking_rate_high"))
+        .alias("_wcheck"),
+        F.when(cps < min_cps, F.lit("articulation_rate_low"))
+        .when(cps > max_cps, F.lit("articulation_rate_high"))
+        .alias("_ccheck"),
+    )
+    both = base.select(
+        key,
+        "words_per_sec",
+        "chars_per_sec",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("speakingRate").alias("keyword"), F.col("_wcheck").alias("check")),
+                    F.struct(F.lit("articulationRate").alias("keyword"), F.col("_ccheck").alias("check")),
+                ),
+                lambda s: s["check"].isNotNull(),
+            )
+        ).alias("v"),
+    )
+    return both.select(
+        key, F.col("v.keyword").alias("keyword"), F.col("v.check").alias("check"),
+        "words_per_sec", "chars_per_sec",
+    )
+
+
 # -- distribution drift ------------------------------------------------------
 
 
