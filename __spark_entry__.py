@@ -589,6 +589,73 @@ def _synth_clips(spark: SparkSession, n: int = 500, parts: int = 4) -> DataFrame
     return spark.range(0, n, 1, parts).mapInPandas(gen, CLIPS_DDL)
 
 
+def _synth_rich_clips(
+    spark: SparkSession, n_base: int = 300, n_dups: int = 30, parts: int = 8
+) -> DataFrame:
+    """Deterministic dense-spectrum clips (seeded tones over a seeded
+    colored-noise bed — speech/music-like, unlike the sparse pure-tone
+    fixture clips) plus ``n_dups`` planted noisy re-encodes of the
+    first bases. Distributed synthesis, seed-stable across any
+    partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    # 2 s @ 16 kHz and 3.5% plant noise: measured max planted-pair
+    # Hamming 11 over all 30 plants (margin 3 under the radius-14
+    # contract); 1 s clips average too few frames per segment and spill
+    # past the radius.
+    sr, secs = 16000, 2.0
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].to_numpy():
+                base = int(i) % n_base
+                rng = np.random.default_rng(base)
+                n = int(sr * secs)
+                t = np.arange(n) / sr
+                x = np.zeros(n)
+                for f, a, ph in zip(
+                    rng.uniform(320, 2800, 5),
+                    rng.uniform(0.3, 1.0, 5),
+                    rng.uniform(0, 6.28, 5),
+                ):
+                    x += a * np.sin(2 * np.pi * f * t + ph)
+                bed = np.fft.rfft(rng.standard_normal(n))
+                shape = np.interp(
+                    np.linspace(0, 1, len(bed)),
+                    np.linspace(0, 1, 16),
+                    rng.uniform(0.05, 1.0, 16),
+                )
+                bednow = np.fft.irfft(bed * shape, n)
+                x += 0.8 * bednow / np.std(bednow)
+                x /= np.max(np.abs(x))
+                if i >= n_base:  # planted near-duplicate: small fresh noise
+                    x = x + 0.035 * np.random.default_rng(10_000 + base).standard_normal(n)
+                pcm = np.clip(x * 0.5 * 32767.0, -32768, 32767).astype(np.int16)
+                cid = f"rc{base:04d}_dup" if i >= n_base else f"rc{base:04d}"
+                out.append((cid, pcm.tobytes()))
+            yield pd.DataFrame(out, columns=["clip_id", "bytes"]).assign(
+                codec="pcm_s16le", sr_hz=sr
+            )
+
+    return spark.range(0, n_base + n_dups, 1, parts).mapInPandas(
+        gen, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+
+
+def q_clip_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by 128-bit spectral fingerprint
+    (audio/fingerprint.py: Haitsma–Kalker band-difference bits,
+    segment-aggregated, banded Hamming join via the generalized
+    pigeonhole) over 300 dense-spectrum clips + 30 planted noisy
+    re-encodes (rows-only: no SQL engine can decode and FFT the audio;
+    recall/precision pinned in tests/test_audio_fingerprint.py)."""
+    from jschon_spark.audio.fingerprint import audio_near_duplicates
+
+    return audio_near_duplicates(_synth_rich_clips(spark))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real DSP features over decoded PCM/WAV payloads (rows-only: no
     SQL engine can decode the audio bytes) — level, clipping, activity
@@ -925,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pack_plan": q_training_pack_plan,
         "training_pack_bins": q_training_pack_bins,
         "clip_transcript_rate": q_clip_transcript_rate,
+        "clip_audio_near_dups": q_clip_audio_near_dups,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_vocab": q_doc_bpe_vocab,
     }
