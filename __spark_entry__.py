@@ -656,6 +656,28 @@ def q_clip_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_duplicates(_synth_rich_clips(spark))
 
 
+def q_clip_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize the mixed-rate clips corpus to 16 kHz / -20 dBFS
+    pcm_s16le (audio/conditioning.py: resample + gain in one zero-copy
+    payload-rewrite stage) and verify THROUGH the independent features
+    kernel: post-conditioning rms_dbfs must sit at the target for every
+    decodable clip (rows-only: no SQL engine can decode/resample;
+    synthesis contract pinned in tests/test_audio_conditioning.py)."""
+    from jschon_spark.audio.conditioning import condition_clips
+    from jschon_spark.audio.features import with_audio_features
+
+    cond = condition_clips(_synth_clips(spark), target_sr=16000)
+    feats = with_audio_features(cond)
+    return feats.select(
+        "clip_id",
+        "conditioned_ok",
+        "sr_hz",
+        F.round("gain_applied", 4).alias("gain_applied"),
+        F.round("rms_dbfs", 2).alias("rms_dbfs"),
+        F.round("dominant_freq_hz", 1).alias("dominant_freq_hz"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real DSP features over decoded PCM/WAV payloads (rows-only: no
     SQL engine can decode the audio bytes) — level, clipping, activity
@@ -993,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pack_bins": q_training_pack_bins,
         "clip_transcript_rate": q_clip_transcript_rate,
         "clip_audio_near_dups": q_clip_audio_near_dups,
+        "clip_conditioning": q_clip_conditioning,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_vocab": q_doc_bpe_vocab,
     }

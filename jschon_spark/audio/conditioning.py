@@ -1,0 +1,168 @@
+"""Audio conditioning: sample-rate normalization and gain targeting.
+
+A 100 TB audio corpus arrives at heterogeneous sample rates and levels;
+every downstream consumer (feature extraction, chunk planning, model
+input pipelines) wants one canonical (sr, level). This stage is the
+map-only payload rewrite that provides it:
+
+- ``resample_clips``: band-limited polyphase-free linear-interpolation
+  resampling to a target rate. Linear interp is the right tradeoff
+  here: it needs no filter-design dependency (no scipy in the sandbox),
+  is exactly deterministic, O(n), fully vectorized, and its ~-26 dB
+  worst-case image level is below the corpus noise floor for speech
+  use; a proper windowed-sinc kernel can be swapped in per-row without
+  touching the Spark plumbing. Downsampling first applies a simple
+  moving-average anti-alias pre-filter sized to the decimation ratio so
+  aliased energy doesn't fold into the band features use.
+- ``normalize_gain_clips``: scale samples so clip RMS hits a target
+  dBFS (default -20), with a peak ceiling that caps the gain before
+  clipping rather than letting the clip saturate.
+
+Both run in the shared zero-copy ``iter_decoded`` mapInArrow walk and
+re-emit canonical ``pcm_s16le`` payload bytes — this is the ONE audio
+stage whose output is payload-sized (it exists to rewrite payloads), so
+it belongs before the column-pruned metadata stages, mirroring how a
+real pipeline materializes the conditioned corpus once.
+
+Reference scope note: handrews/jschon has no audio surface; this module
+is part of the training-data-pipeline extension the task brief mandates
+beyond reference parity (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from jschon_spark.audio.features import iter_decoded
+
+TARGET_RMS_DBFS = -20.0
+PEAK_CEILING_DBFS = -1.0
+_FULL = 32767.0
+
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample of int16 samples,
+    with a moving-average anti-alias pre-filter when decimating.
+    Output length is round(n * sr_out / sr_in) — duration-preserving
+    to within half an output sample."""
+    if sr_in == sr_out or len(x) == 0:
+        return x.astype(np.int16, copy=False)
+    xf = x.astype(np.float64)
+    if sr_out < sr_in:
+        # moving average over the decimation ratio kills the worst
+        # aliased images before interpolation (boxcar null at sr_out)
+        k = int(np.ceil(sr_in / sr_out))
+        if k > 1:
+            c = np.cumsum(np.concatenate([[0.0], xf]))
+            pad = (k - 1) // 2
+            lo = np.clip(np.arange(len(xf)) - pad, 0, len(xf))
+            hi = np.clip(np.arange(len(xf)) + (k - pad), 0, len(xf))
+            xf = (c[hi] - c[lo]) / np.maximum(hi - lo, 1)
+    n_out = int(round(len(xf) * sr_out / sr_in))
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    i0 = np.minimum(pos.astype(np.int64), len(xf) - 1)
+    i1 = np.minimum(i0 + 1, len(xf) - 1)
+    frac = pos - i0
+    out = xf[i0] * (1.0 - frac) + xf[i1] * frac
+    return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+
+
+def gain_for_target(
+    x: np.ndarray,
+    target_rms_dbfs: float = TARGET_RMS_DBFS,
+    peak_ceiling_dbfs: float = PEAK_CEILING_DBFS,
+) -> float:
+    """Linear gain that brings RMS to the target, capped so the peak
+    stays under the ceiling (normalization must not clip). 1.0 for
+    silent input."""
+    n = len(x)
+    if n == 0:
+        return 1.0
+    xf = x.astype(np.float64)
+    rms = float(np.sqrt(np.dot(xf, xf) / n))
+    peak = float(np.max(np.abs(xf)))
+    if rms <= 0.0 or peak <= 0.0:
+        return 1.0
+    want = (10.0 ** (target_rms_dbfs / 20.0)) * _FULL / rms
+    cap = (10.0 ** (peak_ceiling_dbfs / 20.0)) * _FULL / peak
+    return min(want, cap)
+
+
+def _condition_kernel(
+    target_sr: int | None,
+    target_rms_dbfs: float | None,
+    peak_ceiling_dbfs: float,
+):
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            n = batch.num_rows
+            ok = np.zeros(n, dtype=bool)
+            gains = np.ones(n, dtype=np.float64)
+            # undecodable rows keep their claimed sr_hz untouched
+            srs_out = (
+                batch.column(names.index("sr_hz"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32, copy=True)
+            )
+            payloads: list = [None] * n
+            for i, dec, sr in iter_decoded(batch):
+                y = dec
+                out_sr = sr
+                if target_sr is not None and sr > 0:
+                    y = resample_linear(y, sr, target_sr)
+                    out_sr = target_sr
+                if target_rms_dbfs is not None:
+                    g = gain_for_target(y, target_rms_dbfs, peak_ceiling_dbfs)
+                    gains[i] = g
+                    y = np.clip(
+                        np.round(y.astype(np.float64) * g), -32768, 32767
+                    ).astype(np.int16)
+                ok[i] = True
+                srs_out[i] = out_sr
+                payloads[i] = y.tobytes()
+            arrays, out_names = [], []
+            for j, nm in enumerate(names):
+                if nm in ("bytes", "codec", "sr_hz"):
+                    continue
+                arrays.append(batch.column(j))
+                out_names.append(nm)
+            arrays += [
+                pa.array(payloads, type=pa.binary()),
+                pa.array(["pcm_s16le" if v else None for v in ok]),
+                pa.array(srs_out),
+                pa.array(ok),
+                pa.array(gains),
+            ]
+            out_names += ["bytes", "codec", "sr_hz", "conditioned_ok", "gain_applied"]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
+
+    return gen
+
+
+def condition_clips(
+    df: DataFrame,
+    target_sr: int | None = 16000,
+    target_rms_dbfs: float | None = TARGET_RMS_DBFS,
+    peak_ceiling_dbfs: float = PEAK_CEILING_DBFS,
+) -> DataFrame:
+    """Rewrite clip payloads to canonical pcm_s16le at ``target_sr`` and
+    ``target_rms_dbfs`` (pass None to skip either step). Map-only —
+    one zero-copy decode walk, payload-sized output by design (this IS
+    the materialize-the-conditioned-corpus stage). Undecodable rows
+    keep null payload with conditioned_ok = false."""
+    keep = [f for f in df.schema.fields if f.name not in ("bytes", "codec", "sr_hz")]
+    out_fields = keep + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("conditioned_ok", T.BooleanType()),
+        T.StructField("gain_applied", T.DoubleType()),
+    ]
+    return df.mapInArrow(
+        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs),
+        T.StructType(out_fields),
+    )
