@@ -73,6 +73,11 @@ def run_validation(
         "duplicates": tc.duplicate_keys(meta, "clip_id"),
     }
 
+    if "transcript" in meta.columns and "dur_ms" in meta.columns:
+        # transcript-duration plausibility (speakingRate/articulationRate)
+        # — map-only, no shuffle, rides the same metadata scan shape
+        out["speaking_rate"] = tc.speaking_rate_checks(meta)
+
     if audio:
         # persist post-decode (bytes dropped → tiny rows) so the flag and
         # violation outputs don't each re-decode the whole audio payload;

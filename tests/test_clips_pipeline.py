@@ -340,3 +340,18 @@ def test_categorical_histograms_one_pass_matches_per_column(spark, clips_df):
     plan = combined._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1, plan
     assert "Expand" in plan  # grouping-sets expansion, not two scans
+
+
+def test_speaking_rate_stage_present_and_map_only(results):
+    """run_validation exposes the transcript-duration plausibility check
+    whenever transcript+dur_ms exist; plan stays shuffle-free."""
+    sr = results["speaking_rate"]
+    assert set(sr.columns) == {
+        "clip_id", "keyword", "check", "words_per_sec", "chars_per_sec"
+    }
+    plan = sr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # fixture transcripts are plausible for their durations by
+    # construction; only injected violation rows may trip the band
+    rows = sr.collect()
+    assert all(r["keyword"] in ("speakingRate", "articulationRate") for r in rows)
