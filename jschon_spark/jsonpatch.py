@@ -197,3 +197,63 @@ def patch_json_column(col, ops: list[dict]):
         return s.map(one)
 
     return patch(col)
+
+
+class JSONDocument:
+    """In-place JSON mutation API — the driver-side counterpart of the
+    reference's experimental ``JSON.add/remove/replace`` methods
+    (jschon/json.py:327-459) plus the ``move``/``copy``/``test``
+    methods the reference declares but leaves unimplemented
+    (json.py:446-459); all six delegate to the same RFC 6902 engine as
+    ``apply_patch``, so semantics match the patch operations exactly
+    (e.g. an empty path replaces the document wholesale).
+
+    This is a DRIVER-SIDE convenience for schema/catalog manipulation
+    and tests; table-scale mutation is ``patch_json_column``. The
+    wrapped value is plain Python JSON (dict/list/scalars), exposed via
+    ``.value``."""
+
+    def __init__(self, value: Any):
+        self.value = copy.deepcopy(value)
+
+    def add(self, path: str, value: Any) -> "JSONDocument":
+        self.value = apply_op(self.value, {"op": "add", "path": path, "value": value})
+        return self
+
+    def remove(self, path: str) -> "JSONDocument":
+        self.value = apply_op(self.value, {"op": "remove", "path": path})
+        return self
+
+    def replace(self, path: str, value: Any) -> "JSONDocument":
+        self.value = apply_op(self.value, {"op": "replace", "path": path, "value": value})
+        return self
+
+    def move(self, from_: str, to: str) -> "JSONDocument":
+        self.value = apply_op(self.value, {"op": "move", "from": from_, "path": to})
+        return self
+
+    def copy(self, from_: str, to: str) -> "JSONDocument":
+        self.value = apply_op(self.value, {"op": "copy", "from": from_, "path": to})
+        return self
+
+    def test(self, path: str, value: Any) -> "JSONDocument":
+        """Raises PatchError when the value at ``path`` differs (JSON
+        equality: 1 == 1.0, key order ignored)."""
+        apply_op(self.value, {"op": "test", "path": path, "value": value})
+        return self
+
+    def get(self, path: str) -> Any:
+        return get_value(self.value, path)
+
+    def patch(self, ops: list[dict]) -> "JSONDocument":
+        """Apply a whole RFC 6902 patch atomically: either every op
+        lands or (on any failure) the document is left untouched."""
+        self.value = apply_patch(self.value, ops)
+        return self
+
+    def __eq__(self, other: Any) -> bool:
+        ov = other.value if isinstance(other, JSONDocument) else other
+        return _json_equal(self.value, ov)
+
+    def __repr__(self) -> str:
+        return f"JSONDocument({self.value!r})"
