@@ -167,12 +167,13 @@ def clip_fingerprint128(e: np.ndarray) -> tuple[int, int] | None:
     return int(a), int(b)
 
 
-def _arrow_fp_batches(keep_subfp: bool):
+def _arrow_fp_batches(keep_subfp: bool, keep_bytes: bool = False):
     """mapInArrow kernel factory: zero-copy decode → sub-fingerprints →
     128-bit clip fingerprint. Emits every non-bytes input column plus
     FINGERPRINT_FIELDS (and the ``subfp`` sequence when asked — only
     ask when a BER verify stage follows; it is the one per-frame-sized
-    output)."""
+    output). ``keep_bytes`` passes the payload through unchanged — for
+    dedup stages whose SURVIVORS flow on to payload consumers."""
 
     def gen(batches):
         for batch in batches:
@@ -195,8 +196,12 @@ def _arrow_fp_batches(keep_subfp: bool):
                     continue
                 ok[i] = True
                 fp_a[i], fp_b[i] = packed
-            arrays = [batch.column(j) for j, nm in enumerate(names) if nm != "bytes"]
-            out_names = [nm for nm in names if nm != "bytes"]
+            arrays = [
+                batch.column(j)
+                for j, nm in enumerate(names)
+                if nm != "bytes" or keep_bytes
+            ]
+            out_names = [nm for nm in names if nm != "bytes" or keep_bytes]
             arrays += [pa.array(ok), pa.array(n_subfp), pa.array(fp_a), pa.array(fp_b)]
             out_names += [name for name, _ in FINGERPRINT_FIELDS]
             if keep_subfp:
@@ -207,15 +212,19 @@ def _arrow_fp_batches(keep_subfp: bool):
     return gen
 
 
-def with_audio_fingerprint(df: DataFrame, keep_subfp: bool = False) -> DataFrame:
+def with_audio_fingerprint(
+    df: DataFrame, keep_subfp: bool = False, keep_bytes: bool = False
+) -> DataFrame:
     """Append the 128-bit spectral fingerprint columns to a clips
-    DataFrame (and drop ``bytes``). Map-only, no shuffle; undecodable
-    or too-short rows get fingerprint_ok = false."""
-    out_fields = [f for f in df.schema.fields if f.name != "bytes"]
+    DataFrame (and drop ``bytes`` unless ``keep_bytes``). Map-only, no
+    shuffle; undecodable or too-short rows get fingerprint_ok = false."""
+    out_fields = [f for f in df.schema.fields if f.name != "bytes" or keep_bytes]
     out_fields += [T.StructField(name, dt) for name, dt in FINGERPRINT_FIELDS]
     if keep_subfp:
         out_fields.append(T.StructField("subfp", T.ArrayType(T.IntegerType())))
-    return df.mapInArrow(_arrow_fp_batches(keep_subfp), T.StructType(out_fields))
+    return df.mapInArrow(
+        _arrow_fp_batches(keep_subfp, keep_bytes), T.StructType(out_fields)
+    )
 
 
 def audio_near_duplicates(

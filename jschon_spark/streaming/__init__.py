@@ -239,3 +239,42 @@ def drift_per_window(bins_df: DataFrame, baseline: DataFrame) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+def streaming_audio_dedup(
+    stream_df: DataFrame,
+    id_col: str = "clip_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming perceptual audio dedup: the first clip with each
+    128-bit spectral fingerprint (audio/fingerprint.py) inside the
+    watermark horizon passes; later clips with the IDENTICAL
+    fingerprint — bit-exact replays, re-encodes, pure gain changes
+    (the fingerprint is gain-sign-invariant) — are dropped.
+
+    Exact-fingerprint equality is the streaming-safe tightening of the
+    batch Hamming banding (audio_near_duplicates), by the same argument
+    as streaming_near_dedup vs the batch MinHash LSH: a radius join
+    needs a stream-stream self-join with unbounded reach, while an
+    equality key rides ``dropDuplicatesWithinWatermark``'s
+    engine-managed bounded state. High-precision / reduced-recall tier
+    — run the batch near-dup clusterer over the sink for the noisy-copy
+    tier. Fingerprinting itself is the stateless zero-copy mapInArrow
+    stage (payload passes through so survivors keep their audio).
+
+    Undecodable rows are never treated as duplicates of each other:
+    their dedup key falls back to the row's own ``id_col``."""
+    from jschon_spark.audio.fingerprint import with_audio_fingerprint
+
+    fp = with_audio_fingerprint(stream_df, keep_bytes=True)
+    key = F.when(
+        F.col("fingerprint_ok"),
+        F.concat_ws(":", F.col("audio_fp_a"), F.col("audio_fp_b")),
+    ).otherwise(F.concat(F.lit("raw:"), F.col(id_col).cast("string")))
+    return (
+        fp.withColumn("audio_fp_key", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["audio_fp_key"])
+        .drop("audio_fp_key")
+    )

@@ -346,3 +346,63 @@ def test_streaming_windowed_drift(spark, tmp_path):
         want = drift_statistics(cur, base_df, "value", 100.0).collect()[0]
         assert abs(r["psi"] - want["psi"]) < 1e-9, (minute, r, want)
         assert abs(r["ks"] - want["ks"]) < 1e-9, (minute, r, want)
+
+
+def test_streaming_audio_dedup(spark, tmp_path):
+    """Bit-exact replays and pure gain changes share the 128-bit
+    spectral fingerprint and collapse; different content passes;
+    undecodable rows are never deduped against each other."""
+    import numpy as np
+
+    from jschon_spark.streaming import streaming_audio_dedup
+
+    def tone_mix(seed):
+        rng = np.random.default_rng(seed)
+        n = 32000
+        t = np.arange(n) / 16000.0
+        x = sum(
+            a * np.sin(2 * np.pi * f * t + p)
+            for f, a, p in zip(
+                rng.uniform(320, 2800, 5), rng.uniform(0.3, 1.0, 5), rng.uniform(0, 6.28, 5)
+            )
+        )
+        bed = np.fft.irfft(np.fft.rfft(rng.standard_normal(n)) * 0.5, n)
+        x = x + 0.8 * bed / np.std(bed)
+        x = x / np.max(np.abs(x))
+        return np.clip(x * 0.5 * 32767.0, -32768, 32767).astype(np.int16)
+
+    a = tone_mix(1)
+    gain = (a.astype(np.float64) * 0.5).astype(np.int16)  # pure gain change
+    rows = [
+        (dt.datetime(2026, 1, 1, 12, 0, 0), "a", a.tobytes(), "pcm_s16le", 16000),
+        (dt.datetime(2026, 1, 1, 12, 0, 2), "a_replay", a.tobytes(), "pcm_s16le", 16000),
+        (dt.datetime(2026, 1, 1, 12, 0, 4), "a_gain", gain.tobytes(), "pcm_s16le", 16000),
+        (dt.datetime(2026, 1, 1, 12, 0, 6), "b", tone_mix(2).tobytes(), "pcm_s16le", 16000),
+        (dt.datetime(2026, 1, 1, 12, 0, 7), "bad1", b"\x00", "pcm_s16le", 16000),
+        (dt.datetime(2026, 1, 1, 12, 0, 8), "bad2", b"\x00", "pcm_s16le", 16000),
+    ]
+    ddl = "ts timestamp, clip_id string, bytes binary, codec string, sr_hz int"
+    src = tmp_path / "src_audio_dedup"
+    src.mkdir()
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*.parquet"))
+    q = (
+        streaming_audio_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("audio_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_audio_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT clip_id, bytes IS NOT NULL AS has_payload FROM audio_dedup_sink"
+        ).toPandas()
+    finally:
+        q.stop()
+    kept = set(out["clip_id"])
+    assert "b" in kept and {"bad1", "bad2"} <= kept  # undecodables both pass
+    assert len(kept & {"a", "a_replay", "a_gain"}) == 1  # one survivor
+    # survivors keep their audio payload (except the undecodable rows)
+    assert all(out[out.clip_id == "b"]["has_payload"])
