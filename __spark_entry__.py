@@ -656,6 +656,78 @@ def q_clip_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_duplicates(_synth_rich_clips(spark))
 
 
+def q_clip_audio_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-robust audio matching (audio/landmarks.py: Shazam-style
+    spectral peak-pair landmarks + offset-histogram voting with
+    distinct-hash votes): 150 dense-spectrum clips + 15 planted 1 s
+    snippets cut at non-frame-aligned offsets with light noise — each
+    snippet must match its source at the right offset (rows-only:
+    no SQL engine can decode and FFT; margins pinned in
+    tests/test_audio_landmarks.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from jschon_spark.audio.landmarks import audio_containment_pairs
+
+    sr, n_base, n_snips = 16000, 150, 15
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].to_numpy():
+                base = int(i) % n_base
+                rng = np.random.default_rng(base)
+                n = sr * 2
+                t = np.arange(n) / sr
+                # NON-STATIONARY content (like real speech/music): four
+                # half-second segments with independent tone sets — a
+                # stationary corpus is the landmark worst case (few
+                # distinct hashes, so chance constellation overlaps
+                # between unrelated clips approach true-match votes)
+                x = np.zeros(n)
+                seg_len = n // 4
+                for s in range(4):
+                    sl = slice(s * seg_len, (s + 1) * seg_len)
+                    for f, a, ph in zip(
+                        rng.uniform(320, 2800, 4),
+                        rng.uniform(0.3, 1.0, 4),
+                        rng.uniform(0, 6.28, 4),
+                    ):
+                        x[sl] += a * np.sin(2 * np.pi * f * t[sl] + ph)
+                bed = np.fft.rfft(rng.standard_normal(n))
+                shape = np.interp(
+                    np.linspace(0, 1, len(bed)),
+                    np.linspace(0, 1, 16),
+                    rng.uniform(0.05, 1.0, 16),
+                )
+                bednow = np.fft.irfft(bed * shape, n)
+                x += 0.8 * bednow / np.std(bednow)
+                x /= np.max(np.abs(x))
+                pcm = np.clip(x * 0.5 * 32767.0, -32768, 32767).astype(np.int16)
+                if i >= n_base:  # planted snippet: 1.25 s cut, non-aligned offset
+                    start = 3000 + int(rng.integers(0, 8000))
+                    cut = pcm[start : start + sr * 5 // 4].astype(np.float64)
+                    cut += 0.02 * np.abs(cut).max() * np.random.default_rng(
+                        20_000 + base
+                    ).standard_normal(len(cut))
+                    pcm = np.clip(cut, -32768, 32767).astype(np.int16)
+                    cid = f"lc{base:04d}_snip"
+                else:
+                    cid = f"lc{base:04d}"
+                out.append((cid, pcm.tobytes()))
+            yield pd.DataFrame(out, columns=["clip_id", "bytes"]).assign(
+                codec="pcm_s16le", sr_hz=sr
+            )
+
+    clips = spark.range(0, n_base + n_snips, 1, 8).mapInPandas(
+        gen, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    # thinner index (topk 3 / fanout 4 vs the 4/6 defaults) — posting
+    # volume halves, the self-join quarters; measured snippet votes
+    # stay >2x over min_votes
+    return audio_containment_pairs(clips, min_votes=25, topk=3, fanout=4)
+
+
 def q_clip_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize the mixed-rate clips corpus to 16 kHz / -20 dBFS
     pcm_s16le (audio/conditioning.py: resample + gain in one zero-copy
@@ -1016,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_transcript_rate": q_clip_transcript_rate,
         "clip_audio_near_dups": q_clip_audio_near_dups,
         "clip_conditioning": q_clip_conditioning,
+        "clip_audio_containment": q_clip_audio_containment,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_vocab": q_doc_bpe_vocab,
     }
