@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -211,3 +212,78 @@ def encode_words(
     for l, r, _ in merges:
         col = merge_pair_expr(col, l, r)
     return df.withColumn(out, col)
+
+
+def encode_udf(merges: List[Tuple[str, str, int]], eow: Optional[str] = EOW):
+    """Arrow-batched BPE encoder for PRODUCTION-SIZED merge lists —
+    ``text -> array<string>`` of BPE tokens. ``encode_words`` chains one
+    ``aggregate`` HOF per merge (fine for tens of merges, unusable at
+    32k); this is the classic rank-table apply (the public GPT-2
+    ``bpe()`` algorithm, Radford et al. 2019 / Sennrich et al. 2016):
+    per word, repeatedly merge the adjacent pair with the LOWEST merge
+    rank until none applies — O(word_len · merges_applied) with a dict
+    lookup per pair, independent of vocabulary size.
+
+    Two batch-level savings keep the Python cost bounded:
+    - words dedupe within each Arrow batch (Zipf: a handful of distinct
+      words dominate), each distinct word encodes once;
+    - an encode cache persists across batches within the worker
+      (capped), so hot words cost one dict hit corpus-wide per worker.
+
+    The rank dict rides task-broadcast into the workers once."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    _cache: dict = {}
+
+    def bpe_word(word: str) -> list:
+        got = _cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + ([eow] if eow else [])
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best, best_rank = i, rk
+            if best is None:
+                break
+            # merge ALL non-overlapping occurrences of the best pair
+            # left-to-right (= merge_pair_expr's fold semantics)
+            l, r = syms[best], syms[best + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        if len(_cache) < 65536:
+            _cache[word] = syms
+        return syms
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks: list = []
+            for w in t.split():
+                toks.extend(bpe_word(w))
+            return toks
+
+        return texts.map(one)
+
+    return encode
+
+
+def encode_text(df: DataFrame, merges: List[Tuple[str, str, int]],
+                text_col: str = "text", out: str = "bpe_tokens",
+                eow: Optional[str] = EOW) -> DataFrame:
+    """``text`` → BPE token array column using the learned merges —
+    map-only, Arrow-batched, vocabulary-size-independent."""
+    return df.withColumn(out, encode_udf(merges, eow=eow)(F.col(text_col)))

@@ -153,3 +153,40 @@ def test_vocab_totals(spark, docs):
         assert vocab == dict(want)
     finally:
         wf.unpersist()
+
+
+def test_encode_udf_matches_fold_encoder(spark):
+    """The rank-table Arrow encoder (encode_udf — production path)
+    agrees with the chained-fold encode_words (exact reference path)
+    on the learned merges, word for word."""
+    from jschon_spark.operators.bpe import (
+        encode_text,
+        encode_words,
+        learn_bpe,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, CORPUS[i % len(CORPUS)]) for i in range(30)], "doc_id long, text string"
+    )
+    merges, wf = learn_bpe(docs, n_merges=12)
+    wf.unpersist()
+    words = word_freqs(docs)
+    fold = {
+        r["word"]: r["syms"]
+        for r in encode_words(words, merges).collect()
+    }
+    arrow = encode_text(
+        spark.createDataFrame([(w,) for w in fold], "text string"), merges
+    ).collect()
+    got = {r["text"]: r["bpe_tokens"] for r in arrow}
+    assert got == fold
+
+
+def test_encode_udf_null_and_multiword(spark):
+    from jschon_spark.operators.bpe import encode_text
+
+    df = spark.createDataFrame([("ab ab",), (None,)], "text string")
+    out = {r["text"]: r["bpe_tokens"] for r in encode_text(df, [("a", "b", 9)]).collect()}
+    assert out["ab ab"] == ["ab", "</w>", "ab", "</w>"]
+    assert out[None] is None
