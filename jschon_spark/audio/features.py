@@ -189,10 +189,11 @@ def iter_decoded(batch):
         yield i, dec, sr
 
 
-def _arrow_feature_batches(batches):
+def _arrow_feature_batches(batches, keep_bytes: bool = False):
     """mapInArrow kernel: zero-copy decode (same buffer walk as the
     invariant kernel) then clip_features per row. Emits every non-bytes
-    input column plus the feature columns."""
+    input column plus the feature columns (``keep_bytes`` passes the
+    payload through for stages whose survivors feed payload sinks)."""
     for batch in batches:
         names = batch.schema.names
         n = batch.num_rows
@@ -206,8 +207,10 @@ def _arrow_feature_batches(batches):
             for (name, _), v in zip(FEATURE_FIELDS, vals):
                 cols[name][i] = v
 
-        arrays = [batch.column(j) for j, nm in enumerate(names) if nm != "bytes"]
-        out_names = [nm for nm in names if nm != "bytes"]
+        arrays = [
+            batch.column(j) for j, nm in enumerate(names) if nm != "bytes" or keep_bytes
+        ]
+        out_names = [nm for nm in names if nm != "bytes" or keep_bytes]
         arrays.append(pa.array(ok))
         out_names.append("features_ok")
         for name, _ in FEATURE_FIELDS:
@@ -216,16 +219,20 @@ def _arrow_feature_batches(batches):
         yield pa.RecordBatch.from_arrays(arrays, out_names)
 
 
-def with_audio_features(df: DataFrame) -> DataFrame:
+def with_audio_features(df: DataFrame, keep_bytes: bool = False) -> DataFrame:
     """Append real DSP feature columns to a clips DataFrame (and drop
-    ``bytes``). Map-only: no shuffle, audio payload never materializes
-    as Python objects, output is metadata-sized. Select only the
-    columns you need BEFORE calling if the frame is wide — the kernel
-    passes every non-bytes column through."""
-    out_fields = [f for f in df.schema.fields if f.name != "bytes"]
+    ``bytes`` unless ``keep_bytes``). Map-only: no shuffle, audio
+    payload never materializes as Python objects, output is
+    metadata-sized by default. Select only the columns you need BEFORE
+    calling if the frame is wide — the kernel passes every non-bytes
+    column through."""
+    out_fields = [f for f in df.schema.fields if f.name != "bytes" or keep_bytes]
     out_fields.append(T.StructField("features_ok", T.BooleanType()))
     out_fields += [T.StructField(name, dt) for name, dt in FEATURE_FIELDS]
-    return df.mapInArrow(_arrow_feature_batches, T.StructType(out_fields))
+    return df.mapInArrow(
+        lambda batches: _arrow_feature_batches(batches, keep_bytes=keep_bytes),
+        T.StructType(out_fields),
+    )
 
 
 def audio_quality_flags(
