@@ -728,6 +728,109 @@ def q_clip_audio_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_containment_pairs(clips, min_votes=25, topk=3, fanout=4)
 
 
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py — union+window, one key
+    shuffle, no range-join explosion): every click event attributed to
+    the latest at-or-before view of the same user; matched rows with
+    the exact microsecond gap. DuckDB oracle uses its native ASOF
+    JOIN, so the >= tie semantics are cross-checked engine-to-engine."""
+    from jschon_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    j = asof_join(clicks, views, on=["user_id"], left_ts="ts", right_ts="ts")
+    return j.where(F.col("view_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        # ts is TIMESTAMP_NTZ; route through TIMESTAMP for unix_micros —
+        # the session-tz interpretation cancels in the DIFFERENCE
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_right").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def q_lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quartiles of extended price (linear interpolation
+    — Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.transform(q, lambda v: F.round(v, 4)).alias("price_quartiles"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_orders_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (rank window with a
+    deterministic orderkey tiebreak) — the per-key top-K pattern, one
+    shuffle on the key."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_wds_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar-shard (WebDataset) ingest surface: write 120 synthetic
+    3-member samples as 4 tar shards (one streamed tar per task), read
+    them back (one binaryFile task per shard, ext filter inside the
+    untar loop), group to logical samples, and report per-ext member
+    stats (rows-only: no SQL engine reads tar; byte-identical round
+    trips pinned in tests/test_webdataset.py)."""
+    import hashlib
+
+    from jschon_spark.sources.webdataset import (
+        group_samples,
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    out = f"/tmp/jschon_spark_wds_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    marker = f"{out}/shard-000000.tar"
+    import os
+
+    if not os.path.exists(marker):
+        members = spark.range(0, 120, 1, 4).select(
+            F.format_string("%06d", F.col("id")).alias("key"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("wav").alias("ext"),
+                             F.encode(F.repeat(F.lit("a"), (F.col("id") % 50 + 10).cast("int")), "utf-8").alias("bytes")),
+                    F.struct(F.lit("txt").alias("ext"),
+                             F.encode(F.concat(F.lit("doc "), F.col("id")), "utf-8").alias("bytes")),
+                    F.struct(F.lit("json").alias("ext"),
+                             F.encode(F.concat(F.lit('{"id":'), F.col("id"), F.lit("}")), "utf-8").alias("bytes")),
+                )
+            ).alias("m"),
+        ).select("key", "m.ext", "m.bytes")
+        write_tar_shards(members, out, n_shards=4).collect()
+    back = read_tar_shards(spark, out)
+    samples = group_samples(back)
+    return (
+        back.groupBy("ext")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.length("bytes")).alias("total_bytes"),
+        )
+        .crossJoin(samples.agg(F.count(F.lit(1)).alias("n_samples")))
+        .orderBy("ext")
+    )
+
+
 def q_clip_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize the mixed-rate clips corpus to 16 kHz / -20 dBFS
     pcm_s16le (audio/conditioning.py: resample + gain in one zero-copy
@@ -1089,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_audio_near_dups": q_clip_audio_near_dups,
         "clip_conditioning": q_clip_conditioning,
         "clip_audio_containment": q_clip_audio_containment,
+        "wds_shard_stats": q_wds_shard_stats,
+        "events_click_attribution": q_events_click_attribution,
+        "lineitem_price_quantiles": q_lineitem_price_quantiles,
+        "orders_top3_per_customer": q_orders_top3_per_customer,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_vocab": q_doc_bpe_vocab,
     }
@@ -1582,6 +1689,40 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'zh' THEN '{_hex_rate(0.1)}'
                 ELSE '{_hex_rate(0.05)}'
               END
+        """,
+        "events_click_attribution": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT event_id AS view_event_id, user_id, ts
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, v.view_event_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+            FROM clicks c
+            ASOF JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "lineitem_price_quantiles": """
+            SELECT l_returnflag,
+                   [round(q, 4) FOR q IN quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])]
+                     AS price_quartiles
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "orders_top3_per_customer": """
+            SELECT o_custkey, rk, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rk
+              FROM orders
+            )
+            WHERE rk <= 3
         """,
         "clip_transcript_rate": f"""
             WITH clips AS (
