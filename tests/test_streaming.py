@@ -406,3 +406,44 @@ def test_streaming_audio_dedup(spark, tmp_path):
     assert len(kept & {"a", "a_replay", "a_gain"}) == 1  # one survivor
     # survivors keep their audio payload (except the undecodable rows)
     assert all(out[out.clip_id == "b"]["has_payload"])
+
+
+def test_streaming_conditioning(spark, tmp_path):
+    """condition_clips is a stateless mapInArrow stage, so it runs
+    unchanged inside Structured Streaming — mixed-rate clips canonicalize
+    to 16 kHz on a stream."""
+    import numpy as np
+
+    from jschon_spark.audio.conditioning import condition_clips
+
+    t8 = np.clip(0.2 * 32767 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0),
+                 -32768, 32767).astype(np.int16)
+    t22 = np.clip(0.2 * 32767 * np.sin(2 * np.pi * 880 * np.arange(22050) / 22050.0),
+                  -32768, 32767).astype(np.int16)
+    rows = [
+        (dt.datetime(2026, 1, 1), "a8k", t8.tobytes(), "pcm_s16le", 8000),
+        (dt.datetime(2026, 1, 1), "b22k", t22.tobytes(), "pcm_s16le", 22050),
+    ]
+    ddl = "ts timestamp, clip_id string, bytes binary, codec string, sr_hz int"
+    src = tmp_path / "src_cond"
+    src.mkdir()
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*.parquet"))
+    q = (
+        condition_clips(stream, target_sr=16000)
+        .writeStream.format("memory")
+        .queryName("cond_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cond"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT clip_id, sr_hz, conditioned_ok, length(bytes) AS n FROM cond_sink"
+        ).collect()
+    finally:
+        q.stop()
+    by_id = {r["clip_id"]: r for r in out}
+    assert all(r["conditioned_ok"] and r["sr_hz"] == 16000 for r in out)
+    assert by_id["a8k"]["n"] == 2 * 16000  # 1 s upsampled
