@@ -278,6 +278,38 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, pairs).where(F.col("jaccard") > 0)
 
 
+def q_doc_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-duplicates: length-bucket blocking
+    (one equi-join, SQL-expressible) then character Levenshtein
+    verification with the length-gap prefilter and per-pair banded-DP
+    bound (dedup.py:edit_verified_pairs). The production cascade feeds
+    MinHash/SimHash candidates into the same verifier; the bucket
+    blocker here keeps the query oracle-checkable value-for-value."""
+    from jschon_spark.operators.dedup import edit_verified_pairs, length_bucket_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = length_bucket_pairs(docs, bucket_width=16)
+    return edit_verified_pairs(docs, cand, threshold=0.6)
+
+
+def q_doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalized form for the case/punct/whitespace dedup
+    pre-pass: per-doc md5 fingerprint of normalize_text plus the length
+    reduction — 500-row value-hash check of the transform itself
+    (text.py:normalize_text; the dedup rollup over it is pytest-pinned
+    with planted variants)."""
+    from jschon_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.length(norm).alias("norm_len"),
+        F.length("text").alias("raw_len"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.similarity import brute_force_topk
 
@@ -1161,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_edit_near_dups": q_doc_edit_near_dups,
+        "doc_normalized": q_doc_normalized,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1531,6 +1565,36 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE a.doc_id < 20 AND b.doc_id < 20
               AND len(list_intersect(a.grams, b.grams)) > 0
+        """,
+        "doc_edit_near_dups": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS l,
+                     floor(length(text) / 16)::int AS bk
+              FROM documents
+            ),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.text AS ta, b.text AS tb,
+                     greatest(a.l, b.l) AS m
+              FROM d a JOIN d b
+                ON a.doc_id < b.doc_id AND abs(a.bk - b.bk) <= 1
+              WHERE abs(a.l - b.l) <= floor((1.0 - 0.6) * greatest(a.l, b.l))
+            )
+            SELECT id_a, id_b,
+                   levenshtein(ta, tb) AS edit_distance,
+                   round(CASE WHEN m = 0 THEN 1.0
+                              ELSE 1.0 - levenshtein(ta, tb)::double / m END, 6)
+                     AS edit_similarity
+            FROM cand
+            WHERE (CASE WHEN m = 0 THEN 1.0
+                        ELSE 1.0 - levenshtein(ta, tb)::double / m END) >= 0.6
+        """,
+        "doc_normalized": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+                   length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len,
+                   length(text) AS raw_len
+            FROM documents
         """,
         "embedding_topk": """
             SELECT vec_id,

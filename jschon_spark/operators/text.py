@@ -31,6 +31,47 @@ def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens
     return df.withColumn(out, F.size(words_col(F.col(text_col))))
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for dedup pre-passes: lowercase, every
+    non-alphanumeric run collapsed to a single space, trimmed. Catches
+    the case/punctuation/whitespace near-dup class BEFORE the expensive
+    probabilistic blockers run (normalized exact dedup is one 16-byte-key
+    shuffle vs a MinHash pass). Pure JVM regexp — the character class is
+    dialect-portable (identical in Java regex and RE2), so the transform
+    is oracle-checkable value-for-value."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def normalized_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of documents identical up to case/punctuation/whitespace:
+    `exact_duplicates` semantics over `normalize_text`. Same scale shape —
+    groupBy on a 16-byte md5 of the normalized form, map-side combine."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("norm_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized content hash."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("norm_hash")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="semi")
+
+
 def with_bpe_ish_token_estimate(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
     """BPE-ish token estimate: count of regex word/punct chunks — the
     standard cheap proxy (≈ GPT-2 pre-tokenizer granularity) without a
