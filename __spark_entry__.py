@@ -910,6 +910,27 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_log_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel spectrogram front-end over the clips corpus (audio/mel.py:
+    zero-copy decode -> strided Hann frames -> batched rFFT -> one matmul
+    against the memoized HTK filterbank; map-only, bytes dropped).
+    Rows-only: no SQL engine can decode audio. The synthesis contract
+    (seeded tone -> nearest mel band) is pinned in tests/test_audio_mel.py;
+    here the per-clip dominant band + frame count summarize the matrix."""
+    from jschon_spark.audio.mel import with_log_mel
+
+    mel = with_log_mel(_synth_clips(spark), n_mels=40)
+    return mel.select(
+        "clip_id",
+        "mel_ok",
+        "n_frames",
+        F.array_position(F.col("mel_mean"), F.array_max("mel_mean")).alias("top_band"),
+        F.round(F.aggregate("mel_mean", F.lit(0.0), lambda a, x: a + x) / F.size("mel_mean"), 3).alias(
+            "mel_mean_db"
+        ),
+    )
+
+
 def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation rollup over the DSP features: per-gate
     fire counts + survivors, one distributed aggregation (map-only
@@ -1213,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_drift": q_events_daily_drift,
         "audio_features": q_audio_features,
         "audio_quality_gate": q_audio_quality_gate,
+        "clip_log_mel": q_clip_log_mel,
         "doc_boilerplate_phrases": q_doc_boilerplate_phrases,
         "doc_boilerplate_fraction": q_doc_boilerplate_fraction,
         "doc_contamination": q_doc_contamination,
