@@ -165,6 +165,25 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(docs).select("doc_id", "quality_score")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals + keep gate
+    (text.py:repetition_columns) — 500-row value-hash check."""
+    from jschon_spark.operators.text import repetition_columns, repetition_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    r = repetition_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        F.round(r["dup_line_fraction"], 6).alias("dup_line_fraction"),
+        F.round(r["dup_2gram_fraction"], 6).alias("dup_2gram_fraction"),
+        F.round(r["dup_3gram_fraction"], 6).alias("dup_3gram_fraction"),
+        F.round(r["bullet_line_fraction"], 6).alias("bullet_line_fraction"),
+        F.round(r["ellipsis_line_fraction"], 6).alias("ellipsis_line_fraction"),
+        repetition_gate(F.col("text")).alias("repetition_ok"),
+    )
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.text import with_lang_id
 
@@ -1207,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
+        "doc_repetition": q_doc_repetition,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
@@ -1587,6 +1607,51 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE a.doc_id < 20 AND b.doc_id < 20
               AND len(list_intersect(a.grams, b.grams)) > 0
+        """,
+        "doc_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)),
+                                 l -> l <> '') AS lines,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lines,
+                     CASE WHEN len(ws) >= 2
+                          THEN [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+                          ELSE [] END AS g2,
+                     CASE WHEN len(ws) >= 3
+                          THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+                          ELSE [] END AS g3
+              FROM base
+            ),
+            sig AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines))::double / len(lines) ELSE 0.0 END AS dlf,
+                     CASE WHEN len(g2) > 0
+                          THEN 1.0 - len(list_distinct(g2))::double / len(g2) ELSE 0.0 END AS d2,
+                     CASE WHEN len(g3) > 0
+                          THEN 1.0 - len(list_distinct(g3))::double / len(g3) ELSE 0.0 END AS d3,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))::double / len(lines)
+                          ELSE 0.0 END AS blf,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))::double / len(lines)
+                          ELSE 0.0 END AS elf
+              FROM g
+            )
+            SELECT doc_id, n_lines,
+                   round(dlf, 6) AS dup_line_fraction,
+                   round(d2, 6) AS dup_2gram_fraction,
+                   round(d3, 6) AS dup_3gram_fraction,
+                   round(blf, 6) AS bullet_line_fraction,
+                   round(elf, 6) AS ellipsis_line_fraction,
+                   (dlf <= 0.30 AND d2 <= 0.20 AND d3 <= 0.18
+                    AND blf <= 0.90 AND elf <= 0.30) AS repetition_ok
+            FROM sig
         """,
         "doc_edit_near_dups": """
             WITH d AS (

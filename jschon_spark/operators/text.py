@@ -146,10 +146,10 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams, built with n-1 ``zip_with`` passes over
-    shifted slices — O(words·n) total.  (The obvious
-    ``transform(sequence(...), i -> concat_ws(slice(ws, i+1, n)))``
+def word_ngrams_all(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (duplicates kept), built with n-1
+    ``zip_with`` passes over shifted slices — O(words·n) total.  (The
+    obvious ``transform(sequence(...), i -> concat_ws(slice(ws, i+1, n)))``
     formulation is O(words²): the per-index ``slice`` copies a subarray
     for every gram — measured 4x slower on the documents table, and an
     ``element_at`` variant 10x slower still.)"""
@@ -158,7 +158,82 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     g = F.slice(ws, 1, count)
     for j in range(1, n):
         g = F.zip_with(g, F.slice(ws, j + 1, count), lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(count > 0, F.array_distinct(g)).otherwise(F.array().cast("array<string>"))
+    return F.when(count > 0, g).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (set semantics, for Jaccard/minhash)."""
+    return F.array_distinct(word_ngrams_all(text, n))
+
+
+def repetition_columns(text: Column) -> dict[str, Column]:
+    """Gopher/Dolma-family repetition signals — the standard machine-text
+    and boilerplate tells. All JVM HOFs over one pass of lines/words
+    (codegen'd, no shuffle), each reproducible in ANSI SQL:
+
+    - dup_line_fraction:  1 - distinct/total over trimmed non-empty lines
+    - dup_2gram_fraction / dup_3gram_fraction: 1 - distinct/total word
+      n-grams (the linear-time surrogate for Gopher's duplicate-n-gram
+      character mass)
+    - bullet_line_fraction, ellipsis_line_fraction: list-y layout tells
+    """
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_lines = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    def dup_grams(n: int) -> Column:
+        g = word_ngrams_all(text, n)
+        total = F.size(g)
+        return F.when(total > 0, 1.0 - F.size(F.array_distinct(g)) / total).otherwise(
+            F.lit(0.0)
+        )
+
+    bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$")))
+    return {
+        "n_lines": n_lines,
+        "dup_line_fraction": dup_lines,
+        "dup_2gram_fraction": dup_grams(2),
+        "dup_3gram_fraction": dup_grams(3),
+        "bullet_line_fraction": F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0)),
+        "ellipsis_line_fraction": F.when(n_lines > 0, ellipsis / n_lines).otherwise(F.lit(0.0)),
+    }
+
+
+def repetition_gate(
+    text: Column,
+    max_dup_line_fraction: float = 0.30,
+    max_dup_2gram_fraction: float = 0.20,
+    max_dup_3gram_fraction: float = 0.18,
+    max_bullet_line_fraction: float = 0.90,
+    max_ellipsis_line_fraction: float = 0.30,
+) -> Column:
+    """Boolean keep-gate over the repetition signals (Gopher-rule
+    thresholds as defaults). Compose with with_quality_score /
+    audio_quality_flags in a curation plan — everything stays one
+    codegen'd projection."""
+    r = repetition_columns(text)
+    return (
+        (r["dup_line_fraction"] <= max_dup_line_fraction)
+        & (r["dup_2gram_fraction"] <= max_dup_2gram_fraction)
+        & (r["dup_3gram_fraction"] <= max_dup_3gram_fraction)
+        & (r["bullet_line_fraction"] <= max_bullet_line_fraction)
+        & (r["ellipsis_line_fraction"] <= max_ellipsis_line_fraction)
+    )
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the repetition signal columns plus the ``repetition_ok``
+    gate (default thresholds)."""
+    cols = repetition_columns(F.col(text_col))
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return out.withColumn("repetition_ok", repetition_gate(F.col(text_col)))
 
 
 def curate_documents(
