@@ -184,6 +184,44 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (text.py:scrub_pii): the corpus is augmented
+    with deterministically planted emails / phone runs / IPv4s (pure
+    Column arithmetic, reproduced verbatim in the oracle SQL) so the
+    masked-chain counting and replacement tokens are value-checked on
+    nonzero matches, then scrubbed. 500-row hash check."""
+    from jschon_spark.operators.text import with_pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 415 555 0"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_pii_scrub(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("scrubbed_text").cast("binary")).alias("scrub_hash"),
+    )
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.text import with_lang_id
 
@@ -1227,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
@@ -1652,6 +1691,35 @@ def oracle_sql() -> dict[str, str]:
                    (dlf <= 0.30 AND d2 <= 0.20 AND d3 <= 0.18
                     AND blf <= 0.90 AND elf <= 0.30) AS repetition_ok
             FROM sig
+        """,
+        "doc_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::varchar || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' call +1 415 555 0' || lpad((doc_id % 100)::varchar, 3, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' from 10.0.' || (doc_id % 256)::varchar || '.7'
+                               ELSE '' END AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            m2 AS (
+              SELECT doc_id, t, t1,
+                     regexp_replace(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2
+              FROM m
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(t2, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS n_phone,
+                   md5(regexp_replace(t2, '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')) AS scrub_hash
+            FROM m2
         """,
         "doc_edit_near_dups": """
             WITH d AS (

@@ -166,6 +166,40 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams_all(text, n))
 
 
+# PII scrub patterns: dialect-portable regexes (identical semantics in
+# Java regex and RE2, so the transform is oracle-checkable). Order
+# matters: emails first (their local parts contain digits), then IPv4
+# before the greedy phone pattern can eat dotted quads.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / phone-number runs with typed
+    placeholder tokens — the standard pre-training redaction pass. One
+    chained regexp_replace projection, codegen'd, no UDF."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-category match counts and the scrubbed text. Counts
+    are taken BEFORE scrubbing (on the raw text) in pattern order, with
+    earlier categories masked so the phone pattern never re-counts an
+    IP's digits."""
+    out = df
+    masked = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(masked, F.lit(pattern)))
+        masked = F.regexp_replace(masked, pattern, token)
+    return out.withColumn("scrubbed_text", masked)
+
+
 def repetition_columns(text: Column) -> dict[str, Column]:
     """Gopher/Dolma-family repetition signals — the standard machine-text
     and boilerplate tells. All JVM HOFs over one pass of lines/words
