@@ -976,7 +976,7 @@ def q_clip_log_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the per-clip dominant band + frame count summarize the matrix."""
     from jschon_spark.audio.mel import with_log_mel
 
-    mel = with_log_mel(_synth_clips(spark), n_mels=40)
+    mel = with_log_mel(_synth_clips(spark), n_mels=40, n_mfcc=13)
     return mel.select(
         "clip_id",
         "mel_ok",
@@ -985,6 +985,8 @@ def q_clip_log_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("mel_mean", F.lit(0.0), lambda a, x: a + x) / F.size("mel_mean"), 3).alias(
             "mel_mean_db"
         ),
+        F.round(F.element_at("mfcc_mean", 1), 3).alias("mfcc_c0"),
+        F.round(F.element_at("mfcc_mean", 2), 3).alias("mfcc_c1"),
     )
 
 

@@ -103,7 +103,24 @@ def log_mel(
     return (10.0 * np.log10(np.maximum(mel, floor))).astype(np.float32)
 
 
-def _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames):
+def dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """(n_mfcc, n_mels) orthonormal DCT-II basis — the standard
+    log-mel -> cepstrum rotation. Pure numpy (no scipy in-sandbox)."""
+    n = np.arange(n_mels, dtype=np.float64)
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    m = np.sqrt(2.0 / n_mels) * np.cos(np.pi / n_mels * (n + 0.5) * k)
+    m[0] /= np.sqrt(2.0)
+    return m.astype(np.float32)
+
+
+def mfcc_from_log_mel(lm: np.ndarray, dct: np.ndarray) -> np.ndarray:
+    """(n_frames, n_mfcc) cepstra from a (n_frames, n_mels) log-mel
+    matrix: one matmul."""
+    return lm @ dct.T
+
+
+def _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames, n_mfcc):
+    dct = dct_matrix(n_mfcc, n_mels) if n_mfcc else None
     for batch in batches:
         names = batch.schema.names
         n = batch.num_rows
@@ -112,6 +129,8 @@ def _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames):
         means: list = [None] * n
         stds: list = [None] * n
         frames_out: list = [None] * n
+        mf_means: list = [None] * n
+        mf_stds: list = [None] * n
 
         scratch: dict = {}
         for i, dec, sr in iter_decoded(batch):
@@ -124,6 +143,10 @@ def _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames):
             stds[i] = lm.std(axis=0)
             if emit_frames:
                 frames_out[i] = lm
+            if dct is not None:
+                mf = mfcc_from_log_mel(lm, dct)
+                mf_means[i] = mf.mean(axis=0)
+                mf_stds[i] = mf.std(axis=0)
 
         arrays = [batch.column(j) for j, nm in enumerate(names) if nm != "bytes"]
         out_names = [nm for nm in names if nm != "bytes"]
@@ -134,6 +157,12 @@ def _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames):
             pa.array(stds, type=pa.list_(pa.float32())),
         ]
         out_names += ["mel_ok", "n_frames", "mel_mean", "mel_std"]
+        if dct is not None:
+            arrays += [
+                pa.array(mf_means, type=pa.list_(pa.float32())),
+                pa.array(mf_stds, type=pa.list_(pa.float32())),
+            ]
+            out_names += ["mfcc_mean", "mfcc_std"]
         if emit_frames:
             arrays.append(
                 pa.array(
@@ -151,10 +180,13 @@ def with_log_mel(
     win_ms: float = 25.0,
     hop_ms: float = 10.0,
     emit_frames: bool = False,
+    n_mfcc: int = 0,
 ) -> DataFrame:
     """Append log-mel features to a clips DataFrame (``bytes`` dropped).
     Map-only; undecodable or too-short rows get ``mel_ok = false`` with
-    null feature columns. See the module docstring for the
+    null feature columns. ``n_mfcc > 0`` adds cepstral summaries
+    (mfcc_mean/mfcc_std) from the same decoded pass — one extra matmul
+    per clip, no second decode. See the module docstring for the
     ``emit_frames`` sizing caveat."""
     out_fields = [f for f in df.schema.fields if f.name != "bytes"]
     out_fields += [
@@ -163,9 +195,25 @@ def with_log_mel(
         T.StructField("mel_mean", T.ArrayType(T.FloatType())),
         T.StructField("mel_std", T.ArrayType(T.FloatType())),
     ]
+    if n_mfcc:
+        out_fields += [
+            T.StructField("mfcc_mean", T.ArrayType(T.FloatType())),
+            T.StructField("mfcc_std", T.ArrayType(T.FloatType())),
+        ]
     if emit_frames:
         out_fields.append(T.StructField("mel", T.ArrayType(T.ArrayType(T.FloatType()))))
     return df.mapInArrow(
-        lambda batches: _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames),
+        lambda batches: _arrow_mel_batches(batches, n_mels, win_ms, hop_ms, emit_frames, n_mfcc),
         T.StructType(out_fields),
     )
+
+
+def with_mfcc(
+    df: DataFrame,
+    n_mfcc: int = 13,
+    n_mels: int = 40,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+) -> DataFrame:
+    """Convenience wrapper: log-mel + cepstral summaries in one pass."""
+    return with_log_mel(df, n_mels=n_mels, win_ms=win_ms, hop_ms=hop_ms, n_mfcc=n_mfcc)

@@ -109,6 +109,33 @@ def test_with_log_mel_frames_variant(spark, clips):
     assert np.allclose(m, np.array(out["good"]["mel_mean"], dtype=np.float64), atol=1e-4)
 
 
+def test_dct_orthonormal():
+    from jschon_spark.audio.mel import dct_matrix
+
+    full = dct_matrix(40, 40).astype(np.float64)
+    assert np.allclose(full @ full.T, np.eye(40), atol=1e-5)
+
+
+def test_mfcc_constant_logmel_only_c0():
+    from jschon_spark.audio.mel import dct_matrix, mfcc_from_log_mel
+
+    lm = np.full((5, 40), -30.0, dtype=np.float32)
+    mf = mfcc_from_log_mel(lm, dct_matrix(13, 40))
+    # a flat spectrum has all energy in the DC cepstral coefficient
+    assert np.allclose(mf[:, 1:], 0.0, atol=1e-3)
+    assert np.allclose(mf[:, 0], -30.0 * np.sqrt(40), atol=1e-2)
+
+
+def test_with_mfcc_stage(spark, clips):
+    from jschon_spark.audio.mel import with_mfcc
+
+    out = {r["clip_id"]: r for r in with_mfcc(clips, n_mfcc=13).collect()}
+    assert len(out["good"]["mfcc_mean"]) == 13 and len(out["good"]["mfcc_std"]) == 13
+    assert out["nullbytes"]["mfcc_mean"] is None
+    # c0 tracks overall level: the tone clip is far above the floor
+    assert out["good"]["mfcc_mean"][0] > -100.0 * np.sqrt(40)
+
+
 def test_with_log_mel_map_only(spark, clips):
     plan = with_log_mel(clips)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
