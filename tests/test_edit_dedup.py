@@ -102,6 +102,43 @@ def test_edit_cascade_finds_planted_dups(spark, docs):
     assert not any(3 in p or 4 in p or 5 in p for p in out)
 
 
+@pytest.fixture(scope="module")
+def long_docs(spark):
+    # realistic near-dup shape: ONE word edited in a 40-word document
+    # keeps 4-gram Jaccard ~0.82, so each band collides w.p. ~J and all
+    # three missing is ~0.6% — deterministic here since md5 is fixed.
+    words = [f"word{i}" for i in range(40)]
+    base = " ".join(words)
+    edit1 = " ".join(["edited" if i == 35 else w for i, w in enumerate(words)])
+    edit2 = " ".join(["changed" if i == 3 else w for i, w in enumerate(words)])
+    other = " ".join(f"unrelated{i}" for i in range(40))
+    rows = [(0, base), (1, edit1), (2, edit2), (3, other), (4, "tiny text")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_band_blocker(spark, long_docs):
+    from jschon_spark.operators.dedup import minhash_band_pairs_sql
+
+    rows = minhash_band_pairs_sql(long_docs, n=4, n_bands=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # near-identical docs share min-grams; the unrelated doc and the
+    # too-short doc (id 4: no 4-grams) pair with nobody
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+    # distinct: no duplicate candidate rows despite 3 bands
+    assert len(rows) == len(got)
+
+
+def test_minhash_band_blocker_cascade(spark, long_docs):
+    from jschon_spark.operators.dedup import minhash_band_pairs_sql
+
+    cand = minhash_band_pairs_sql(long_docs, n=4, n_bands=3)
+    out = {
+        (r["id_a"], r["id_b"]) for r in edit_verified_pairs(long_docs, cand, threshold=0.8).collect()
+    }
+    assert out == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_normalize_text(spark):
     df = spark.createDataFrame(
         [("  Hello,   WORLD!! 42 ",), ("hello world 42",), ("...",)], "t string"
