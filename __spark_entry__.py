@@ -167,21 +167,35 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals + keep gate
-    (text.py:repetition_columns) — 500-row value-hash check."""
-    from jschon_spark.operators.text import repetition_columns, repetition_gate
+    (text.py:with_repetition_signals — the staged-projection form, so
+    the gate never recomputes the n-gram chains) — 500-row value-hash
+    check."""
+    from jschon_spark.operators.text import with_repetition_signals
 
     docs = _t(spark, sf_dir, "documents")
-    r = repetition_columns(F.col("text"))
-    return docs.select(
+    sig = with_repetition_signals(docs)
+    return sig.select(
         "doc_id",
-        r["n_lines"].alias("n_lines"),
-        F.round(r["dup_line_fraction"], 6).alias("dup_line_fraction"),
-        F.round(r["dup_2gram_fraction"], 6).alias("dup_2gram_fraction"),
-        F.round(r["dup_3gram_fraction"], 6).alias("dup_3gram_fraction"),
-        F.round(r["bullet_line_fraction"], 6).alias("bullet_line_fraction"),
-        F.round(r["ellipsis_line_fraction"], 6).alias("ellipsis_line_fraction"),
-        repetition_gate(F.col("text")).alias("repetition_ok"),
+        "n_lines",
+        F.round("dup_line_fraction", 6).alias("dup_line_fraction"),
+        F.round("dup_2gram_fraction", 6).alias("dup_2gram_fraction"),
+        F.round("dup_3gram_fraction", 6).alias("dup_3gram_fraction"),
+        F.round("bullet_line_fraction", 6).alias("bullet_line_fraction"),
+        F.round("ellipsis_line_fraction", 6).alias("ellipsis_line_fraction"),
+        "repetition_ok",
     )
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage check (corpus.py:top_k_vocabulary +
+    with_oov_rate): freeze the corpus's top-200 words (deterministic
+    tie-break) and report per-doc out-of-vocabulary rate via one explode +
+    broadcast lookup. 500-row value-hash check."""
+    from jschon_spark.operators.corpus import top_k_vocabulary, with_oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = top_k_vocabulary(docs, k=200)
+    return with_oov_rate(docs, vocab)
 
 
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_oov_rate": q_doc_oov_rate,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
@@ -1695,6 +1710,32 @@ def oracle_sql() -> dict[str, str]:
                    (dlf <= 0.30 AND d2 <= 0.20 AND d3 <= 0.18
                     AND blf <= 0.90 AND elf <= 0.30) AS repetition_ok
             FROM sig
+        """,
+        "doc_oov_rate": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+              FROM documents
+            ),
+            freq AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            vocab AS (
+              SELECT word FROM (
+                SELECT word, row_number() OVER (ORDER BY c DESC, word ASC) AS r FROM freq
+              ) WHERE r <= 200
+            ),
+            per AS (
+              SELECT w.doc_id, count(*) AS n_words,
+                     sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS oov_words
+              FROM w LEFT JOIN vocab v ON w.word = v.word
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_words, 0)::bigint AS n_words,
+                   coalesce(per.oov_words, 0)::bigint AS oov_words,
+                   round(CASE WHEN coalesce(per.n_words, 0) > 0
+                              THEN per.oov_words::double / per.n_words
+                              ELSE 0.0 END, 6) AS oov_rate
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         "doc_pii_scrub": """
             WITH aug AS (

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jschon_spark.operators.text import word_ngrams
+from jschon_spark.operators.text import word_ngrams, words_col
 
 
 def doc_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -146,4 +146,71 @@ def contamination_report(
         "n_distinct_grams",
         "hit_grams",
         F.round(F.col("hit_grams") / F.col("n_distinct_grams"), 6).alias("contamination"),
+    )
+
+
+def top_k_vocabulary(
+    df: DataFrame, text_col: str = "text", k: int = 1000
+) -> DataFrame:
+    """The corpus's top-``k`` lowercased words by frequency — the
+    vocabulary a tokenizer-prep pass would freeze. Deterministic
+    tie-break (freq desc, then word asc) so an external engine
+    reproduces the exact set. One explode → hash-agg (map-side
+    combinable: word strings are the shuffle keys, bounded by the
+    Heaps'-law-small distinct-word count) → one top-k window over the
+    AGGREGATED table (vocabulary-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(words_col(F.lower(F.col(text_col)))).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("word", "freq", "rank")
+    )
+
+
+def with_oov_rate(
+    df: DataFrame,
+    vocabulary: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a ``vocabulary``
+    DataFrame with a ``word`` column — the coverage check a pipeline
+    runs before committing to a tokenizer vocabulary. Scale shape:
+    explode → BROADCAST left join against the (tiny) vocabulary →
+    per-doc count of misses; word-less documents keep oov_rate 0.0.
+    Returns (id, n_words, oov_words, oov_rate)."""
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.lower(F.col(text_col)))).alias("word")
+    )
+    misses = (
+        words.join(
+            F.broadcast(vocabulary.select("word", F.lit(True).alias("_in_vocab"))),
+            "word",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("oov_words"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(misses, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("oov_words", F.lit(0)).alias("oov_words"),
+            F.round(
+                F.when(
+                    F.coalesce("n_words", F.lit(0)) > 0,
+                    F.coalesce("oov_words", F.lit(0)) / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
     )

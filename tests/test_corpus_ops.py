@@ -179,3 +179,50 @@ def test_chunk_plan_rejects_bad_params(spark):
     df = spark.createDataFrame([("c", 9000, 16000)], "clip_id string, dur_ms int, sr_hz int")
     with pytest.raises(ValueError):
         chunk_plan(df, hop_ms=0)
+
+
+# ------------------------------------------------------- vocabulary / OOV
+
+
+def test_top_k_vocabulary_tiebreak(spark):
+    from jschon_spark.operators.corpus import top_k_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d")], "doc_id long, text string"
+    )
+    # freqs: a=3, b=3, c=1, d=1 -> rank by freq desc then word asc
+    rows = top_k_vocabulary(df, k=3).orderBy("rank").collect()
+    assert [(r["word"], r["freq"], r["rank"]) for r in rows] == [
+        ("a", 3, 1),
+        ("b", 3, 2),
+        ("c", 1, 3),
+    ]
+
+
+def test_oov_rate_values(spark):
+    from jschon_spark.operators.corpus import top_k_vocabulary, with_oov_rate
+
+    df = spark.createDataFrame(
+        [(0, "a a b x"), (1, "a b"), (2, ""), (3, "y y")],
+        "doc_id long, text string",
+    )
+    vocab = top_k_vocabulary(df, k=2)  # a (freq 3), b (freq 2)... y has 2 too
+    # freqs: a=3, b=2, y=2, x=1 -> top-2 = a, b (b < y alphabetically)
+    out = {r["doc_id"]: r for r in with_oov_rate(df, vocab).collect()}
+    assert out[0]["n_words"] == 4 and out[0]["oov_words"] == 1
+    assert out[0]["oov_rate"] == pytest.approx(0.25)
+    assert out[1]["oov_words"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_words"] == 0 and out[2]["oov_rate"] == 0.0  # word-less doc kept
+    assert out[3]["oov_words"] == 2 and out[3]["oov_rate"] == 1.0
+
+
+def test_oov_rate_broadcast_plan(spark):
+    from jschon_spark.operators.corpus import top_k_vocabulary, with_oov_rate
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        with_oov_rate(df, top_k_vocabulary(df, k=2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
