@@ -860,6 +860,33 @@ def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (temporal.py:sessionize, 30-min gap):
+    per-event session assignment — 10k-row value-hash check of the
+    window logic (one user-key shuffle + in-partition sort)."""
+    from jschon_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev).select("event_id", "user_id", "is_session_start", "session_idx")
+
+
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (temporal.py:session_stats): count, bounds,
+    duration — exercises the agg over the sessionize window."""
+    from jschon_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev)
+    return s.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
 def q_lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped quartiles of extended price (linear interpolation
     — Spark `percentile` ≡ DuckDB `quantile_cont`)."""
@@ -1328,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_audio_containment": q_clip_audio_containment,
         "wds_shard_stats": q_wds_shard_stats,
         "events_click_attribution": q_events_click_attribution,
+        "events_sessions": q_events_sessions,
+        "events_session_stats": q_events_session_stats,
         "lineitem_price_quantiles": q_lineitem_price_quantiles,
         "orders_top3_per_customer": q_orders_top3_per_customer,
         "doc_bpe_merges": q_doc_bpe_merges,
@@ -1710,6 +1739,41 @@ def oracle_sql() -> dict[str, str]:
                    (dlf <= 0.30 AND d2 <= 0.20 AND d3 <= 0.18
                     AND blf <= 0.90 AND elf <= 0.30) AS repetition_ok
             FROM sig
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   (prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000) AS is_session_start,
+                   sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::bigint AS session_idx
+            FROM o
+        """,
+        "events_session_stats": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            s AS (
+              SELECT event_id, user_id, ts,
+                     sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::bigint AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 6) AS duration_s
+            FROM s GROUP BY user_id, session_idx
         """,
         "doc_oov_rate": """
             WITH w AS (

@@ -99,3 +99,57 @@ def asof_join(
     cols = [F.col(f"_l.{c}").alias(c) for c in lkeep]
     cols += [F.col(f"_match.{c}").alias(rnames[c]) for c in rpay]
     return out.select(*cols)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessionization: events of one user belong to the same
+    session while consecutive gaps stay <= ``gap_minutes``. Appends
+    ``is_session_start`` and the per-user 1-based ``session_idx``.
+
+    Scale shape: ONE hash-partition shuffle on the user key + an
+    in-partition sort — the canonical sessionize plan; a hot key (bot
+    user) sorts in one partition instead of exploding (AQE skew split
+    applies). Tie-break on ``order_col`` keeps the assignment
+    deterministic under equal timestamps. Timestamps are compared in
+    microseconds via unix_micros; TIMESTAMP_NTZ columns are cast so the
+    session-timezone shift cancels in the difference."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    start = prev.isNull() | ((us - prev) > int(gap_minutes * 60_000_000))
+    run = Window.partitionBy(user_col).orderBy(ts_col, order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", start).withColumn(
+        "session_idx", F.sum(F.col("is_session_start").cast("int")).over(run)
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Per-session rollup over `sessionize`: event count, first/last
+    timestamp, duration in seconds. One additional map-side-combinable
+    aggregation on (user, session_idx) — same partitioning as the
+    sessionize shuffle, so AQE reuses the exchange."""
+    s = sessionize(df, user_col, ts_col, order_col, gap_minutes)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            ((F.max(us) - F.min(us)) / 1e6).alias("duration_s"),
+        )
+    )

@@ -81,3 +81,58 @@ def test_plan_single_exchange_no_range_join(spark, frames):
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # the union sides
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def _sess_df(spark):
+    from datetime import datetime
+
+    rows = [
+        # user 1: 3 events, gap of 31 min splits after the second
+        (0, datetime(2024, 1, 1, 10, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 10, 20, 0), 1),
+        (2, datetime(2024, 1, 1, 10, 51, 0), 1),
+        # user 2: exactly 30-min gap stays in one session (> not >=)
+        (3, datetime(2024, 1, 1, 9, 0, 0), 2),
+        (4, datetime(2024, 1, 1, 9, 30, 0), 2),
+        # user 2: same-timestamp tie-break by event_id
+        (5, datetime(2024, 1, 1, 12, 0, 0), 2),
+        (6, datetime(2024, 1, 1, 12, 0, 0), 2),
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+
+def test_sessionize_values(spark):
+    from jschon_spark.operators.temporal import sessionize
+
+    out = {r["event_id"]: r for r in sessionize(_sess_df(spark)).collect()}
+    assert [out[i]["session_idx"] for i in range(3)] == [1, 1, 2]
+    assert out[2]["is_session_start"]
+    # boundary: exactly 30 minutes does NOT split
+    assert out[4]["session_idx"] == 1 and not out[4]["is_session_start"]
+    # 12:00 events are a new session; equal timestamps share it
+    assert out[5]["session_idx"] == 2 and out[6]["session_idx"] == 2
+    assert out[5]["is_session_start"] and not out[6]["is_session_start"]
+
+
+def test_session_stats_values(spark):
+    from jschon_spark.operators.temporal import session_stats
+
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(_sess_df(spark)).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["duration_s"] == 1200.0
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_s"] == 0.0
+    assert out[(2, 1)]["n_events"] == 2 and out[(2, 1)]["duration_s"] == 1800.0
+    assert out[(2, 2)]["n_events"] == 2
+
+
+def test_sessionize_one_shuffle(spark):
+    from jschon_spark.operators.temporal import sessionize
+
+    plan = sessionize(_sess_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash partition on the user key
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
