@@ -278,3 +278,37 @@ def streaming_audio_dedup(
         .dropDuplicatesWithinWatermark(["audio_fp_key"])
         .drop("audio_fp_key")
     )
+
+
+def streaming_sessions(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(user, session) rollup over a STREAM via the engine's native
+    session windows: ``F.session_window`` merges events whose windows
+    chain within ``gap``, state is engine-managed and bounded by the
+    watermark (a session closes — and in append mode emits — once the
+    watermark passes its end). The streaming analogue of
+    ``operators.temporal.session_stats``; same grouping up to the exact
+    -gap boundary (the batch operator keeps a gap of exactly ``gap`` in
+    one session, session windows split it)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )

@@ -447,3 +447,47 @@ def test_streaming_conditioning(spark, tmp_path):
     by_id = {r["clip_id"]: r for r in out}
     assert all(r["conditioned_ok"] and r["sr_hz"] == 16000 for r in out)
     assert by_id["a8k"]["n"] == 2 * 16000  # 1 s upsampled
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Native session windows over a stream reproduce the batch
+    sessionize rollup (event counts + bounds per session)."""
+    from datetime import datetime
+
+    from jschon_spark.operators.temporal import session_stats
+    from jschon_spark.streaming import streaming_sessions
+
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 10, 20, 0), 1),
+        (2, datetime(2024, 1, 1, 10, 55, 0), 1),   # 35-min gap -> new session
+        (3, datetime(2024, 1, 1, 9, 0, 0), 2),
+        (4, datetime(2024, 1, 1, 9, 10, 0), 2),
+        (5, datetime(2024, 1, 1, 23, 0, 0), 2),    # far gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src)
+    sess = streaming_sessions(stream, gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "select user_id, n_events, session_start, session_end from sess_sink"
+        ).toPandas()
+    finally:
+        q.stop()
+
+    batch = session_stats(df).toPandas()
+    key = ["user_id", "n_events", "session_start", "session_end"]
+    got = sorted(map(tuple, out[key].values.tolist()))
+    want = sorted(map(tuple, batch[key].values.tolist()))
+    assert got == want and len(got) == 4
