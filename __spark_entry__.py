@@ -485,6 +485,25 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, path, query, k=10, nprobe=8)
 
 
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized candidate generation + fp32 rescore
+    (similarity.py:quantized_topk): per-dim symmetric scales from one
+    distributed pass, integer dot products over the 4x-smaller column,
+    exact cosine only on rescore_factor*k survivors. Rows-only (recall
+    gate + quantization bounds pinned in tests/test_training_ops.py)."""
+    from jschon_spark.operators.similarity import (
+        embedding_scales,
+        quantized_topk,
+        with_quantized_embedding,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    scales = embedding_scales(emb)
+    qdf = with_quantized_embedding(emb, scales)
+    return quantized_topk(qdf, query, scales, k=10)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL pixel statistics (round 4): deterministic PNG/BMP/PPM
     # payloads synthesized per doc_id (fixtures.gen_images_batch — a
@@ -1326,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_ann_indexed": q_embedding_ann_indexed,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
         "embedding_ann_recall": q_embedding_ann_recall,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,
