@@ -198,6 +198,20 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_oov_rate(docs, vocab)
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-family quality signal (corpus.py:unigram_model +
+    with_unigram_logprob): per-doc mean log-probability under the
+    corpus's own unigram model — one freq agg + one broadcast join.
+    500-row value-hash check (rounded to 4 digits; the per-doc sum is
+    ~50 doubles, far inside the rounding margin)."""
+    from jschon_spark.operators.corpus import unigram_model, with_unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_model(docs)
+    out = with_unigram_logprob(docs, model)
+    return out.select("doc_id", "n_words", F.round("avg_logprob", 4).alias("avg_logprob"))
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (text.py:scrub_pii): the corpus is augmented
     with deterministically planted emails / phone runs / IPv4s (pure
@@ -1331,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_oov_rate": q_doc_oov_rate,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_curation": q_doc_curation,
         "doc_exact_dups": q_doc_exact_dups,
@@ -1820,6 +1835,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN per.oov_words::double / per.n_words
                               ELSE 0.0 END, 6) AS oov_rate
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        "doc_unigram_logprob": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+              FROM documents
+            ),
+            freq AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            t AS (SELECT sum(c)::double AS total FROM freq),
+            model AS (SELECT word, ln(c::double / total) AS logp FROM freq, t),
+            scored AS (
+              SELECT w.doc_id, count(*) AS n_words, avg(m.logp) AS alp
+              FROM w JOIN model m ON w.word = m.word
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(scored.n_words, 0)::bigint AS n_words,
+                   round(scored.alp, 4) AS avg_logprob
+            FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
         """,
         "doc_pii_scrub": """
             WITH aug AS (

@@ -214,3 +214,52 @@ def with_oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def unigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram language model: ``(word, freq, logp)`` with
+    ``logp = ln(freq / total)``. One explode → hash agg (Heaps'-law-
+    small result); the total folds in via a scalar cross join the
+    optimizer broadcasts. The building block of perplexity-family
+    quality filters (CCNet-style): documents whose words are improbable
+    under the corpus model are boilerplate/noise candidates."""
+    words = df.select(F.explode(words_col(F.lower(F.col(text_col)))).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("_total"))
+    return freq.crossJoin(F.broadcast(total)).select(
+        "word", "freq", F.log(F.col("freq") / F.col("_total")).alias("logp")
+    )
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under ``model``
+    (a `unigram_model` output): explode → broadcast join on word →
+    per-doc average. Words absent from the model are scored at the
+    model's minimum logp (the rare-word floor) so cross-corpus scoring
+    is total. Word-less documents keep a null score (no evidence).
+    Returns (id, n_words, avg_logprob)."""
+    floor = model.agg(F.min("logp").alias("_floor"))
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.lower(F.col(text_col)))).alias("word")
+    )
+    scored = (
+        words.join(F.broadcast(model.select("word", "logp")), "word", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(F.col(id_col), F.coalesce("logp", "_floor").alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_words"), F.avg("lp").alias("avg_logprob"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.col("avg_logprob"),
+        )
+    )

@@ -226,3 +226,38 @@ def test_oov_rate_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------- unigram LM
+
+
+def test_unigram_model_and_logprob(spark):
+    import math
+
+    from jschon_spark.operators.corpus import unigram_model, with_unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "")], "doc_id long, text string"
+    )
+    model = {r["word"]: r for r in unigram_model(df).collect()}
+    # freqs: a=3, b=1, c=1, total=5
+    assert model["a"]["freq"] == 3
+    assert model["a"]["logp"] == pytest.approx(math.log(3 / 5))
+    assert model["b"]["logp"] == pytest.approx(math.log(1 / 5))
+
+    out = {r["doc_id"]: r for r in with_unigram_logprob(df, unigram_model(df)).collect()}
+    assert out[0]["avg_logprob"] == pytest.approx((2 * math.log(3 / 5) + math.log(1 / 5)) / 3)
+    assert out[1]["n_words"] == 2
+    assert out[2]["n_words"] == 0 and out[2]["avg_logprob"] is None
+
+
+def test_unigram_oov_floor(spark):
+    import math
+
+    from jschon_spark.operators.corpus import unigram_model, with_unigram_logprob
+
+    train = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    other = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    out = with_unigram_logprob(other, unigram_model(train)).collect()[0]
+    # zzz is unseen -> scored at the model's minimum logp (b: ln(1/4))
+    assert out["avg_logprob"] == pytest.approx((math.log(3 / 4) + math.log(1 / 4)) / 2)
