@@ -1066,6 +1066,30 @@ def q_clip_log_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BS.1770 / EBU R128 loudness over decoded clips (rows-only: no
+    SQL engine can decode audio) — K-weighted gated integrated LUFS,
+    momentary max, bandlimited-4x true peak, plus the R128 -23 LUFS
+    normalization gain and curation gates. Kernel calibration (997 Hz
+    0 dBFS sine = -3.01 LUFS; ITU 48 kHz coefficient table reproduced)
+    is pinned in tests/test_audio_loudness.py. Map-only stage, bytes
+    dropped on output."""
+    from jschon_spark.audio.loudness import loudness_gate, r128_gain_db, with_loudness
+
+    lm = loudness_gate(with_loudness(_synth_clips(spark)))
+    r = lambda c: F.round(F.col(c), 3).alias(c)
+    return lm.select(
+        "clip_id",
+        "loudness_ok",
+        r("integrated_lufs"),
+        r("momentary_max_lufs"),
+        r("true_peak_dbtp"),
+        "n_gating_blocks",
+        F.round(r128_gain_db(-23.0), 3).alias("r128_gain_db"),
+        "keep_loudness",
+    )
+
+
 def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation rollup over the DSP features: per-gate
     fire counts + survivors, one distributed aggregation (map-only
@@ -1373,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": q_events_value_drift,
         "events_daily_drift": q_events_daily_drift,
         "audio_features": q_audio_features,
+        "clip_loudness": q_clip_loudness,
         "audio_quality_gate": q_audio_quality_gate,
         "clip_log_mel": q_clip_log_mel,
         "doc_boilerplate_phrases": q_doc_boilerplate_phrases,
