@@ -518,6 +518,22 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(qdf, query, scales, k=10)
 
 
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py, Jegou et al. 2011):
+    8-byte PQ codes (32x smaller than the fp32 column), asymmetric-
+    distance candidate generation from one broadcast (m x 256) lookup
+    table, exact fp32 cosine rescore on 4*k survivors. Rows-only
+    (encode/ADC math and the recall gate are pinned in
+    tests/test_pq.py)."""
+    from jschon_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    books = pq.pq_fit(emb, m=8, sample_n=20_000, iters=10)
+    coded = pq.with_pq_codes(emb, books)
+    return pq.pq_topk(coded, books, query, k=10)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL pixel statistics (round 4): deterministic PNG/BMP/PPM
     # payloads synthesized per doc_id (fixtures.gen_images_batch — a
@@ -1385,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_indexed": q_embedding_ann_indexed,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_quantized_topk": q_embedding_quantized_topk,
+        "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_ann_recall": q_embedding_ann_recall,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,
