@@ -1306,6 +1306,30 @@ def q_training_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, 512)
 
 
+def q_training_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences (operators/sequences.py): the
+    documents corpus tokenized to SQL-portable hash ids, concat-and-
+    chopped into 512-token input_ids rows across 8 hash buckets — ONE
+    exchange (the groupBy reuses the window's bucket partitioning,
+    plan-asserted in tests/test_sequences.py). DuckDB replays the
+    exact stream (same md5 order, window cumsum, slices); each
+    sequence's content is compared by md5 digest — a token-for-token
+    oracle over the assembled output."""
+    from jschon_spark.operators.sequences import assemble_sequences, hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", hash_token_ids(F.col("text")).alias("token_ids"))
+    seqs = assemble_sequences(ids, budget=512, n_buckets=8)
+    return seqs.select(
+        "bucket",
+        "seq_idx",
+        F.md5(F.array_join("input_ids", ",")).alias("seq_md5"),
+        "n_real",
+        "n_docs",
+        "complete",
+    )
+
+
 def q_clip_transcript_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript↔duration plausibility violations (speakingRate /
     articulationRate) — map-only codegen'd arithmetic, no shuffle
@@ -1425,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_speech_segments": q_clip_speech_segments,
         "clip_segment_chunks": q_clip_segment_chunks,
         "training_pack_plan": q_training_pack_plan,
+        "training_packed_sequences": q_training_packed_sequences,
         "training_pack_bins": q_training_pack_bins,
         "clip_transcript_rate": q_clip_transcript_rate,
         "clip_audio_near_dups": q_clip_audio_near_dups,
@@ -2246,6 +2271,48 @@ def oracle_sql() -> dict[str, str]:
                    seg_start + least(rel_start + 5000, seg_dur) AS end_ms,
                    ((least(rel_start + 5000, seg_dur) - rel_start) * sr_hz) // 1000 AS n_samples
             FROM c
+        """,
+        "training_packed_sequences": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform({_WORDS_SQL},
+                       w -> CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)) AS ids,
+                     CAST(('0x' || substr(md5(doc_id::VARCHAR || '|pack-v1'), 1, 4)) AS INTEGER) % 8 AS bucket,
+                     substr(md5(doc_id::VARCHAR || '|pack-v1'), 1, 8) AS ord_
+              FROM documents
+            ),
+            c AS (
+              SELECT bucket, ids, len(ids)::BIGINT AS n_tokens,
+                     (sum(len(ids)) OVER (
+                       PARTITION BY bucket ORDER BY ord_, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ))::BIGINT - len(ids) AS start_off
+              FROM d WHERE len(ids) > 0
+            ),
+            u AS (
+              SELECT bucket, ids, n_tokens, start_off,
+                     unnest(generate_series(start_off // 512,
+                                            (start_off + n_tokens - 1) // 512)) AS seq_idx
+              FROM c
+            ),
+            p AS (
+              SELECT bucket, seq_idx,
+                     greatest(start_off - seq_idx * 512, 0) AS pos_in_seq,
+                     ids[(greatest(seq_idx * 512 - start_off, 0) + 1)
+                         : (least((seq_idx + 1) * 512, start_off + n_tokens) - start_off)] AS piece
+              FROM u
+            ),
+            g AS (
+              SELECT bucket, seq_idx,
+                     flatten(list(piece ORDER BY pos_in_seq)) AS input_ids,
+                     count(*)::INT AS n_docs
+              FROM p GROUP BY bucket, seq_idx
+            )
+            SELECT bucket, seq_idx,
+                   md5(array_to_string(input_ids, ',')) AS seq_md5,
+                   len(input_ids)::INT AS n_real, n_docs,
+                   len(input_ids) = 512 AS complete
+            FROM g
         """,
         "training_pack_plan": f"""
             WITH d AS (
