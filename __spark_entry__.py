@@ -1208,6 +1208,21 @@ def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_training_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (sampling.py
+    temperature_sample, the mBERT/XLM-R p^alpha rule): one count-by-
+    stratum pass derives per-lang keep rates (alpha=0.5, target 50%),
+    then the same map-side md5-gated filter as the stratified mix.
+    DuckDB recomputes the counts, rates, hex thresholds, and coins —
+    the sampled set matches row-for-row."""
+    from jschon_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "lang", "doc_id", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "lang")
+
+
 def q_clip_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowing plan for long clips (5 s window / 4 s hop) — pure
     sequence+explode integer arithmetic, no UDF, no shuffle.  Durations
@@ -1445,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_fraction": q_doc_boilerplate_fraction,
         "doc_contamination": q_doc_contamination,
         "training_mix_sample": q_training_mix_sample,
+        "training_temperature_mix": q_training_temperature_mix,
         "clip_chunk_plan": q_clip_chunk_plan,
         "clip_speech_segments": q_clip_speech_segments,
         "clip_segment_chunks": q_clip_segment_chunks,
@@ -2139,6 +2155,33 @@ def oracle_sql() -> dict[str, str]:
                    h.hit_grams,
                    round(h.hit_grams / len(gd.grams), 6) AS contamination
             FROM gd JOIN hits h USING (doc_id)
+        """,
+        "training_temperature_mix": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ),
+            w AS (
+              SELECT lang, n, pow(n / (SELECT sum(n) FROM c), 0.5) AS wgt FROM c
+            ),
+            r AS (
+              SELECT lang,
+                     least(1.0,
+                           ((SELECT sum(n) FROM c) * 0.5 * wgt
+                             / (SELECT sum(wgt) FROM w)) / n) AS rate
+              FROM w
+            ),
+            t AS (
+              SELECT lang,
+                     CASE
+                       WHEN rate >= 1.0 THEN 'g'
+                       WHEN round(rate * 4294967296.0) <= 0 THEN '00000000'
+                       ELSE printf('%08x', CAST(round(rate * 4294967296.0) AS BIGINT))
+                     END AS thr
+              FROM r
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN t USING (lang)
+            WHERE substr(md5(concat(CAST(d.doc_id AS VARCHAR), '|mix-v1')), 1, 8) < thr
         """,
         "training_mix_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -78,3 +78,57 @@ def train_holdout_split(
     t = F.lit(rate_threshold_hex(holdout_frac))
     coin = hash_coin(F.col(key_col), salt)
     return df.where(coin >= t), df.where(coin < t)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.7, target_frac: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates — the standard multilingual /
+    multi-source rebalancing rule (sample stratum s with probability
+    proportional to p_s^alpha, p_s = count_s / total; alpha=1 keeps the
+    natural mix, alpha→0 approaches uniform-over-strata; see e.g.
+    mBERT/XLM-R exponential-smoothing sampling, Conneau et al. 2020).
+
+    Returns per-stratum KEEP rates for ``stratified_sample`` such that
+    the expected output is ``target_frac`` of the corpus with stratum
+    shares ∝ p_s^alpha. Rates are capped at 1.0 (hash-gated sampling
+    never upsamples); when the cap binds, the realized mix flattens
+    toward the cap — callers wanting exact shares lower target_frac
+    until no cap binds (the returned dict is exactly what was applied,
+    so the caller can check: rate < 1.0 for every stratum)."""
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    if total <= 0:
+        return {s: 0.0 for s in counts}
+    weights = {s: (c / total) ** alpha if c > 0 else 0.0 for s, c in counts.items()}
+    wsum = sum(weights.values()) or 1.0
+    want_total = target_frac * total
+    return {
+        s: min(1.0, (want_total * weights[s] / wsum) / counts[s]) if counts[s] else 0.0
+        for s in counts
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """One-stop temperature rebalancing: ONE count-by-stratum pass
+    (partial-aggregated; stratum cardinality is small by construction)
+    computes the rates, then the same map-side hash-gated filter as
+    stratified_sample applies them — deterministic, append-stable, and
+    externally replayable (an oracle recomputes both the counts and
+    the md5 coins)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha=alpha, target_frac=target_frac)
+    return stratified_sample(
+        df, rates, strata_col=strata_col, key_col=key_col, default_rate=0.0, salt=salt
+    )

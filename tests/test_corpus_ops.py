@@ -261,3 +261,44 @@ def test_unigram_oov_floor(spark):
     out = with_unigram_logprob(other, unigram_model(train)).collect()[0]
     # zzz is unseen -> scored at the model's minimum logp (b: ln(1/4))
     assert out["avg_logprob"] == pytest.approx((math.log(3 / 4) + math.log(1 / 4)) / 2)
+
+
+def test_temperature_rates_math():
+    """alpha=1 reproduces the natural mix; alpha->0 flattens toward
+    uniform; rates cap at 1 (no upsampling) and expected volume hits
+    target_frac when no cap binds."""
+    from jschon_spark.operators.sampling import temperature_rates
+
+    counts = {"en": 800, "de": 150, "fr": 50}
+    nat = temperature_rates(counts, alpha=1.0, target_frac=0.5)
+    for s in counts:  # natural mix: every stratum keeps target_frac
+        assert nat[s] == pytest.approx(0.5)
+    flat = temperature_rates(counts, alpha=1e-9, target_frac=0.1)
+    picked = {s: counts[s] * flat[s] for s in counts}  # ~uniform across strata
+    assert picked["en"] == pytest.approx(picked["de"], rel=1e-3)
+    assert picked["de"] == pytest.approx(picked["fr"], rel=1e-3)
+    capped = temperature_rates(counts, alpha=0.5, target_frac=0.5)
+    assert capped["fr"] == 1.0  # wants >50 docs from fr, caps
+    assert 0 < capped["en"] < capped["de"] < 1.0
+    assert temperature_rates({}, 0.5) == {}
+    assert temperature_rates({"x": 0}, 0.5)["x"] == 0.0
+
+
+def test_temperature_sample_realizes_mix(spark):
+    """Sampled shares track the alpha-scaled targets on a skewed corpus."""
+    import numpy as np
+
+    from jschon_spark.operators.sampling import temperature_rates, temperature_sample
+
+    rows = [(i, "en" if i < 3200 else ("de" if i < 3800 else "fr")) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.5, target_frac=0.25).toPandas()
+    counts = {"en": 3200, "de": 600, "fr": 200}
+    rates = temperature_rates(counts, alpha=0.5, target_frac=0.25)
+    got = out.groupby("lang").size().to_dict()
+    for s in counts:  # Bernoulli tolerance ~4 sigma
+        want = counts[s] * rates[s]
+        sd = np.sqrt(counts[s] * rates[s] * (1 - rates[s])) or 1.0
+        assert abs(got.get(s, 0) - want) <= 4 * sd + 1, (s, got.get(s), want)
+    # flattening: fr's share grew vs its natural 5%
+    assert got["fr"] / len(out) > 0.08
