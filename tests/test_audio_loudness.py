@@ -171,3 +171,36 @@ def test_stage_is_map_only(spark):
     df = spark.createDataFrame(pdf, schema=fx.CLIPS_DDL)
     plan = with_loudness(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_loudness(spark, tmp_path):
+    """with_loudness is a stateless mapInArrow stage, so it runs
+    unchanged inside Structured Streaming; measurements match the
+    batch kernel on the same payloads."""
+    import datetime as dt
+
+    t997 = tone(997, 0.5, 16000, 1.0)
+    rows = [(dt.datetime(2026, 1, 1), "s0", t997.tobytes(), "pcm_s16le", 16000)]
+    ddl = "ts timestamp, clip_id string, bytes binary, codec string, sr_hz int"
+    src = tmp_path / "src_loud"
+    src.mkdir()
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*.parquet"))
+    q = (
+        with_loudness(stream)
+        .writeStream.format("memory")
+        .queryName("loud_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_loud"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT clip_id, loudness_ok, integrated_lufs FROM loud_sink"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(out) == 1 and out[0]["loudness_ok"]
+    expected = clip_loudness(t997, 16000, {})[0]
+    assert out[0]["integrated_lufs"] == pytest.approx(expected, abs=1e-9)
