@@ -43,14 +43,60 @@ _AUDIO_CHECK_TYPE = T.StructType(
 )
 
 
+def _g711_mulaw_lut() -> np.ndarray:
+    """µ-law byte → int16 table (ITU-T G.711, the classic ulaw2linear:
+    complement the byte, split sign/exponent/mantissa, expand on the
+    +33 bias). Max magnitude 32124; 256 entries computed once."""
+    lut = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        x = (((m << 3) + 0x84) << e) - 0x84
+        lut[b] = -x if (u & 0x80) else x
+    return lut
+
+
+def _g711_alaw_lut() -> np.ndarray:
+    """A-law byte → int16 table (ITU-T G.711 alaw2linear: XOR 0x55,
+    segment expansion; sign bit SET means positive). Max magnitude
+    32256; 256 entries computed once."""
+    lut = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        lut[b] = t if (b & 0x80) else -t
+    return lut
+
+
+MULAW_LUT = _g711_mulaw_lut()
+ALAW_LUT = _g711_alaw_lut()
+
+# codec name → decode LUT for the 8-bit telephony formats; shared by
+# decode_pcm and the zero-copy Arrow walk (features.iter_decoded)
+G711_LUTS = {"pcm_mulaw": MULAW_LUT, "pcm_alaw": ALAW_LUT}
+
+
 def decode_pcm(blob: bytes, codec: str) -> tuple[np.ndarray | None, int | None]:
     """Decode one clip to int16 samples. Returns (samples, sr_from_header).
-    pcm_s16le is a zero-copy frombuffer view; wav parses the RIFF header
-    with the stdlib ``wave`` module (no scipy/soundfile in the sandbox)."""
+    pcm_s16le is a zero-copy frombuffer view; pcm_mulaw/pcm_alaw are one
+    vectorized 256-entry LUT gather (G.711 telephony); wav parses the
+    RIFF header with the stdlib ``wave`` module (no scipy/soundfile in
+    the sandbox)."""
     if codec == "pcm_s16le":
         if blob is None or len(blob) % 2 != 0:
             return None, None
         return np.frombuffer(blob, dtype="<i2"), None
+    lut = G711_LUTS.get(codec)
+    if lut is not None:
+        if blob is None:
+            return None, None
+        return lut[np.frombuffer(blob, dtype=np.uint8)], None
     if codec == "wav":
         try:
             with wave.open(io.BytesIO(blob), "rb") as w:

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jschon_spark.audio import _parse_wav_header, decode_pcm
+from jschon_spark.audio import G711_LUTS, _parse_wav_header, decode_pcm
 
 # dB floor used wherever a log of zero power would otherwise occur
 #  (all-zero payloads, empty frames).
@@ -170,6 +170,12 @@ def iter_decoded(batch):
             if (s1 - s0) % 2:
                 continue
             dec = np.frombuffer(raw, dtype="<i2", count=(s1 - s0) // 2, offset=s0)
+        elif c in G711_LUTS:
+            # 8-bit telephony (G.711): one LUT gather on the zero-copy
+            # uint8 view of the Arrow buffer
+            dec = G711_LUTS[c][
+                np.frombuffer(raw, dtype=np.uint8, count=s1 - s0, offset=s0)
+            ]
         elif c == "wav":
             parsed = _parse_wav_header(raw, s0, s1)
             if parsed is None:
