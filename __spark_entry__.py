@@ -250,6 +250,74 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-style transcript agreement QA (operators/transcripts.py):
+    hypothesis transcripts are deterministic perturbations of the
+    reference (word dropped / word doubled / case+punct noise), WER is
+    the vectorized word-DP, the 0.3 gate fails closed on missing
+    sides. Rows-only: word-level edit distance is not SQL-expressible
+    (the DP is pinned against a textbook replica in
+    tests/test_transcripts.py; CER has the oracle-exact sibling
+    doc_redaction_cer)."""
+    from jschon_spark.operators.transcripts import transcript_agreement_gate
+
+    clips = _synth_clips(spark).select("clip_id", F.col("transcript").alias("ref_transcript"))
+    w = F.split(F.col("ref_transcript"), " ")
+    mode = F.abs(F.xxhash64("clip_id")) % 4
+    hyp = (
+        F.when(mode == 0, F.array_join(F.concat(F.slice(w, 1, 2), F.slice(w, 4, 10000)), " "))
+        .when(mode == 1, F.array_join(F.concat(F.slice(w, 1, 1), w), " "))
+        .when(mode == 2, F.concat(F.upper(F.col("ref_transcript")), F.lit("!!")))
+        .otherwise(F.col("ref_transcript"))
+    )
+    pairs = clips.withColumn("transcript", hyp)
+    out = transcript_agreement_gate(pairs, max_wer=0.3)
+    return out.select(
+        "clip_id",
+        F.round("wer", 4).alias("wer"),
+        "n_ref_words",
+        "n_edits",
+        "keep_transcript",
+    )
+
+
+def q_doc_redaction_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character error rate of the PII redaction pass (transcripts.cer:
+    JVM levenshtein over normalized strings — codegen'd, map-only):
+    how much of each document the scrub rewrote. Same planted-PII
+    augmentation as doc_pii_scrub; DuckDB replays the augmentation,
+    the scrub chain, the normalization, and levenshtein exactly."""
+    from jschon_spark.operators.text import with_pii_scrub
+    from jschon_spark.operators.transcripts import cer
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 415 555 0"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = with_pii_scrub(aug)
+    return scrubbed.select(
+        "doc_id",
+        F.round(cer(F.col("scrubbed_text"), F.col("text")), 6).alias("redaction_cer"),
+    )
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.text import with_lang_id
 
@@ -1423,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_redaction_cer": q_doc_redaction_cer,
+        "clip_transcript_wer": q_clip_transcript_wer,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1937,6 +2007,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(scored.n_words, 0)::bigint AS n_words,
                    round(scored.alp, 4) AS avg_logprob
             FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
+        """,
+        "doc_redaction_cer": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::varchar || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' call +1 415 555 0' || lpad((doc_id % 100)::varchar, 3, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' from 10.0.' || (doc_id % 256)::varchar || '.7'
+                               ELSE '' END AS t
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id, t,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS s
+              FROM aug
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(s), '[^\\w\\s]|_', ' ', 'g'), '\\s+', ' ', 'g')) AS nh,
+                     trim(regexp_replace(regexp_replace(lower(t), '[^\\w\\s]|_', ' ', 'g'), '\\s+', ' ', 'g')) AS nr
+              FROM sc
+            )
+            SELECT doc_id,
+                   round(levenshtein(nh, nr)::DOUBLE / greatest(length(nr), 1), 6) AS redaction_cer
+            FROM n
         """,
         "doc_pii_scrub": """
             WITH aug AS (
