@@ -55,13 +55,21 @@ def parse_args(argv):
     p.add_argument("--target-dbfs", type=float, default=-20.0)
     p.add_argument("--max-hamming", type=int, default=14, help="near-dup fingerprint radius")
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--loudness-gate", action="store_true",
+                   help="add BS.1770 integrated-loudness / true-peak gates")
+    p.add_argument("--min-lufs", type=float, default=-45.0)
+    p.add_argument("--max-lufs", type=float, default=-5.0)
     p.add_argument("--partition-col", default="part_id")
     return p.parse_args(argv)
 
 
-def curate(spark, clips, target_sr=16000, target_dbfs=-20.0, max_hamming=14, dedup=True):
+def curate(spark, clips, target_sr=16000, target_dbfs=-20.0, max_hamming=14,
+           dedup=True, loudness=False, min_lufs=-45.0, max_lufs=-5.0):
     """The curation plan (importable for tests): returns
-    (curated DataFrame incl. conditioned ``bytes``, stats dict)."""
+    (curated DataFrame incl. conditioned ``bytes``, stats dict).
+    ``loudness=True`` inserts the BS.1770 program-loudness gates
+    (audio/loudness.py) after conditioning — one extra map-only decode
+    pass, so it is opt-in."""
     from pyspark.sql import functions as F
 
     from jschon_spark.audio.conditioning import condition_clips
@@ -71,8 +79,17 @@ def curate(spark, clips, target_sr=16000, target_dbfs=-20.0, max_hamming=14, ded
     from jschon_spark.operators.graph import dedup_by_components
 
     cond = condition_clips(clips, target_sr=target_sr, target_rms_dbfs=target_dbfs)
+    keep = F.col("conditioned_ok") & F.col("keep")
+    if loudness:
+        from jschon_spark.audio.loudness import loudness_gate, with_loudness
+
+        cond = loudness_gate(
+            with_loudness(cond, keep_bytes=True),
+            min_lufs=min_lufs, max_lufs=max_lufs,
+        )
+        keep = keep & F.col("keep_loudness")
     gated = audio_quality_flags(with_audio_features(cond, keep_bytes=True))
-    kept = gated.where(F.col("conditioned_ok") & F.col("keep"))
+    kept = gated.where(keep)
 
     if not dedup:
         return kept, {}
@@ -127,6 +144,9 @@ def main(argv=None) -> int:
         target_dbfs=args.target_dbfs,
         max_hamming=args.max_hamming,
         dedup=not args.no_dedup,
+        loudness=args.loudness_gate,
+        min_lufs=args.min_lufs,
+        max_lufs=args.max_lufs,
     )
     curated.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
         f"{args.out}/curated"

