@@ -1167,6 +1167,8 @@ def q_clip_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loudness_ok",
         r("integrated_lufs"),
         r("momentary_max_lufs"),
+        r("shortterm_max_lufs"),
+        r("loudness_range_lu"),
         r("true_peak_dbtp"),
         "n_gating_blocks",
         F.round(r128_gain_db(-23.0), 3).alias("r128_gain_db"),

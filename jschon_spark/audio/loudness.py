@@ -88,9 +88,16 @@ _FILTER_PAD = 4096
 
 _FULL = 32768.0
 
+ST_BLOCK_S = 3.0  # short-term window (EBU Tech 3342)
+ST_HOP_S = 1.0
+LRA_REL_GATE_LU = -20.0  # LRA's relative gate (NOT the -10 of integrated)
+LRA_LO_PCT, LRA_HI_PCT = 10.0, 95.0
+
 LOUDNESS_FIELDS = [
     ("integrated_lufs", T.DoubleType()),
     ("momentary_max_lufs", T.DoubleType()),
+    ("shortterm_max_lufs", T.DoubleType()),
+    ("loudness_range_lu", T.DoubleType()),
     ("true_peak_dbtp", T.DoubleType()),
     ("n_gating_blocks", T.IntegerType()),
 ]
@@ -147,13 +154,33 @@ def _lufs(mean_square: float) -> float:
     return max(DB_FLOOR, _K_OFFSET + 10.0 * float(np.log10(mean_square)))
 
 
+def _lra(block_ms: np.ndarray) -> float:
+    """Loudness range (EBU Tech 3342 method over our short-term blocks:
+    absolute -70 gate, relative -20 LU below the power mean, LRA =
+    95th - 10th percentile of the surviving distribution)."""
+    block_l = np.full(len(block_ms), DB_FLOOR)
+    pos = block_ms > 0
+    block_l[pos] = _K_OFFSET + 10.0 * np.log10(block_ms[pos])
+    keep = block_l > ABS_GATE_LUFS
+    if not keep.any():
+        return 0.0
+    thresh = _lufs(float(np.mean(block_ms[keep]))) + LRA_REL_GATE_LU
+    keep &= block_l > thresh
+    if not keep.any():
+        return 0.0
+    lo, hi = np.percentile(block_l[keep], [LRA_LO_PCT, LRA_HI_PCT])
+    return float(hi - lo)
+
+
 def clip_loudness(x: np.ndarray, sr: int, scratch: dict) -> tuple:
-    """(integrated_lufs, momentary_max_lufs, true_peak_dbtp, n_blocks)
-    for one decoded int16 clip. Fully vectorized numpy; filter
-    responses memoized per (sr, nfft) in ``scratch``."""
+    """(integrated_lufs, momentary_max_lufs, shortterm_max_lufs,
+    loudness_range_lu, true_peak_dbtp, n_blocks) for one decoded int16
+    clip. Fully vectorized numpy; filter responses memoized per
+    (sr, nfft) in ``scratch``. Short-term (3 s) measures are NaN for
+    clips shorter than one short-term window."""
     n = len(x)
     if n == 0 or sr <= 0:
-        return (DB_FLOOR, DB_FLOOR, DB_FLOOR, 0)
+        return (DB_FLOOR, DB_FLOOR, np.nan, np.nan, DB_FLOOR, 0)
     if n > int(MAX_ANALYSIS_S * sr):
         x = x[: int(MAX_ANALYSIS_S * sr)]
         n = len(x)
@@ -183,14 +210,27 @@ def clip_loudness(x: np.ndarray, sr: int, scratch: dict) -> tuple:
     blk = int(round(BLOCK_S * sr))
     hop = int(round(HOP_S * sr))
     z2 = z * z
+    csum = np.concatenate(([0.0], np.cumsum(z2)))
+
+    # short-term (3 s / 1 s hop) loudness + LRA, when the clip is long
+    # enough for at least one full short-term window
+    st_blk = int(round(ST_BLOCK_S * sr))
+    st_hop = int(round(ST_HOP_S * sr))
+    if n >= st_blk:
+        st_starts = np.arange(0, n - st_blk + 1, st_hop)
+        st_ms = (csum[st_starts + st_blk] - csum[st_starts]) / st_blk
+        st_max = max(DB_FLOOR, _lufs(float(np.max(st_ms))))
+        lra = _lra(st_ms)
+    else:
+        st_max, lra = np.nan, np.nan
+
     if n < blk:
         # shorter than one gating block: a single whole-clip block,
         # reported with n_gating_blocks=0 so consumers can tell the
         # estimate is sub-spec-length
         ms = float(np.mean(z2))
         li = _lufs(ms)
-        return (li, li, true_peak_dbtp, 0)
-    csum = np.concatenate(([0.0], np.cumsum(z2)))
+        return (li, li, st_max, lra, true_peak_dbtp, 0)
     starts = np.arange(0, n - blk + 1, hop)
     block_ms = (csum[starts + blk] - csum[starts]) / blk
     block_l = np.full(len(block_ms), DB_FLOOR)
@@ -201,14 +241,14 @@ def clip_loudness(x: np.ndarray, sr: int, scratch: dict) -> tuple:
     # absolute gate
     keep = block_l > ABS_GATE_LUFS
     if not keep.any():
-        return (DB_FLOOR, momentary_max, true_peak_dbtp, 0)
+        return (DB_FLOOR, momentary_max, st_max, lra, true_peak_dbtp, 0)
     # relative gate: threshold from the mean POWER of abs-gated blocks
     rel_thresh = _lufs(float(np.mean(block_ms[keep]))) + REL_GATE_LU
     keep &= block_l > rel_thresh
     if not keep.any():
-        return (DB_FLOOR, momentary_max, true_peak_dbtp, 0)
+        return (DB_FLOOR, momentary_max, st_max, lra, true_peak_dbtp, 0)
     integrated = _lufs(float(np.mean(block_ms[keep])))
-    return (integrated, momentary_max, true_peak_dbtp, int(keep.sum()))
+    return (integrated, momentary_max, st_max, lra, true_peak_dbtp, int(keep.sum()))
 
 
 def _arrow_loudness_batches(batches, keep_bytes: bool = False):
@@ -220,14 +260,16 @@ def _arrow_loudness_batches(batches, keep_bytes: bool = False):
         n = batch.num_rows
         integ = np.full(n, np.nan)
         mom = np.full(n, np.nan)
+        stm = np.full(n, np.nan)
+        lra = np.full(n, np.nan)
         tpk = np.full(n, np.nan)
         nblk = np.zeros(n, dtype=np.int32)
         ok = np.zeros(n, dtype=bool)
         scratch: dict = {}
         for i, dec, sr in iter_decoded(batch):
-            li, mm, tp, nb = clip_loudness(dec, sr, scratch)
+            li, mm, sm, lr, tp, nb = clip_loudness(dec, sr, scratch)
             ok[i] = True
-            integ[i], mom[i], tpk[i], nblk[i] = li, mm, tp, nb
+            integ[i], mom[i], stm[i], lra[i], tpk[i], nblk[i] = li, mm, sm, lr, tp, nb
         arrays = [
             batch.column(j) for j, nm in enumerate(names) if nm != "bytes" or keep_bytes
         ]
@@ -235,7 +277,7 @@ def _arrow_loudness_batches(batches, keep_bytes: bool = False):
         arrays.append(pa.array(ok))
         out_names.append("loudness_ok")
         for arr, (nm, _) in zip(
-            (integ, mom, tpk, nblk.astype(np.int32)), LOUDNESS_FIELDS
+            (integ, mom, stm, lra, tpk, nblk.astype(np.int32)), LOUDNESS_FIELDS
         ):
             arrays.append(pa.array(arr))
             out_names.append(nm)

@@ -48,7 +48,7 @@ def test_48k_coefficients_match_itu_table():
 
 def test_spec_calibration_point():
     """BS.1770-4: a 997 Hz 0 dBFS sine reads -3.01 LKFS."""
-    li, mom, tp, nblk = clip_loudness(tone(997), SR, {})
+    li, mom, _st, _lra, tp, nblk = clip_loudness(tone(997), SR, {})
     assert li == pytest.approx(-3.01, abs=0.05)
     assert mom == pytest.approx(-3.01, abs=0.05)
     assert tp == pytest.approx(0.0, abs=0.05)  # full-scale sine
@@ -82,7 +82,7 @@ def test_gating_rejects_silence():
     """0.5 s tone + 3.5 s silence: gated integrated loudness stays near
     the burst's own level instead of being diluted 9 dB by silence."""
     x = np.concatenate([tone(997, 1.0, dur=0.5), np.zeros(int(3.5 * SR), np.int16)])
-    li, mom, _, nblk = clip_loudness(x, SR, {})
+    li, mom, _st, _lra, _, nblk = clip_loudness(x, SR, {})
     ungated = -0.691 + 10 * np.log10(np.mean((x / 32768.0) ** 2) * 2.4)  # ~ -12
     assert li == pytest.approx(-3.7, abs=1.2)  # boundary blocks admit some silence
     assert li > ungated + 4.0
@@ -95,7 +95,7 @@ def test_true_peak_sees_intersample_overs():
     true crest; 4x bandlimited oversampling must recover ~0 dBTP."""
     n = SR // 2
     x = (0.999 * np.sin(2 * np.pi * (SR / 4) * np.arange(n) / SR + np.pi / 4) * 32767)
-    li, mom, tp, _ = clip_loudness(x.astype(np.int16), SR, {})
+    li, mom, _st, _lra, tp, _ = clip_loudness(x.astype(np.int16), SR, {})
     sample_peak_db = 20 * np.log10(np.max(np.abs(x)) / 32768.0)
     assert sample_peak_db < -2.9
     assert tp == pytest.approx(0.0, abs=0.3)
@@ -104,15 +104,16 @@ def test_true_peak_sees_intersample_overs():
 def test_short_clip_single_block():
     """Clips shorter than one 400 ms gating block: whole-clip estimate,
     n_gating_blocks = 0 flags the sub-spec measurement."""
-    li, mom, _, nblk = clip_loudness(tone(997, 0.5, 16000, 0.3), 16000, {})
+    li, mom, _st, _lra, _, nblk = clip_loudness(tone(997, 0.5, 16000, 0.3), 16000, {})
     assert nblk == 0
     assert li == pytest.approx(-3.01 - 6.02, abs=0.3)
     assert li == mom
 
 
 def test_degenerate_payloads():
-    assert clip_loudness(np.zeros(0, np.int16), SR, {}) == (DB_FLOOR, DB_FLOOR, DB_FLOOR, 0)
-    li, mom, tp, nblk = clip_loudness(np.zeros(SR, np.int16), SR, {})
+    out = clip_loudness(np.zeros(0, np.int16), SR, {})
+    assert (out[0], out[1], out[4], out[5]) == (DB_FLOOR, DB_FLOOR, DB_FLOOR, 0)
+    li, mom, _st, _lra, tp, nblk = clip_loudness(np.zeros(SR, np.int16), SR, {})
     assert li == DB_FLOOR and tp == DB_FLOOR and nblk == 0
 
 
@@ -142,8 +143,8 @@ def test_stage_matches_kernel_row(clips_loudness):
     expected = clip_loudness(dec, hdr_sr or int(row["sr_hz"]), {})
     got = clips_loudness.loc[row["clip_id"]]
     assert got["integrated_lufs"] == pytest.approx(expected[0], abs=1e-9)
-    assert got["true_peak_dbtp"] == pytest.approx(expected[2], abs=1e-9)
-    assert got["n_gating_blocks"] == expected[3]
+    assert got["true_peak_dbtp"] == pytest.approx(expected[4], abs=1e-9)
+    assert got["n_gating_blocks"] == expected[5]
 
 
 def test_normalization_gain_column(clips_loudness):
@@ -204,3 +205,31 @@ def test_streaming_loudness(spark, tmp_path):
     assert len(out) == 1 and out[0]["loudness_ok"]
     expected = clip_loudness(t997, 16000, {})[0]
     assert out[0]["integrated_lufs"] == pytest.approx(expected, abs=1e-9)
+
+
+# ------------------------------------------------------------- LRA / short-term
+
+
+def test_lra_two_level_program():
+    """12 s program: 6 s at -13 LUFS then 6 s at -33 LUFS. The 3 s
+    short-term distribution is bimodal ~20 LU apart, so LRA ~ 20 and
+    shortterm_max sits at the loud level."""
+    x = np.concatenate([tone(997, 1.0, SR, 6.0), tone(997, 0.1, SR, 6.0)])
+    li, mom, st, lra, tp, nblk = clip_loudness(x, SR, {})
+    assert st == pytest.approx(-3.01, abs=0.2)
+    assert lra == pytest.approx(20.0, abs=2.5)
+    # integrated gates keep both levels (-33 is above mean-10? no: the
+    # -10 LU relative gate drops the quiet half) -> integrated near loud
+    assert li == pytest.approx(-3.2, abs=1.0)
+
+
+def test_lra_steady_tone_is_zero():
+    x = tone(997, 0.5, SR, 6.0)
+    _, _, st, lra, _, _ = clip_loudness(x, SR, {})
+    assert st == pytest.approx(-9.03, abs=0.2)
+    assert lra == pytest.approx(0.0, abs=0.1)
+
+
+def test_shortterm_nan_for_short_clips():
+    out = clip_loudness(tone(997, 0.5, SR, 1.0), SR, {})
+    assert np.isnan(out[2]) and np.isnan(out[3])
