@@ -1120,6 +1120,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("clipping_ratio"),
         r("zero_crossing_rate"),
         r("silence_ratio"),
+        r("snr_est_db"),
         r("dominant_freq_hz"),
         r("spectral_centroid_hz"),
         r("spectral_rolloff_hz"),

@@ -8,7 +8,9 @@ signal processing, not a hash-based fake:
 
 - level:    rms_dbfs, peak_dbfs (dB relative to int16 full scale)
 - clipping: fraction of samples at digital full scale
-- activity: zero-crossing rate, silence ratio over 20 ms frames
+- activity: zero-crossing rate, silence ratio over 20 ms frames,
+            blind SNR estimate (90th/10th-percentile frame energy — a
+            no-reference quality signal for speech-like audio)
 - spectrum: dominant frequency, spectral centroid, 85% rolloff and
             flatness from a Hann-windowed rFFT of a bounded window
 
@@ -57,11 +59,17 @@ FEATURE_FIELDS = [
     ("clipping_ratio", T.DoubleType()),
     ("zero_crossing_rate", T.DoubleType()),
     ("silence_ratio", T.DoubleType()),
+    ("snr_est_db", T.DoubleType()),
     ("dominant_freq_hz", T.DoubleType()),
     ("spectral_centroid_hz", T.DoubleType()),
     ("spectral_rolloff_hz", T.DoubleType()),
     ("spectral_flatness", T.DoubleType()),
 ]
+
+# blind SNR: frames quieter than the 10th percentile are "noise",
+# louder than the 90th are "signal" — meaningful for speech-like
+# on/off activity (a STATIONARY tone reads ~0 by construction).
+_SNR_EST_CAP_DB = 100.0
 
 
 def _db(power_ratio: float) -> float:
@@ -76,7 +84,7 @@ def clip_features(x: np.ndarray, sr: int, scratch: dict) -> tuple:
     memoized per (sr, nfft) in ``scratch`` across the batch."""
     n = len(x)
     if n == 0 or sr <= 0:
-        return (DB_FLOOR, DB_FLOOR, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        return (DB_FLOOR, DB_FLOOR, 0.0, 0.0, 1.0, np.nan, 0.0, 0.0, 0.0, 1.0)
     xf = x.astype(np.float32)
     full = np.float32(32767.0)
 
@@ -100,7 +108,16 @@ def clip_features(x: np.ndarray, sr: int, scratch: dict) -> tuple:
         fr_power = np.einsum("ij,ij->i", fr, fr) / frame
         thresh = float(full * full) * (10.0 ** (SILENCE_THRESHOLD_DBFS / 10.0))
         silence_ratio = float(np.count_nonzero(fr_power < thresh)) / n_frames
+        if n_frames >= 5:
+            p10, p90 = np.percentile(fr_power, [10.0, 90.0])
+            floor = max(float(p10), 0.25)  # quarter-LSB^2 floor
+            snr_est = min(
+                _SNR_EST_CAP_DB, 10.0 * float(np.log10(max(float(p90), floor) / floor))
+            )
+        else:
+            snr_est = float("nan")
     else:
+        snr_est = float("nan")
         silence_ratio = 1.0 if mean_sq / float(full * full) < 10.0 ** (
             SILENCE_THRESHOLD_DBFS / 10.0
         ) else 0.0
@@ -120,7 +137,7 @@ def clip_features(x: np.ndarray, sr: int, scratch: dict) -> tuple:
     power = (spec.real**2 + spec.imag**2)[1:]  # drop DC
     total = float(power.sum())
     if total <= 0.0:
-        return (rms_dbfs, peak_dbfs, clipping_ratio, zcr, silence_ratio, 0.0, 0.0, 0.0, 1.0)
+        return (rms_dbfs, peak_dbfs, clipping_ratio, zcr, silence_ratio, snr_est, 0.0, 0.0, 0.0, 1.0)
     f_axis = freqs[1:]
     dominant = float(f_axis[int(np.argmax(power))])
     centroid = float(np.dot(f_axis, power) / total)
@@ -133,6 +150,7 @@ def clip_features(x: np.ndarray, sr: int, scratch: dict) -> tuple:
         clipping_ratio,
         zcr,
         silence_ratio,
+        snr_est,
         dominant,
         centroid,
         rolloff,

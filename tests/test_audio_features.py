@@ -30,6 +30,7 @@ def feats(x: np.ndarray, sr: int = SR) -> dict:
         "clipping_ratio",
         "zero_crossing_rate",
         "silence_ratio",
+        "snr_est_db",
         "dominant_freq_hz",
         "spectral_centroid_hz",
         "spectral_rolloff_hz",
@@ -125,7 +126,7 @@ def test_stage_matches_kernel_row(clips_features):
     sr = hdr_sr or int(row["sr_hz"])
     expected = clip_features(dec, sr, {})
     got = clips_features.loc[row["clip_id"]]
-    assert got["dominant_freq_hz"] == pytest.approx(expected[5], abs=1e-6)
+    assert got["dominant_freq_hz"] == pytest.approx(expected[6], abs=1e-6)
     assert got["rms_dbfs"] == pytest.approx(expected[0], abs=1e-9)
 
 
@@ -176,3 +177,24 @@ def test_quality_flags(spark):
     clean = out.drop(index=[id0, id1])
     clean = clean[clean["features_ok"] & clean["transcript"].notna()]
     assert clean["keep"].mean() > 0.9
+
+
+
+def test_blind_snr_estimate():
+    """Percentile-based no-reference SNR: speech-like on/off bursts
+    measure the burst-to-gap energy ratio; a stationary tone reads ~0
+    (documented estimator semantics); digital silence reads 0."""
+    rng = np.random.default_rng(0)
+    t = np.arange(SR) / SR
+    burst = (0.5 * 32767 * np.sin(2 * np.pi * 300 * t[: SR // 5])).astype(np.int16)
+    gap = (rng.normal(0, 0.01 * 32767, SR // 5)).astype(np.int16)
+    speech = np.concatenate([burst, gap] * 3)
+    est = feats(speech)["snr_est_db"]
+    # true burst/gap power ratio: 10*log10((0.5^2/2)/(0.01^2)) ~ 30.9
+    assert est == pytest.approx(31.0, abs=2.0)
+    tone = (0.5 * 32767 * np.sin(2 * np.pi * 300 * t)).astype(np.int16)
+    assert feats(tone)["snr_est_db"] == pytest.approx(0.0, abs=0.5)
+    assert feats(np.zeros(SR, dtype=np.int16))["snr_est_db"] == 0.0
+    import math
+
+    assert math.isnan(feats(np.zeros(30, dtype=np.int16))["snr_est_db"])  # <5 frames
