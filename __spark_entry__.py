@@ -1268,6 +1268,41 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, bench, n=4)
 
 
+def q_orders_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference profile (compiler/infer.py): ONE partial-
+    aggregated pass computes per-column null counts, numeric ranges,
+    string length bounds, and the enum gate (approx-distinct bounds
+    the exact collect); the emitted 2020-12 schema's round trip
+    through the real compiler is pinned in tests/test_infer.py.
+    DuckDB recomputes every profile value exactly."""
+    import pandas as _pd
+
+    from jschon_spark.compiler.infer import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_table(orders, enum_limit=16)
+    rows = []
+    for c in sorted(prof):
+        p = prof[c]
+        rows.append(
+            {
+                "column": c,
+                "kind": p["kind"],
+                "n_nulls": p["n_nulls"],
+                "min_value": float(p["min"]) if p.get("min") is not None else None,
+                "max_value": float(p["max"]) if p.get("max") is not None else None,
+                "min_length": p.get("min_length"),
+                "max_length": p.get("max_length"),
+                "enum_csv": ",".join(p["enum"]) if "enum" in p else None,
+            }
+        )
+    return spark.createDataFrame(
+        _pd.DataFrame(rows),
+        schema="column string, kind string, n_nulls long, min_value double, "
+        "max_value double, min_length int, max_length int, enum_csv string",
+    )
+
+
 def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified training mix (hash-gated Bernoulli per
     lang) — a pure map-side filter, reproducible across engines."""
@@ -1481,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_violations": q_validate_orders_violations,
         "validate_custom_vocab": q_validate_custom_vocab,
         "column_stats_lineitem": q_column_stats_lineitem,
+        "orders_schema_profile": q_orders_schema_profile,
         "distinct_counts": q_distinct_counts,
         "hll_distinct": q_hll_distinct,
         "histogram_returnflag": q_histogram_returnflag,
@@ -2286,6 +2322,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang
             FROM documents d JOIN t USING (lang)
             WHERE substr(md5(concat(CAST(d.doc_id AS VARCHAR), '|mix-v1')), 1, 8) < thr
+        """,
+        "orders_schema_profile": """
+            SELECT 'o_custkey' AS column, 'numeric' AS kind,
+                   count(*) FILTER (o_custkey IS NULL) AS n_nulls,
+                   min(o_custkey)::DOUBLE AS min_value, max(o_custkey)::DOUBLE AS max_value,
+                   NULL::INT AS min_length, NULL::INT AS max_length, NULL::VARCHAR AS enum_csv
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', 'opaque', count(*) FILTER (o_orderdate IS NULL),
+                   NULL, NULL, NULL, NULL, NULL FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', 'numeric', count(*) FILTER (o_orderkey IS NULL),
+                   min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE, NULL, NULL, NULL FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', 'string', count(*) FILTER (o_orderpriority IS NULL),
+                   NULL, NULL, min(length(o_orderpriority)), max(length(o_orderpriority)),
+                   array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'string', count(*) FILTER (o_orderstatus IS NULL),
+                   NULL, NULL, min(length(o_orderstatus)), max(length(o_orderstatus)),
+                   array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'numeric', count(*) FILTER (o_totalprice IS NULL),
+                   min(o_totalprice), max(o_totalprice), NULL, NULL, NULL FROM orders
         """,
         "training_mix_sample": f"""
             SELECT doc_id, lang FROM documents
