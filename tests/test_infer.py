@@ -106,3 +106,32 @@ def test_perturbed_rows_violate(spark, table):
 def test_column_subset(table):
     s = infer_schema(table, columns=["id", "status"])
     assert set(s["properties"]) == {"id", "status"}
+
+
+def test_schema_drift_report(spark, table):
+    """Baseline-vs-batch structural drift: a conforming batch reports
+    nothing; a drifted batch surfaces each drift as its keyword."""
+    from jschon_spark.compiler.infer import schema_drift_report
+
+    clean, _ = schema_drift_report(table, table)
+    assert clean.count() == 0
+
+    drifted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [10, 2],  # 10 > max 4
+                "name": ["zz", "aa"],
+                "status": ["NEW", "ok"],  # new enum member
+                "score": [1.0, 2.0],
+                "flag": [True, False],
+                "tags": [["a"], ["b"]],
+                "note": ["x", "y"],
+            }
+        ),
+        schema=table.schema,
+    )
+    hist, schema = schema_drift_report(table, drifted)
+    got = {r["keyword"]: r["n_violations"] for r in hist.collect()}
+    assert got.get("maximum") == 1
+    assert got.get("enum") == 1
+    assert schema["properties"]["status"] == {"enum": ["bad", "ok"]}
