@@ -567,6 +567,25 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, path, query, k=10, nprobe=8)
 
 
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (operators/pq.py): coarse k-means lists +
+    residual PQ codes; probes ADC-score only nprobe partition-pruned
+    lists (column-pruned to id/code) and exact-L2 rescore survivors
+    from the fp32 column of the same partitions. Rows-only (recall +
+    PartitionFilters plan pinned in tests/test_pq.py)."""
+    import hashlib
+    import os
+
+    from jschon_spark.operators.pq import ivfpq_topk, write_ivfpq_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/jschon_spark_ivfpq_{tag}"
+    if not os.path.exists(os.path.join(path, "_ivfpq_meta.json")):
+        write_ivfpq_index(_t(spark, sf_dir, "embeddings"), path, n_lists=32, m=8)
+    query = _t(spark, sf_dir, "embeddings").where("vec_id = 0").select("embedding").collect()[0][0]
+    return ivfpq_topk(spark, path, list(query), k=10, nprobe=8)
+
+
 def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized candidate generation + fp32 rescore
     (similarity.py:quantized_topk): per-dim symmetric scales from one
@@ -1550,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_quantized_topk": q_embedding_quantized_topk,
         "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "embedding_ann_recall": q_embedding_ann_recall,
         "multimodal_features": q_multimodal_features,
         "events_histogram": q_events_histogram,

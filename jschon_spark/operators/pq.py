@@ -190,3 +190,198 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# -- IVF-PQ: coarse quantizer + residual PQ -----------------------------------
+#
+# The FAISS-style composite (Jegou et al. TPAMI'11 §V): a coarse
+# k-means partitions the corpus into nlist inverted lists (directory-
+# pruned probes, like write_ivf_index), and each vector stores only the
+# m-byte PQ code of its RESIDUAL from the list centroid. A probe reads
+# nprobe partitions, scores rows by residual ADC against per-list
+# query tables, and exact-rescans only the survivors — the fp32 vector
+# rides in the index parquet, so the rescore is a second COLUMN-PRUNED
+# read of the same probed partitions, never a full-table join.
+# Distances are L2 throughout (the natural metric for residual PQ).
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 64,
+    m: int = 8,
+    sample_rows: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> None:
+    """Materialize the IVF-PQ layout: coarse centroids + residual PQ
+    codebooks fitted driver-side on a bounded sample, every vector
+    assigned and residual-encoded in one Arrow-batched pass, table
+    written PARTITIONED by list id with (id, pq_code, vec)."""
+    import json as _json
+    import os
+
+    from jschon_spark.operators.similarity import _kmeans_fit
+
+    sample_pdf = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col(vec_col).isNotNull())
+        .limit(int(sample_rows))
+        .toPandas()
+    )
+    sample = np.stack(sample_pdf["v"].to_numpy())
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    cents = _kmeans_fit(sample, min(n_lists, n), seed=seed)
+    # residuals of the sample from their nearest centroid
+    dist = (
+        (sample * sample).sum(1)[:, None]
+        - 2.0 * (sample @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    resid = sample - cents[dist.argmin(1)]
+    dsub = d // m
+    k = min(K_CODES, n)
+    books = np.zeros((m, K_CODES, dsub))
+    for j in range(m):
+        sub = np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub])
+        books[j, :k] = _kmeans_fit(sub, k, iters=12, seed=seed + j)
+        if k < K_CODES:
+            books[j, k:] = books[j, 0]
+
+    cc = np.ascontiguousarray(cents)
+    cnorms = (cc * cc).sum(1)
+    bb = np.ascontiguousarray(books)
+    bnorms = (bb * bb).sum(2)
+
+    out_type = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("pq_code", T.ArrayType(T.ShortType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        lids = np.full(len(vecs), -1, dtype=np.int32)
+        codes = np.empty(len(vecs), dtype=object)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            mat = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            dd = (
+                (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cc.T) + cnorms[None, :]
+            )
+            assign = dd.argmin(1)
+            res = mat - cc[assign]
+            cs = np.empty((len(mat), bb.shape[0]), dtype=np.int16)
+            for j in range(bb.shape[0]):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                dj = bnorms[j][None, :] - 2.0 * (sub @ bb[j].T)
+                cs[:, j] = dj.argmin(1)
+            lids[mask] = assign
+            idxs = np.nonzero(mask)[0]
+            for r, i in enumerate(idxs):
+                codes[i] = cs[r]
+        return pd.DataFrame({"list_id": lids, "pq_code": codes})
+
+    (
+        df.where(F.col(vec_col).isNotNull())
+        .withColumn("_e", enc(F.col(vec_col).cast("array<double>")))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+            F.col("_e.list_id").alias("list_id"),
+            F.col("_e.pq_code").alias("pq_code"),
+        )
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "n_lists": int(len(cents)),
+                "m": int(m),
+                "centroids": cents.tolist(),
+                "codebooks": books.tolist(),
+                "id_col": id_col,
+            },
+            f,
+        )
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 8,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ probe: rank lists driver-side, ADC-score ONLY the nprobe
+    probed partitions (column-pruned to id/code), exact-L2 rescore the
+    rescore_factor*k survivors from the fp32 column of the SAME probed
+    partitions. Returns (id, l2_dist) ascending."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = _json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    mm, _, dsub = books.shape
+    qv = np.asarray(list(query), dtype=np.float64)
+    dlist = ((cents - qv[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in dlist.argsort()[: int(nprobe)]]
+
+    # per-probed-list ADC tables: squared distance from the query
+    # RESIDUAL subvector to each codebook centroid
+    tables = {}
+    for l in probe:
+        r = qv - cents[l]
+        t = np.empty((mm, books.shape[1]))
+        for j in range(mm):
+            diff = books[j] - r[j * dsub : (j + 1) * dsub][None, :]
+            t[j] = (diff * diff).sum(1)
+        tables[l] = t
+
+    @pandas_udf(T.DoubleType())
+    def adc(lids: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.full(len(lids), np.inf)
+        lv = lids.to_numpy()
+        for l, t in tables.items():
+            sel = np.nonzero(lv == l)[0]
+            if not len(sel):
+                continue
+            c = np.stack(codes.iloc[sel].to_numpy()).astype(np.int64)
+            acc = np.zeros(len(sel))
+            for j in range(mm):
+                acc += t[j][c[:, j]]
+            out[sel] = acc
+        return pd.Series(out)
+
+    idx = spark.read.parquet(path).where(F.col("list_id").isin(probe))
+    cand = (
+        idx.select(meta["id_col"], "list_id", "pq_code")
+        .withColumn("approx_d", adc(F.col("list_id"), F.col("pq_code")))
+        .orderBy("approx_d")
+        .limit(int(rescore_factor * k))
+        .select(meta["id_col"])
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rescored = (
+        idx.join(F.broadcast(cand), meta["id_col"], "semi")
+        .select(
+            meta["id_col"],
+            F.aggregate(
+                F.zip_with(F.col("vec"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias("l2_sq"),
+        )
+        .select(meta["id_col"], F.round(F.sqrt("l2_sq"), 6).alias("l2_dist"))
+    )
+    return rescored.orderBy("l2_dist", F.col(meta["id_col"])).limit(k)

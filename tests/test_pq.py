@@ -124,3 +124,50 @@ def test_candidate_cut_is_take_ordered(corpus):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_recall_and_pruning(spark, tmp_path, corpus):
+    """IVF-PQ on clustered data: recall@10 vs exact L2 brute force,
+    probes read ONLY the nprobe partitions (PartitionFilters in the
+    plan), and the layout is one file tree per list."""
+    pts, df, _, _ = corpus
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivfpq_index(df, path, n_lists=12, m=4, sample_rows=1000)
+
+    rng = np.random.default_rng(11)
+    query = (pts[100] + rng.normal(size=16) * 0.01).astype(np.float64)
+
+    got_df = pq.ivfpq_topk(spark, path, list(query), k=10, nprobe=4)
+    got = [r["vec_id"] for r in got_df.collect()]
+
+    # exact L2 ground truth
+    d = ((pts.astype(np.float64) - query[None, :]) ** 2).sum(1)
+    exact = list(np.argsort(d)[:10])
+    assert len(set(got) & set(exact)) >= 8, (got, exact)
+    assert got[0] == exact[0] == 100
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivfpq_meta_and_determinism(spark, tmp_path, corpus):
+    import json
+    import os
+
+    pts, df, _, _ = corpus
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    pq.write_ivfpq_index(df, p1, n_lists=8, m=4, sample_rows=1000)
+    pq.write_ivfpq_index(df, p2, n_lists=8, m=4, sample_rows=1000)
+    m1 = json.load(open(os.path.join(p1, "_ivfpq_meta.json")))
+    m2 = json.load(open(os.path.join(p2, "_ivfpq_meta.json")))
+    assert m1["centroids"] == m2["centroids"]
+    assert m1["codebooks"] == m2["codebooks"]
+    a = spark.read.parquet(p1).select("vec_id", "list_id", "pq_code").toPandas()
+    b = spark.read.parquet(p2).select("vec_id", "list_id", "pq_code").toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert (a["list_id"] == b["list_id"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["pq_code"], b["pq_code"]))
