@@ -141,21 +141,29 @@ def assemble_sequences(
             F.col("ids_"), (piece_from + 1).cast("int"), (piece_upto - piece_from).cast("int")
         ).alias("piece"),
     )
+    sorted_pieces = F.array_sort(
+        F.collect_list(F.struct(F.col("pos_in_seq"), F.col("piece")))
+    )
     grouped = pieces.groupBy("bucket", "seq_idx").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos_in_seq"), F.col("piece")))
-                ),
-                lambda s: s["piece"],
-            )
-        ).alias("input_ids"),
+        F.flatten(F.transform(sorted_pieces, lambda s: s["piece"])).alias("input_ids"),
+        # per-document boundaries within the sequence — what a trainer
+        # needs for block-diagonal attention / loss masking across
+        # packed documents (start offset + length of each contribution,
+        # in order)
+        F.transform(
+            sorted_pieces,
+            lambda s: F.struct(
+                s["pos_in_seq"].cast("int").alias("start"),
+                F.size(s["piece"]).alias("len"),
+            ),
+        ).alias("doc_spans"),
         F.count(F.lit(1)).cast("int").alias("n_docs"),
     )
     out = grouped.select(
         "bucket",
         "seq_idx",
         "input_ids",
+        "doc_spans",
         F.size("input_ids").alias("n_real"),
         "n_docs",
         (F.size("input_ids") == budget).alias("complete"),

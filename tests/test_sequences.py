@@ -159,3 +159,21 @@ def test_vocab_ids_udf(spark):
     assert list(got["ids"][0]) == [5, 7, 0]
     assert got["ids"][1] is None
     assert list(got["ids"][2]) == []
+
+
+def test_doc_spans_partition_sequences(corpus):
+    """doc_spans tile each sequence contiguously: ordered, gap-free,
+    summing to n_real, one span per contributing document — the
+    block-diagonal attention-mask contract."""
+    _, df, _ = corpus
+    out = sequences.assemble_sequences(
+        df, budget=BUDGET, n_buckets=BUCKETS, salt=SALT
+    ).toPandas()
+    for _, r in out.iterrows():
+        spans = [(s["start"], s["len"]) for s in r["doc_spans"]]
+        assert len(spans) == r["n_docs"]
+        pos = 0
+        for start, ln in spans:
+            assert start == pos and ln > 0
+            pos += ln
+        assert pos == r["n_real"]
