@@ -189,3 +189,46 @@ def test_feature_stage_is_map_only(spark, clips_path):
     )
     plan = _plan(with_audio_features(clips))
     assert "Exchange" not in plan, plan
+
+
+def test_temperature_sample_filter_is_map_side(spark):
+    """After the one counting pass, the applied sample is a pure scan
+    filter: no Exchange, no Python eval — the md5 gate is codegen'd."""
+    from jschon_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id long, lang string"
+    )
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cer_is_jvm_side(spark):
+    """CER = levenshtein over normalized Columns: stays inside codegen,
+    never enters Python."""
+    from jschon_spark.operators.transcripts import cer
+
+    df = spark.createDataFrame(
+        [("a", "x y", "x z")], "id string, hyp string, ref string"
+    )
+    plan = _plan(df.select(cer(F.col("hyp"), F.col("ref")).alias("c")))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "*(1)" in plan  # whole-stage-codegen marker
+
+
+def test_sequence_assembly_groupby_reuses_bucket_partitioning(spark):
+    """Covered in tests/test_sequences.py too, but pinned here with the
+    other plan-shape gates: ONE Exchange for window + groupBy, and the
+    aggregation carries no Python stage."""
+    from jschon_spark.operators.sequences import assemble_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", list(range(i % 7 + 1))) for i in range(50)],
+        "doc_id string, token_ids array<int>",
+    )
+    plan = _plan(assemble_sequences(df, budget=8, n_buckets=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
