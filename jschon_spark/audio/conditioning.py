@@ -95,6 +95,7 @@ def _condition_kernel(
     target_sr: int | None,
     target_rms_dbfs: float | None,
     peak_ceiling_dbfs: float,
+    remove_dc: bool = False,
 ):
     def gen(batches):
         for batch in batches:
@@ -112,6 +113,15 @@ def _condition_kernel(
             for i, dec, sr in iter_decoded(batch):
                 y = dec
                 out_sr = sr
+                if remove_dc and len(y):
+                    # mic/ADC bias: subtract the rounded mean BEFORE
+                    # resampling and gain so the offset neither leaks
+                    # through interpolation nor eats peak headroom
+                    off = int(round(float(np.mean(y))))
+                    if off:
+                        y = np.clip(
+                            y.astype(np.int32) - off, -32768, 32767
+                        ).astype(np.int16)
                 if target_sr is not None and sr > 0:
                     y = resample_linear(y, sr, target_sr)
                     out_sr = target_sr
@@ -148,6 +158,7 @@ def condition_clips(
     target_sr: int | None = 16000,
     target_rms_dbfs: float | None = TARGET_RMS_DBFS,
     peak_ceiling_dbfs: float = PEAK_CEILING_DBFS,
+    remove_dc: bool = False,
 ) -> DataFrame:
     """Rewrite clip payloads to canonical pcm_s16le at ``target_sr`` and
     ``target_rms_dbfs`` (pass None to skip either step). Map-only —
@@ -163,6 +174,6 @@ def condition_clips(
         T.StructField("gain_applied", T.DoubleType()),
     ]
     return df.mapInArrow(
-        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs),
+        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs, remove_dc),
         T.StructType(out_fields),
     )

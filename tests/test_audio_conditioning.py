@@ -108,3 +108,45 @@ def test_duration_preserved(spark, mixed):
 def test_map_only_plan(spark, mixed):
     plan = condition_clips(mixed)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_remove_dc_offset(spark):
+    """A biased tone loses its DC component (mean ~ 0 after
+    conditioning) while the tone itself survives; without the flag the
+    bias passes through."""
+    import numpy as np
+    import pandas as pd
+
+    from jschon_spark import fixtures as fx
+    from jschon_spark.audio import decode_pcm
+    from jschon_spark.audio.conditioning import condition_clips
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.3 * 32767 * np.sin(2 * np.pi * 440 * t) + 2000).astype(np.int16)
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["dc0"],
+            "bytes": [x.tobytes()],
+            "sr_hz": np.int32([sr]),
+            "dur_ms": np.int32([1000]),
+            "codec": ["pcm_s16le"],
+            "transcript": ["t"],
+            "part_id": np.int32([0]),
+        }
+    )
+    df = spark.createDataFrame(rows, schema=fx.CLIPS_DDL)
+    for flag, want_small in ((True, True), (False, False)):
+        out = condition_clips(
+            df, target_sr=None, target_rms_dbfs=None, remove_dc=flag
+        ).toPandas().iloc[0]
+        dec, _ = decode_pcm(out["bytes"], out["codec"])
+        mean = abs(float(np.mean(dec)))
+        if want_small:
+            assert mean < 1.0, mean
+        else:
+            assert mean > 1900, mean
+        # tone survives: dominant frequency unchanged
+        from jschon_spark.audio.features import clip_features
+
+        assert clip_features(dec, sr, {})[6] == pytest.approx(440, abs=3)
