@@ -91,11 +91,26 @@ def gain_for_target(
     return min(want, cap)
 
 
+def wav_bytes(x: np.ndarray, sr: int) -> bytes:
+    """Minimal canonical WAV container (44-byte RIFF header + 16-bit
+    mono PCM data) — the interop export form (tar-shard .wav members,
+    external tools). Round-trips through both our zero-copy header
+    parse and the stdlib ``wave`` module."""
+    import struct
+
+    data = x.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
 def _condition_kernel(
     target_sr: int | None,
     target_rms_dbfs: float | None,
     peak_ceiling_dbfs: float,
     remove_dc: bool = False,
+    out_codec: str = "pcm_s16le",
 ):
     def gen(batches):
         for batch in batches:
@@ -133,7 +148,9 @@ def _condition_kernel(
                     ).astype(np.int16)
                 ok[i] = True
                 srs_out[i] = out_sr
-                payloads[i] = y.tobytes()
+                payloads[i] = (
+                    wav_bytes(y, out_sr) if out_codec == "wav" else y.tobytes()
+                )
             arrays, out_names = [], []
             for j, nm in enumerate(names):
                 if nm in ("bytes", "codec", "sr_hz"):
@@ -142,7 +159,7 @@ def _condition_kernel(
                 out_names.append(nm)
             arrays += [
                 pa.array(payloads, type=pa.binary()),
-                pa.array(["pcm_s16le" if v else None for v in ok]),
+                pa.array([out_codec if v else None for v in ok]),
                 pa.array(srs_out),
                 pa.array(ok),
                 pa.array(gains),
@@ -159,12 +176,15 @@ def condition_clips(
     target_rms_dbfs: float | None = TARGET_RMS_DBFS,
     peak_ceiling_dbfs: float = PEAK_CEILING_DBFS,
     remove_dc: bool = False,
+    out_codec: str = "pcm_s16le",
 ) -> DataFrame:
     """Rewrite clip payloads to canonical pcm_s16le at ``target_sr`` and
     ``target_rms_dbfs`` (pass None to skip either step). Map-only —
     one zero-copy decode walk, payload-sized output by design (this IS
     the materialize-the-conditioned-corpus stage). Undecodable rows
     keep null payload with conditioned_ok = false."""
+    if out_codec not in ("pcm_s16le", "wav"):
+        raise ValueError(f"unsupported out_codec {out_codec!r}")
     keep = [f for f in df.schema.fields if f.name not in ("bytes", "codec", "sr_hz")]
     out_fields = keep + [
         T.StructField("bytes", T.BinaryType()),
@@ -174,6 +194,6 @@ def condition_clips(
         T.StructField("gain_applied", T.DoubleType()),
     ]
     return df.mapInArrow(
-        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs, remove_dc),
+        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs, remove_dc, out_codec),
         T.StructType(out_fields),
     )

@@ -150,3 +150,47 @@ def test_remove_dc_offset(spark):
         from jschon_spark.audio.features import clip_features
 
         assert clip_features(dec, sr, {})[6] == pytest.approx(440, abs=3)
+
+
+def test_wav_output_roundtrip(spark):
+    """out_codec='wav': payloads become canonical RIFF containers that
+    decode through BOTH decode paths (zero-copy header parse via the
+    feature stage, and the stdlib wave fallback) with identical
+    samples and the header's sample rate."""
+    import numpy as np
+    import pandas as pd
+
+    from jschon_spark import fixtures as fx
+    from jschon_spark.audio import _parse_wav_header, decode_pcm
+    from jschon_spark.audio.conditioning import condition_clips
+    from jschon_spark.audio.features import with_audio_features
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.3 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["w0"],
+            "bytes": [x.tobytes()],
+            "sr_hz": np.int32([sr]),
+            "dur_ms": np.int32([1000]),
+            "codec": ["pcm_s16le"],
+            "transcript": ["t"],
+            "part_id": np.int32([0]),
+        }
+    )
+    df = spark.createDataFrame(rows, schema=fx.CLIPS_DDL)
+    cond = condition_clips(df, target_sr=16000, out_codec="wav")
+    out = cond.toPandas().iloc[0]
+    assert out["codec"] == "wav" and out["sr_hz"] == 16000
+    blob = out["bytes"]
+    # zero-copy parse finds the data chunk + header rate
+    parsed = _parse_wav_header(memoryview(blob), 0, len(blob))
+    assert parsed is not None and parsed[2] == 16000
+    # stdlib decode agrees sample-for-sample
+    dec, hdr_sr = decode_pcm(blob, "wav")
+    assert hdr_sr == 16000 and len(dec) == 16000
+    # and the whole feature stage consumes the wav rows
+    feats = with_audio_features(cond).toPandas().iloc[0]
+    assert feats["features_ok"]
+    assert feats["dominant_freq_hz"] == pytest.approx(440, abs=3)
