@@ -106,3 +106,45 @@ def test_compose_with_audio_features(spark, shard_dir):
     feats = {r["clip_id"]: r for r in with_audio_features(wav).collect()}
     assert all(r["features_ok"] for r in feats.values())
     assert abs(feats["000003"]["dominant_freq_hz"] - 600.0) < 4.0
+
+
+def test_wav_clips_to_tar_shards_roundtrip(spark, tmp_path):
+    """End-to-end export: condition clips to canonical WAV, shard the
+    (key, wav, bytes)+(key, txt, transcript) samples into tars, read
+    back, decode byte-identically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jschon_spark import fixtures as fx
+    from jschon_spark.audio import decode_pcm
+    from jschon_spark.audio.conditioning import condition_clips
+    from jschon_spark.sources.webdataset import read_tar_shards, write_tar_shards
+
+    clips = spark.createDataFrame(
+        fx.gen_clips_batch(np.arange(40), audio=True), schema=fx.CLIPS_DDL
+    )
+    cond = condition_clips(clips, target_sr=16000, out_codec="wav").where(
+        "conditioned_ok"
+    )
+    wav = cond.select(
+        F.col("clip_id").alias("key"), F.lit("wav").alias("ext"), F.col("bytes")
+    )
+    txt = cond.select(
+        F.col("clip_id").alias("key"),
+        F.lit("txt").alias("ext"),
+        F.coalesce(F.col("transcript"), F.lit("")).cast("binary").alias("bytes"),
+    )
+    out_dir = str(tmp_path / "wds")
+    manifest = write_tar_shards(wav.unionByName(txt), out_dir, n_shards=3).collect()
+    assert sum(m["n_members"] for m in manifest) == 2 * cond.count()
+
+    back = read_tar_shards(spark, out_dir + "/*.tar").toPandas()
+    wavs = back[back["ext"] == "wav"].set_index("key")
+    orig = cond.select("clip_id", "bytes").toPandas().set_index("clip_id")
+    assert len(wavs) == len(orig)
+    some = list(orig.index)[:5]
+    for k in some:
+        assert bytes(wavs.loc[k, "bytes"]) == bytes(orig.loc[k, "bytes"])
+        dec, sr = decode_pcm(bytes(wavs.loc[k, "bytes"]), "wav")
+        assert sr == 16000 and dec is not None
