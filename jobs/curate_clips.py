@@ -59,12 +59,16 @@ def parse_args(argv):
                    help="add BS.1770 integrated-loudness / true-peak gates")
     p.add_argument("--min-lufs", type=float, default=-45.0)
     p.add_argument("--max-lufs", type=float, default=-5.0)
+    p.add_argument("--ref-transcripts", default=None,
+                   help="parquet of (clip_id, transcript) second-source transcripts; enables the WER gate")
+    p.add_argument("--max-wer", type=float, default=0.3)
     p.add_argument("--partition-col", default="part_id")
     return p.parse_args(argv)
 
 
 def curate(spark, clips, target_sr=16000, target_dbfs=-20.0, max_hamming=14,
-           dedup=True, loudness=False, min_lufs=-45.0, max_lufs=-5.0):
+           dedup=True, loudness=False, min_lufs=-45.0, max_lufs=-5.0,
+           ref_transcripts=None, max_wer=0.3):
     """The curation plan (importable for tests): returns
     (curated DataFrame incl. conditioned ``bytes``, stats dict).
     ``loudness=True`` inserts the BS.1770 program-loudness gates
@@ -78,6 +82,19 @@ def curate(spark, clips, target_sr=16000, target_dbfs=-20.0, max_hamming=14,
     from jschon_spark.operators.dedup import simhash128_near_duplicates
     from jschon_spark.operators.graph import dedup_by_components
 
+    if ref_transcripts is not None:
+        # transcript-agreement QA (operators/transcripts.py): join the
+        # second source by clip_id (broadcast vs sort-merge is the
+        # usual cardinality-driven choice), WER-gate BEFORE any
+        # payload-sized work so disagreeing clips never cost a decode
+        from jschon_spark.operators.transcripts import transcript_agreement_gate
+
+        refs = ref_transcripts.select(
+            "clip_id", F.col("transcript").alias("ref_transcript")
+        )
+        clips = transcript_agreement_gate(
+            clips.join(refs, "clip_id", "left"), max_wer=max_wer
+        ).where(F.col("keep_transcript")).drop("ref_transcript")
     cond = condition_clips(clips, target_sr=target_sr, target_rms_dbfs=target_dbfs)
     keep = F.col("conditioned_ok") & F.col("keep")
     if loudness:
@@ -147,6 +164,10 @@ def main(argv=None) -> int:
         loudness=args.loudness_gate,
         min_lufs=args.min_lufs,
         max_lufs=args.max_lufs,
+        ref_transcripts=(
+            spark.read.parquet(args.ref_transcripts) if args.ref_transcripts else None
+        ),
+        max_wer=args.max_wer,
     )
     curated.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
         f"{args.out}/curated"

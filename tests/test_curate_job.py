@@ -112,3 +112,43 @@ def test_curate_with_loudness_gate(spark):
     assert (got["integrated_lufs"] >= -30.0).all()
     assert (got["integrated_lufs"] <= -5.0).all()
     assert got["keep_loudness"].all()
+
+
+def test_curate_with_wer_gate(spark):
+    """A second-source transcript table gates disagreement: clips whose
+    reference differs beyond max_wer (or is missing) are dropped before
+    any payload work; agreeing clips survive."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jschon_spark import fixtures as fx
+    from jobs.curate_clips import curate
+
+    clips = spark.createDataFrame(
+        fx.gen_clips_batch(np.arange(60), audio=True), schema=fx.CLIPS_DDL
+    )
+    # references: exact for even ids, heavily corrupted for odd, and no
+    # row at all for ids 0-4 (missing side must fail closed)
+    base = clips.select("clip_id", "transcript").where("transcript is not null")
+    w = F.abs(F.xxhash64("clip_id")) % 2
+    refs = base.where(F.monotonically_increasing_id() >= 0).select(
+        "clip_id",
+        F.when(w == 0, F.col("transcript"))
+        .otherwise(F.lit("completely different words entirely unrelated content"))
+        .alias("transcript"),
+    )
+    curated, _ = curate(
+        spark, clips, dedup=False, ref_transcripts=refs, max_wer=0.2
+    )
+    got = set(r["clip_id"] for r in curated.select("clip_id").collect())
+    agree = set(
+        r["clip_id"]
+        for r in base.withColumn("w", w).where("w = 0").collect()
+    )
+    disagree = set(
+        r["clip_id"]
+        for r in base.withColumn("w", w).where("w = 1").collect()
+    )
+    assert got <= agree  # survivors only from the agreeing half
+    assert got & agree  # and a healthy number of them
+    assert not (got & disagree)
