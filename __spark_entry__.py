@@ -1293,9 +1293,12 @@ def q_orders_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     string length bounds, and the enum gate (approx-distinct bounds
     the exact collect); the emitted 2020-12 schema's round trip
     through the real compiler is pinned in tests/test_infer.py.
-    DuckDB recomputes every profile value exactly."""
-    import pandas as _pd
+    DuckDB recomputes every profile value exactly.
 
+    Built as a list of plain tuples (NOT via pandas): a pandas
+    DataFrame promotes int-with-None columns to float64 NaN, which a
+    non-Arrow session rejects as ``IntegerType() can not accept object
+    nan`` — the one red CORRECTNESS_r04 row."""
     from jschon_spark.compiler.infer import profile_table
 
     orders = _t(spark, sf_dir, "orders")
@@ -1304,19 +1307,19 @@ def q_orders_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in sorted(prof):
         p = prof[c]
         rows.append(
-            {
-                "column": c,
-                "kind": p["kind"],
-                "n_nulls": p["n_nulls"],
-                "min_value": float(p["min"]) if p.get("min") is not None else None,
-                "max_value": float(p["max"]) if p.get("max") is not None else None,
-                "min_length": p.get("min_length"),
-                "max_length": p.get("max_length"),
-                "enum_csv": ",".join(p["enum"]) if "enum" in p else None,
-            }
+            (
+                c,
+                p["kind"],
+                int(p["n_nulls"]),
+                float(p["min"]) if p.get("min") is not None else None,
+                float(p["max"]) if p.get("max") is not None else None,
+                int(p["min_length"]) if p.get("min_length") is not None else None,
+                int(p["max_length"]) if p.get("max_length") is not None else None,
+                ",".join(p["enum"]) if "enum" in p else None,
+            )
         )
     return spark.createDataFrame(
-        _pd.DataFrame(rows),
+        rows,
         schema="column string, kind string, n_nulls long, min_value double, "
         "max_value double, min_length int, max_length int, enum_csv string",
     )
@@ -1530,6 +1533,20 @@ def q_doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordered ORACLE-BACKED-FIRST: if the driver samples or
+    truncates the registry under a per-round budget, every query with a
+    DuckDB oracle still lands a hard row in the CORRECTNESS artifact
+    (rows-only queries are the ones that can afford to be skipped) —
+    CORRECTNESS_r04 covered only 50/77 and left 15 oracle-backed
+    queries without a row."""
+    q = _query_registry()
+    oracles = set(oracle_sql().keys())
+    ordered = {k: v for k, v in q.items() if k in oracles}
+    ordered.update({k: v for k, v in q.items() if k not in oracles})
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
         "validate_orders_violations": q_validate_orders_violations,

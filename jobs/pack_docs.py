@@ -114,6 +114,7 @@ def main(argv=None) -> int:
     # the scan — resume never shuffles committed work
     docs = docs.withColumn("_bucket", _bucket(F.col("doc_id"), args.buckets, args.salt))
 
+    pending = None
     if args.manifest:
         all_parts = spark.range(args.buckets).select(F.col("id").cast("int").alias("part_id"))
         pending = mf.pending_partitions(spark, args.manifest, all_parts)
@@ -149,7 +150,12 @@ def main(argv=None) -> int:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("complete").cast("long")).alias("n_valid"),
         )
-        processed = docs.select(F.col("_bucket").alias("part_id")).distinct()
+        # COMMIT every pending bucket, not just buckets observed in the
+        # input: on sparse corpora (fewer docs than --buckets) an empty
+        # bucket would otherwise never get a manifest row and the job
+        # could never reach "manifest complete".  An empty bucket is
+        # legitimately done — it commits with n_rows = 0.
+        processed = pending.select("part_id")
         per_part = (
             processed.join(stats, "part_id", "left")
             .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))

@@ -111,6 +111,7 @@ def _condition_kernel(
     peak_ceiling_dbfs: float,
     remove_dc: bool = False,
     out_codec: str = "pcm_s16le",
+    gain_db_col: str | None = None,
 ):
     def gen(batches):
         for batch in batches:
@@ -118,6 +119,11 @@ def _condition_kernel(
             n = batch.num_rows
             ok = np.zeros(n, dtype=bool)
             gains = np.ones(n, dtype=np.float64)
+            row_gain_db = None
+            if gain_db_col is not None:
+                row_gain_db = batch.column(names.index(gain_db_col)).to_numpy(
+                    zero_copy_only=False
+                )
             # undecodable rows keep their claimed sr_hz untouched
             srs_out = (
                 batch.column(names.index("sr_hz"))
@@ -140,7 +146,24 @@ def _condition_kernel(
                 if target_sr is not None and sr > 0:
                     y = resample_linear(y, sr, target_sr)
                     out_sr = target_sr
-                if target_rms_dbfs is not None:
+                if row_gain_db is not None:
+                    # per-row gain (dB) — e.g. loudness.r128_gain_db —
+                    # capped so the post-gain peak stays under the
+                    # ceiling; null/NaN gain means leave the row alone
+                    db = row_gain_db[i]
+                    if db is not None and not np.isnan(db):
+                        g = 10.0 ** (float(db) / 20.0)
+                        peak = float(np.max(np.abs(y))) if len(y) else 0.0
+                        if peak > 0.0:
+                            g = min(
+                                g,
+                                (10.0 ** (peak_ceiling_dbfs / 20.0)) * _FULL / peak,
+                            )
+                        gains[i] = g
+                        y = np.clip(
+                            np.round(y.astype(np.float64) * g), -32768, 32767
+                        ).astype(np.int16)
+                elif target_rms_dbfs is not None:
                     g = gain_for_target(y, target_rms_dbfs, peak_ceiling_dbfs)
                     gains[i] = g
                     y = np.clip(
@@ -177,14 +200,22 @@ def condition_clips(
     peak_ceiling_dbfs: float = PEAK_CEILING_DBFS,
     remove_dc: bool = False,
     out_codec: str = "pcm_s16le",
+    gain_db_col: str | None = None,
 ) -> DataFrame:
     """Rewrite clip payloads to canonical pcm_s16le at ``target_sr`` and
     ``target_rms_dbfs`` (pass None to skip either step). Map-only —
     one zero-copy decode walk, payload-sized output by design (this IS
     the materialize-the-conditioned-corpus stage). Undecodable rows
-    keep null payload with conditioned_ok = false."""
+    keep null payload with conditioned_ok = false.
+
+    ``gain_db_col`` switches the gain stage from RMS-target to an
+    explicit per-row gain in dB (e.g. ``loudness.r128_gain_db`` — the
+    EBU R128 loudness-normalization hand-off), still capped at the
+    peak ceiling; null gain leaves the row's level untouched."""
     if out_codec not in ("pcm_s16le", "wav"):
         raise ValueError(f"unsupported out_codec {out_codec!r}")
+    if gain_db_col is not None and gain_db_col not in df.columns:
+        raise ValueError(f"gain_db_col {gain_db_col!r} not in DataFrame")
     keep = [f for f in df.schema.fields if f.name not in ("bytes", "codec", "sr_hz")]
     out_fields = keep + [
         T.StructField("bytes", T.BinaryType()),
@@ -194,6 +225,13 @@ def condition_clips(
         T.StructField("gain_applied", T.DoubleType()),
     ]
     return df.mapInArrow(
-        _condition_kernel(target_sr, target_rms_dbfs, peak_ceiling_dbfs, remove_dc, out_codec),
+        _condition_kernel(
+            target_sr,
+            target_rms_dbfs,
+            peak_ceiling_dbfs,
+            remove_dc,
+            out_codec,
+            gain_db_col,
+        ),
         T.StructType(out_fields),
     )

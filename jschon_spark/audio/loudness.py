@@ -300,8 +300,9 @@ def with_loudness(df: DataFrame, keep_bytes: bool = False) -> DataFrame:
 def r128_gain_db(target_lufs: float = -23.0, col: str = "integrated_lufs") -> Column:
     """Column: the gain (dB) that brings a measured clip to the target
     program loudness (EBU R128 normalization, -23 LUFS default). Feed
-    the result to audio/conditioning.condition_clips(gain_db=...) or a
-    downstream mixer; gain is null where loudness was unmeasurable."""
+    the result to audio/conditioning.condition_clips(gain_db_col=...)
+    (per-row loudness normalization) or a downstream mixer; gain is
+    null where loudness was unmeasurable."""
     return F.when(
         F.col(col) > DB_FLOOR, F.lit(float(target_lufs)) - F.col(col)
     ).alias("r128_gain_db")

@@ -123,10 +123,18 @@ def temperature_sample(
     computes the rates, then the same map-side hash-gated filter as
     stratified_sample applies them — deterministic, append-stable, and
     externally replayable (an oracle recomputes both the counts and
-    the md5 coins)."""
+    the md5 coins).
+
+    Rows with a NULL stratum take no part in the temperature mix: they
+    are excluded from the count pass and fall through to
+    ``default_rate=0.0`` in the applied filter (``col == value`` is
+    never true for NULL), i.e. they are dropped from the sample."""
     counts = {
         r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     rates = temperature_rates(counts, alpha=alpha, target_frac=target_frac)
     return stratified_sample(

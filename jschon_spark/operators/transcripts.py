@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_NORM_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# Mirrors cer()'s normalization exactly: \w keeps '_' as a word char,
+# so '_' is stripped explicitly in BOTH — WER and CER must agree on
+# underscore-containing transcripts.
+_NORM_RE = re.compile(r"[^\w\s]|_", re.UNICODE)
 
 WER_TYPE = T.StructType(
     [

@@ -194,3 +194,42 @@ def test_wav_output_roundtrip(spark):
     feats = with_audio_features(cond).toPandas().iloc[0]
     assert feats["features_ok"]
     assert feats["dominant_freq_hz"] == pytest.approx(440, abs=3)
+
+
+def test_per_row_gain_db_col(spark):
+    """gain_db_col applies an explicit per-row dB gain (the R128
+    loudness-normalization hand-off documented by r128_gain_db),
+    capped at the peak ceiling; null gain leaves the row's level
+    untouched."""
+    x = _tone(440, SR, amp=0.1)  # ~-23 dBFS RMS
+    rows = [
+        ("up6", x.tobytes(), "pcm_s16le", SR, 6.0),
+        ("hot", x.tobytes(), "pcm_s16le", SR, 40.0),   # would clip → capped
+        ("asis", x.tobytes(), "pcm_s16le", SR, None),  # null → untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int, g double"
+    )
+    out = {
+        r["clip_id"]: r
+        for r in condition_clips(
+            df, target_sr=None, target_rms_dbfs=None, gain_db_col="g"
+        ).collect()
+    }
+    base = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+
+    def rms(r):
+        y = np.frombuffer(r["bytes"], dtype=np.int16).astype(np.float64)
+        return np.sqrt(np.mean(y**2))
+
+    # +6 dB ≈ 2× linear
+    assert rms(out["up6"]) == pytest.approx(base * 10 ** (6 / 20), rel=0.01)
+    assert out["up6"]["gain_applied"] == pytest.approx(10 ** (6 / 20), rel=1e-6)
+    # +40 dB wants 100×, but peak ceiling (-1 dBFS) caps it below clipping
+    peak_in = float(np.max(np.abs(x)))
+    cap = (10 ** (-1 / 20)) * 32767.0 / peak_in
+    assert out["hot"]["gain_applied"] == pytest.approx(cap, rel=1e-6)
+    assert np.max(np.abs(np.frombuffer(out["hot"]["bytes"], dtype=np.int16))) < 32767
+    # null gain: bit-identical payload, gain 1.0
+    assert out["asis"]["bytes"] == x.tobytes()
+    assert out["asis"]["gain_applied"] == 1.0

@@ -302,3 +302,17 @@ def test_temperature_sample_realizes_mix(spark):
         assert abs(got.get(s, 0) - want) <= 4 * sd + 1, (s, got.get(s), want)
     # flattening: fr's share grew vs its natural 5%
     assert got["fr"] / len(out) > 0.08
+
+
+def test_temperature_sample_null_stratum(spark):
+    """Rows with a NULL stratum must not crash the count pass (r4: a
+    None key survived into sorted(rates.items()) → TypeError) — they
+    fall to default_rate=0 and drop out of the sample."""
+    from jschon_spark.operators.sampling import temperature_sample
+
+    rows = [(0, "en"), (1, "en"), (2, None), (3, "de"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", alpha=1.0, target_frac=1.0).toPandas()
+    assert out["lang"].notna().all()
+    # alpha=1 target=1 keeps every non-null-stratum row
+    assert sorted(out["doc_id"]) == [0, 1, 3]

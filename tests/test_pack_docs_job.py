@@ -110,3 +110,26 @@ def test_bpe_tokenizer_path(spark, corpus, tmp_path):
     # (eow-merged symbols can merge whole words; just check nonempty + deterministic)
     toks2 = tokenize(spark, corpus.limit(10), args).toPandas()
     assert list(map(list, toks["token_ids"])) == list(map(list, toks2["token_ids"]))
+
+
+def test_sparse_corpus_commits_empty_buckets(spark, tmp_path):
+    """Fewer docs than --buckets: every pending bucket (including ones
+    no document hashes into) must commit, so the manifest drains and a
+    rerun is a no-op (r4 ADVICE: empty buckets never committed and the
+    job could never reach 'manifest complete')."""
+    src, out, man = (str(tmp_path / p) for p in ("docs", "packed", "man"))
+    spark.createDataFrame(
+        [("only", "a b c d e")], "doc_id string, text string"
+    ).write.parquet(src)
+    n_buckets = 8
+    assert main(
+        ["--docs", src, "--out", out, "--manifest", man,
+         "--budget", "4", "--buckets", str(n_buckets)]
+    ) == 0
+    assert mf.completed_partitions(spark, man).count() == n_buckets
+    n1 = spark.read.parquet(f"{out}/sequences").count()
+    assert main(
+        ["--docs", src, "--out", out, "--manifest", man,
+         "--budget", "4", "--buckets", str(n_buckets)]
+    ) == 0  # no-op
+    assert spark.read.parquet(f"{out}/sequences").count() == n1

@@ -120,3 +120,23 @@ def test_wer_stage_is_map_only(spark):
     )
     plan = with_wer(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_wer_cer_share_normalization(spark):
+    """WER and CER strip underscores identically (r4 ADVICE: _norm_words
+    kept '_' as a word char while cer() stripped it) — identical
+    transcripts modulo underscores score 0 on BOTH metrics."""
+    from jschon_spark.operators.transcripts import _norm_words, cer, with_wer
+
+    assert _norm_words("hello_world foo") == ["hello", "world", "foo"]
+    df = spark.createDataFrame(
+        [("hello_world foo", "hello world foo")],
+        "transcript string, ref_transcript string",
+    )
+    row = (
+        with_wer(df)
+        .withColumn("c", cer(F.col("transcript"), F.col("ref_transcript")))
+        .collect()[0]
+    )
+    assert row["wer"] == 0.0
+    assert row["c"] == 0.0
