@@ -590,8 +590,12 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized candidate generation + fp32 rescore
     (similarity.py:quantized_topk): per-dim symmetric scales from one
     distributed pass, integer dot products over the 4x-smaller column,
-    exact cosine only on rescore_factor*k survivors. Rows-only (recall
-    gate + quantization bounds pinned in tests/test_training_ops.py)."""
+    exact cosine only on rescore_factor*k survivors. Unlike the
+    hyperplane/IVF/PQ families (numpy projections — not SQL-
+    expressible), this cascade is pure arithmetic, so DuckDB replays
+    the ENTIRE approximate path value-for-value: scales, clamped
+    round(x/s) quantization, exact integer dot-product candidate cut,
+    fp32 rescore."""
     from jschon_spark.operators.similarity import (
         embedding_scales,
         quantized_topk,
@@ -602,7 +606,40 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
     scales = embedding_scales(emb)
     qdf = with_quantized_embedding(emb, scales)
-    return quantized_topk(qdf, query, scales, k=10)
+    return quantized_topk(qdf, query, scales, k=10, round_digits=4)
+
+
+def q_embedding_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-checked ANN recall: recall@1 and overlap@10 of the int8-
+    quantized search against exact brute force, with BOTH result sets
+    recomputed independently by DuckDB (the other ANN recall query,
+    embedding_ann_recall, stays rows-only because its hyperplane-LSH
+    candidate set is not SQL-expressible). The query row (vec_id 0) is
+    excluded from the corpus before either search so recall@1 is not
+    tautological."""
+    from jschon_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_scales,
+        quantized_topk,
+        with_quantized_embedding,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    scales = embedding_scales(emb)
+    rest = emb.where("vec_id != 0")
+    qdf = with_quantized_embedding(rest, scales)
+    exact = [r.vec_id for r in brute_force_topk(rest, query, k=10, round_digits=4).collect()]
+    approx = [
+        r.vec_id
+        for r in quantized_topk(qdf, query, scales, k=10, round_digits=4).collect()
+    ]
+    overlap = len(set(exact) & set(approx))
+    rows = [
+        (1, int(exact[0] in approx), float(int(exact[0] in approx))),
+        (10, overlap, round(overlap / 10.0, 2)),
+    ]
+    return spark.createDataFrame(rows, "k int, n_overlap int, recall double")
 
 
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,6 +1622,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_indexed": q_embedding_ann_indexed,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_quantized_topk": q_embedding_quantized_topk,
+        "embedding_quantized_recall": q_embedding_quantized_recall,
         "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "embedding_ann_recall": q_embedding_ann_recall,
@@ -2191,6 +2229,86 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        # Full replay of the int8 scalar-quantization cascade: per-dim
+        # symmetric scales max|x|/127, clamped round(x/s) quantization,
+        # EXACT integer dot-product candidate cut (top rescore*k=40),
+        # fp32 cosine rescore of survivors only.
+        "embedding_quantized_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+            ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            scales AS (
+              SELECT pos, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0 ELSE 1.0 END AS s
+              FROM ex GROUP BY 1
+            ),
+            qx AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM q),
+            qq AS (
+              SELECT qx.pos, greatest(-127, least(127, round(qx.x / s.s)))::BIGINT AS qv
+              FROM qx JOIN scales s USING (pos)
+            ),
+            scored AS (
+              SELECT ex.vec_id,
+                     sum(greatest(-127, least(127, round(ex.x / s.s)))::BIGINT * qq.qv) AS q_score
+              FROM ex JOIN scales s USING (pos) JOIN qq USING (pos)
+              GROUP BY 1
+            ),
+            cand AS (SELECT vec_id FROM scored ORDER BY q_score DESC, vec_id LIMIT 40)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM q)), 4) AS cosine_sim
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 10
+        """,
+        # Engine-to-engine recall: DuckDB independently recomputes BOTH
+        # the exact top-10 and the quantized-cascade top-10 (query row
+        # excluded from the corpus) and derives the same recall rows.
+        "embedding_quantized_recall": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+            ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            scales AS (
+              SELECT pos, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0 ELSE 1.0 END AS s
+              FROM ex GROUP BY 1
+            ),
+            qx AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM q),
+            qq AS (
+              SELECT qx.pos, greatest(-127, least(127, round(qx.x / s.s)))::BIGINT AS qv
+              FROM qx JOIN scales s USING (pos)
+            ),
+            scored AS (
+              SELECT ex.vec_id,
+                     sum(greatest(-127, least(127, round(ex.x / s.s)))::BIGINT * qq.qv) AS q_score
+              FROM ex JOIN scales s USING (pos) JOIN qq USING (pos)
+              WHERE ex.vec_id != 0
+              GROUP BY 1
+            ),
+            cand AS (SELECT vec_id FROM scored ORDER BY q_score DESC, vec_id LIMIT 40),
+            approx AS (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM q)), 4) AS cs
+              FROM embeddings e JOIN cand USING (vec_id)
+              ORDER BY cs DESC, vec_id LIMIT 10
+            ),
+            exact AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM q)), 4) AS cs
+              FROM embeddings WHERE vec_id != 0
+              ORDER BY cs DESC, vec_id LIMIT 10
+            ),
+            ef AS (SELECT vec_id FROM exact ORDER BY cs DESC, vec_id LIMIT 1),
+            ov AS (SELECT count(*) AS n FROM exact JOIN approx USING (vec_id))
+            SELECT 1 AS k,
+                   (SELECT count(*) FROM approx WHERE vec_id = (SELECT vec_id FROM ef))::INT AS n_overlap,
+                   (SELECT count(*) FROM approx WHERE vec_id = (SELECT vec_id FROM ef))::DOUBLE AS recall
+            UNION ALL
+            SELECT 10, (SELECT n FROM ov)::INT, round((SELECT n FROM ov) / 10.0, 2)
         """,
         "events_histogram": """
             SELECT event_type AS value, count(*) AS count FROM events GROUP BY event_type

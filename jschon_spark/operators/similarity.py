@@ -211,7 +211,17 @@ def embedding_near_duplicates(
     in n BY CONSTRUCTION as the corpus grows; explicit values override."""
     if bands is None or bits_per_band is None:
         if n_rows is None:
-            n_rows = df.count()
+            # plan-statistics estimate first (parquet metadata, no job);
+            # a full count() at design scale is an extra pass over the
+            # table before any real work. Over-estimates are benign:
+            # auto_lsh_params sizes bands and bits JOINTLY for the
+            # recall target, so a few-x cardinality error only widens
+            # both while preserving recall-by-construction.
+            from jschon_spark.operators.table_checks import _estimated_rows
+
+            n_rows = _estimated_rows(df)
+            if n_rows is None or n_rows <= 0:
+                n_rows = df.count()
         auto_b, auto_w = auto_lsh_params(max(2, n_rows), threshold=threshold)
         bands = bands if bands is not None else auto_b
         bits_per_band = bits_per_band if bits_per_band is not None else auto_w

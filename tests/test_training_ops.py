@@ -446,3 +446,27 @@ def test_quantized_topk_recall(spark):
     # int8 candidates + fp32 rescore: near-exact on clustered data
     assert len(set(got) & set(exact)) >= 9
     assert got[0] == exact[0] == 200
+
+
+def test_embedding_near_dup_no_count_job(spark, tmp_path, monkeypatch):
+    """Default auto-sizing derives corpus cardinality from plan
+    statistics (parquet metadata) — a count() job before any real work
+    is an extra full scan at design scale and must not run."""
+    from pyspark.sql import DataFrame
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": list(rng.normal(size=(50, 8)).astype(np.float32))}
+    )
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(pdf).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def boom(self):
+        raise AssertionError("count() job ran in the default auto-sizing path")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = similarity.embedding_near_duplicates(df, threshold=0.9)
+    assert set(out.columns) == {"id_a", "id_b", "cosine_sim"}
+    monkeypatch.undo()
+    assert out.count() >= 0
