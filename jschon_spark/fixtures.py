@@ -379,21 +379,33 @@ def synth_image(seed64: int, w: int = 48, h: int = 32) -> np.ndarray:
     return img
 
 
-_IMG_FMT_CYCLE = ("png", "bmp", "ppm")
+_IMG_FMT_CYCLE = ("png", "bmp", "ppm", "jpeg")
 
 
 def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
     """(media_id, format, payload) rows — format round-robins through
-    png/bmp/ppm so every built-in codec is exercised; payload bytes are
-    a pure function of the id (stable under any partitioning). Every
-    MOD-th id gets a corrupted payload (truncated PNG) so decode-error
-    handling has a deterministic oracle: ids ≡ SLOT_TRUNC (mod MOD)."""
-    from jschon_spark.operators.multimodal import encode_bmp, encode_png, encode_ppm
+    png/bmp/ppm/jpeg so every built-in codec is exercised (jpeg at
+    quality 95: near-lossless on the quadrant fixture, deterministic
+    bytes); payload bytes are a pure function of the id (stable under
+    any partitioning). Every MOD-th id gets a corrupted payload
+    (truncated) so decode-error handling has a deterministic oracle:
+    ids ≡ SLOT_TRUNC (mod MOD)."""
+    from jschon_spark.operators.multimodal import (
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+    )
 
-    enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
+    enc = {
+        "png": encode_png,
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "jpeg": lambda img: encode_jpeg(img, quality=95),
+    }
     rows = {"media_id": [], "format": [], "payload": []}
     for i in np.asarray(ids, dtype=np.int64):
-        fmt = _IMG_FMT_CYCLE[int(i) % 3]
+        fmt = _IMG_FMT_CYCLE[int(i) % len(_IMG_FMT_CYCLE)]
         img = synth_image(int(_splitmix64(np.array([i], dtype=np.uint64))[0]))
         blob = enc[fmt](img)
         if int(i) % MOD == SLOT_TRUNC:

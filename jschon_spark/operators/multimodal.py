@@ -58,6 +58,7 @@ _FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_sha1", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -308,7 +309,7 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def sniff_format(blob: bytes) -> Optional[str]:
-    """Identify a payload by magic bytes (png/bmp/ppm/pgm)."""
+    """Identify a payload by magic bytes (png/bmp/ppm/pgm/jpeg)."""
     if not blob:
         return None
     if blob.startswith(_PNG_SIG):
@@ -319,7 +320,28 @@ def sniff_format(blob: bytes) -> Optional[str]:
         return "ppm"
     if blob[:2] == b"P5":
         return "pgm"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, **kw) -> bytes:
+    """Baseline JFIF JPEG (operators/jpeg.py — pure numpy/stdlib)."""
+    from jschon_spark.operators import jpeg as _jpeg
+
+    return _jpeg.encode_jpeg(arr, quality=quality, **kw)
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → HxWxC uint8 (operators/jpeg.py);
+    malformed/non-baseline payloads raise this module's
+    ``ImageDecodeError`` like every other built-in codec."""
+    from jschon_spark.operators import jpeg as _jpeg
+
+    try:
+        return _jpeg.decode_jpeg(blob)
+    except _jpeg.ImageDecodeError as e:
+        raise ImageDecodeError(str(e)) from None
 
 
 _BUILTIN_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
@@ -327,6 +349,8 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "bmp": decode_bmp,
     "ppm": decode_ppm,
     "pgm": decode_ppm,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
 }
 
 
@@ -335,10 +359,11 @@ def decode_image(
 ) -> np.ndarray:
     """Decode an image payload to HxWxC uint8.
 
-    PPM/PGM, uncompressed BMP and 8-bit non-interlaced PNG decode with
-    the built-in numpy/stdlib codecs above. Other formats (JPEG, WebP,
-    …) need a codec library — inject ``decoder`` (e.g. a PIL wrapper)
-    on a cluster image that ships one."""
+    PPM/PGM, uncompressed BMP, 8-bit non-interlaced PNG, and baseline
+    JPEG decode with the built-in numpy/stdlib codecs. Remaining
+    formats (WebP, progressive JPEG, video) need a codec library —
+    inject ``decoder`` (e.g. a PIL wrapper) on a cluster image that
+    ships one."""
     if decoder is not None:
         return decoder(blob, fmt)
     key = (fmt or "").lower() or sniff_format(blob or b"")
@@ -347,7 +372,7 @@ def decode_image(
         raise NotImplementedError(
             f"no built-in decoder for format {key!r}; built-ins: "
             f"{sorted(_BUILTIN_DECODERS)} — inject `decoder=` for codec-"
-            "library formats (e.g. Pillow for JPEG) on a real cluster"
+            "library formats (e.g. Pillow for WebP) on a real cluster"
         )
     return fn(blob)
 
@@ -513,23 +538,42 @@ def extract_features(
     df: DataFrame,
     id_col: str = "media_id",
     blob_col: str = "payload",
-    feature_fn: Callable[[bytes], np.ndarray] = fake_features,
+    feature_fn: Optional[Callable[[bytes], np.ndarray]] = None,
 ) -> DataFrame:
     """mapInPandas feature extraction: the projection ships ONLY
     (id, payload) into the Python workers; Arrow batch size is capped
-    session-wide because payloads are large."""
+    session-wide because payloads are large.
+
+    The DEFAULT feature function is the REAL ``image_features`` (it
+    decodes pixels). An undecodable payload yields a null ``features``
+    row with ``decode_error`` set — visible and filterable, never a
+    task failure and never silent noise. ``fake_features`` (sha1-seeded
+    uniforms) is available strictly as an explicit opt-in for plumbing
+    tests; it stopped being the default in round 5 because a caller
+    forgetting a decoder for an exotic format would silently feed
+    deterministic noise into a corpus."""
     fields = [id_col, blob_col]
+    fn = feature_fn if feature_fn is not None else image_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
-            feats = [feature_fn(b if b is not None else b"") for b in blobs]
+            feats, errs = [], []
+            for b in blobs:
+                bb = bytes(b) if b is not None else b""
+                try:
+                    feats.append(fn(bb))
+                    errs.append(None)
+                except Exception as e:  # malformed payloads must not kill the task
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype(str),
                     "n_bytes": [len(b) if b is not None else 0 for b in blobs],
                     "content_sha1": [hashlib.sha1(b or b"").hexdigest() for b in blobs],
                     "features": feats,
+                    "decode_error": errs,
                 }
             )
 

@@ -125,7 +125,8 @@ def test_sniff_format():
     assert mm.sniff_format(mm.encode_bmp(img)) == "bmp"
     assert mm.sniff_format(mm.encode_ppm(img)) == "ppm"
     assert mm.sniff_format(mm.encode_ppm(img[:, :, :1])) == "pgm"
-    assert mm.sniff_format(b"\xff\xd8\xff") is None
+    assert mm.sniff_format(b"\xff\xd8\xff") == "jpeg"  # built-in since r5
+    assert mm.sniff_format(mm.encode_jpeg(img)) == "jpeg"
     assert mm.sniff_format(b"") is None
 
 

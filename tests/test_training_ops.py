@@ -177,9 +177,12 @@ def test_ann_indexed_prunes_and_recalls(spark, tmp_path):
 
 
 def test_multimodal_feature_plumbing(spark):
+    """fake_features is EXPLICIT opt-in (r5: the default is real
+    image_features — a forgotten decoder must not silently feed
+    sha1-noise into a corpus)."""
     rows = [("m1", b"\x00\x01payload"), ("m2", b""), ("m1b", b"\x00\x01payload")]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
-    out = multimodal.extract_features(df).collect()
+    out = multimodal.extract_features(df, feature_fn=multimodal.fake_features).collect()
     by_id = {r.media_id: r for r in out}
     assert by_id["m1"].n_bytes == 9
     assert len(by_id["m1"].features) == multimodal.FEATURE_DIM
@@ -188,13 +191,41 @@ def test_multimodal_feature_plumbing(spark):
     assert list(by_id["m1"].features) == list(by_id["m1b"].features)
 
 
+def test_multimodal_real_features_default(spark):
+    """Default extract_features decodes REAL pixels; undecodable
+    payloads surface as decode_error rows with null features, never
+    fake vectors and never task failures."""
+    import numpy as _np
+
+    img = _np.zeros((16, 16, 3), dtype=_np.uint8)
+    img[:, 8:] = 255
+    rows = [
+        ("png", multimodal.encode_png(img)),
+        ("jpeg", multimodal.encode_jpeg(img, quality=95)),
+        ("junk", b"\x00\x01payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    by_id = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    want = multimodal.image_features(rows[0][1])
+    assert list(by_id["png"].features) == pytest.approx(list(want))
+    assert by_id["png"].decode_error is None
+    # q95 jpeg of a block-aligned two-tone image decodes near-exactly
+    jf = _np.array(by_id["jpeg"].features)
+    assert _np.abs(jf - want).max() < 0.02
+    assert by_id["junk"].features is None
+    assert "junk" != "" and by_id["junk"].decode_error
+
+
 def test_multimodal_decode_errors():
     # malformed payload in a built-in format → typed decode error
     with pytest.raises(multimodal.ImageDecodeError):
         multimodal.decode_image(b"xx", "png")
+    # jpeg is built-in now: malformed jpeg → typed decode error too
+    with pytest.raises(multimodal.ImageDecodeError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
     # codec-library formats still require an injected decoder
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
+        multimodal.decode_image(b"RIFF....WEBPVP8 ", "webp")
 
 
 def test_frame_sampling_plan(spark):
