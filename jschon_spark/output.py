@@ -184,6 +184,118 @@ _ANNOTATION_KEYS = (
 _CONTENT_KEYS = ("contentEncoding", "contentMediaType", "contentSchema")
 
 
+def audit_output(
+    schema,
+    df: DataFrame,
+    instance_columns: list[str] | None = None,
+    id_cols: list[str] | None = None,
+    where: "Column | str | None" = None,
+    include_passing: bool = True,
+    **compile_kw,
+) -> DataFrame:
+    """DISTRIBUTED verbose-style audit rows: ONE Spark plan producing
+    one output row per (selected document, schema node) — validity,
+    dynamic keywordLocation, instanceLocation, applied-ness, and the
+    node's static annotation keywords as JSON — for EVERY row-scope
+    node the compile trace records (all keywords, every applicator
+    branch, ref targets) plus the derived applicator group nodes
+    (allOf/oneOf/properties/... gates, same pruning rule as jschon's
+    collect_annotations, jsonschema.py:515-524).
+
+    This is the at-scale audit-trail complement to ``verbose_output``:
+    the row subset comes from a ``where`` predicate (pushed into the
+    scan), not a driver-side sample/limit, and there are NO per-doc
+    Spark jobs — the whole thing is a map-only projection + explode, so
+    it runs over a 10^12-row table exactly like the violations output.
+    The one scope difference: per-element HOF subtree results (array
+    items / map values) stay summarized at their applicator node —
+    those subtrees execute inside codegen lambdas; ``verbose_output``'s
+    sampled driver-side walk expands them for human debugging.
+
+    ``include_passing=False`` keeps only failing nodes — a distributed
+    ``detailed``-style audit."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from jschon_spark.compiler.context import Ctx
+    from jschon_spark.compiler.core import Compiler, apply_stages
+
+    comp = Compiler(schema, **compile_kw)
+    comp.trace = {}
+    comp._staging = True
+    cols = instance_columns or [c for c in df.columns if c not in (id_cols or [])]
+    dtype = T.StructType([df.schema[c] for c in cols])
+    root_col = F.struct(*[F.col(c).alias(c) for c in cols])
+    try:
+        comp.apply(comp.root, Ctx(col=root_col, dtype=dtype, path=F.lit(""), spath=""))
+    finally:
+        comp._staging = False
+
+    entries = sorted(comp.trace.items())
+    structs = []
+    for spath, ent in entries:
+        node_schema, path_col, compiled = ent[0], ent[1], ent[2]
+        applied = ent[3] if len(ent) > 3 else None
+        valid = F.coalesce(compiled.valid, F.lit(True))
+        ann = None
+        if isinstance(node_schema, dict):
+            d = {
+                k: node_schema[k]
+                for k in _ANNOTATION_KEYS
+                if k in node_schema and node_schema[k] is not None
+            }
+            if d:
+                ann = _json.dumps(d, sort_keys=True)
+        structs.append(
+            F.struct(
+                F.lit(spath).alias("keyword_path"),
+                F.coalesce(path_col, F.lit("")).alias("instance_path"),
+                valid.alias("valid"),
+                (
+                    F.lit(True)
+                    if applied is None
+                    else F.coalesce(applied, F.lit(False))
+                ).alias("applied"),
+                (
+                    F.when(valid, F.lit(ann)).otherwise(F.lit(None).cast("string"))
+                    if ann
+                    else F.lit(None).cast("string")
+                ).alias("annotations_json"),
+            )
+        )
+    by_spath = dict(entries)
+    for q, gate in _applicator_node_gates(entries).items():
+        parent = by_spath.get(q.rsplit("/", 1)[0])
+        ppath = F.coalesce(parent[1], F.lit("")) if parent is not None else F.lit("")
+        structs.append(
+            F.struct(
+                F.lit(q).alias("keyword_path"),
+                ppath.alias("instance_path"),
+                F.coalesce(gate, F.lit(True)).alias("valid"),
+                F.lit(True).alias("applied"),
+                F.lit(None).cast("string").alias("annotations_json"),
+            )
+        )
+
+    base = df.where(where) if where is not None else df
+    out = (
+        apply_stages(base, comp.stages)
+        .select(*(id_cols or []), F.explode(F.array(*structs)).alias("n"))
+        .select(
+            *(id_cols or []),
+            F.col("n.keyword_path").alias("keyword_path"),
+            F.col("n.instance_path").alias("instance_path"),
+            F.col("n.valid").alias("valid"),
+            F.col("n.applied").alias("applied"),
+            F.col("n.annotations_json").alias("annotations_json"),
+        )
+    )
+    if not include_passing:
+        out = out.where(~F.col("valid"))
+    return out
+
+
 def verbose_output(
     schema,
     df: DataFrame,

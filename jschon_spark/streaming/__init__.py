@@ -312,3 +312,36 @@ def streaming_sessions(
             "session_end",
         )
     )
+
+
+def streaming_transcript_gate(
+    stream_df: DataFrame,
+    ref_transcripts: DataFrame,
+    max_wer: float = 0.3,
+    id_col: str = "clip_id",
+    hyp_col: str = "transcript",
+) -> DataFrame:
+    """Streaming WER transcript-agreement gate — the curation stage
+    curate_clips runs batch-side (jobs/curate_clips.py), now available
+    on the live ingest path: a stream-STATIC left join brings in the
+    second-source transcript by ``id_col`` (stateless — stream-static
+    joins need no watermark or state store; the static side is
+    broadcast or re-scanned per micro-batch by size), then the same
+    Arrow-batched word-DP WER kernel as the batch gate
+    (operators/transcripts.py) scores each row. Rows whose transcripts
+    disagree beyond ``max_wer`` — or that have NO reference row — are
+    dropped (fail closed, identical rule to the batch gate), so a
+    disagreeing clip never reaches the payload-sized decode stages
+    downstream. Per-micro-batch plan fragments are the batch plan
+    fragments; parity is pinned in tests/test_streaming.py."""
+    from jschon_spark.operators.transcripts import transcript_agreement_gate
+
+    refs = ref_transcripts.select(
+        F.col(id_col), F.col("text").alias("ref_transcript")
+    )
+    joined = stream_df.join(refs, id_col, "left")
+    return (
+        transcript_agreement_gate(joined, max_wer=max_wer, hyp_col=hyp_col)
+        .where(F.col("keep_transcript"))
+        .drop("ref_transcript")
+    )

@@ -395,3 +395,107 @@ def test_verbose_output_per_entry_map_subtree(spark):
     assert by_loc[("/properties/m/patternProperties/^x", "/m/xa")] is True
     assert by_loc[("/properties/m/patternProperties/^x", "/m/xb")] is False
     assert by_loc[("/properties/m/additionalProperties", "/m/other")] is True
+
+
+def test_audit_output_golden(spark):
+    """Distributed audit rows: per-node validity/applied/annotations for
+    known documents, exactly — including the derived applicator group
+    gates and the unapplied-property rule (absent property's node is
+    applied=false and the /properties gate ignores it)."""
+    from jschon_spark.output import audit_output
+
+    schema = {
+        "type": "object",
+        "required": ["a"],
+        "properties": {
+            "a": {"type": "integer", "minimum": 3, "title": "A"},
+            "b": {"type": "string", "maxLength": 2},
+        },
+        "allOf": [{"minProperties": 1}],
+    }
+    df = spark.createDataFrame(
+        [("r1", 5, "ok"), ("r2", 1, "toolong"), ("r3", None, "x")],
+        "rid string, a int, b string",
+    )
+    rows = audit_output(schema, df, instance_columns=["a", "b"], id_cols=["rid"]).collect()
+    got = {(r.rid, r.keyword_path): r for r in rows}
+    assert len(rows) == 3 * 6  # 4 traced nodes + 2 group gates per doc
+
+    want_valid = {
+        ("r1", ""): True, ("r1", "/properties/a"): True, ("r1", "/properties/b"): True,
+        ("r1", "/allOf/0"): True, ("r1", "/allOf"): True, ("r1", "/properties"): True,
+        ("r2", ""): False, ("r2", "/properties/a"): False, ("r2", "/properties/b"): False,
+        ("r2", "/allOf/0"): True, ("r2", "/allOf"): True, ("r2", "/properties"): False,
+        ("r3", ""): False,            # required: a missing
+        ("r3", "/properties/a"): False,
+        ("r3", "/properties/b"): True,
+        ("r3", "/allOf/0"): True, ("r3", "/allOf"): True,
+        ("r3", "/properties"): True,  # gate ignores the UNAPPLIED a-node
+    }
+    for k, v in want_valid.items():
+        assert got[k].valid is v, (k, got[k].valid, v)
+    assert got[("r3", "/properties/a")].applied is False
+    assert got[("r2", "/properties/a")].applied is True
+    # static annotations ride only on VALID nodes
+    assert got[("r1", "/properties/a")].annotations_json == '{"title": "A"}'
+    assert got[("r2", "/properties/a")].annotations_json is None
+    # instance locations
+    assert got[("r1", "/properties/a")].instance_path == "/a"
+    assert got[("r1", "")].instance_path == ""
+
+
+def test_audit_output_predicate_one_plan(spark):
+    """where= selects the row subset inside ONE map-only plan (no
+    Exchange, no per-doc jobs, no driver-side limit) and
+    include_passing=False gives the detailed-style failing view."""
+    from jschon_spark.output import audit_output
+
+    schema = {"properties": {"age": {"minimum": 0}}}
+    df = spark.createDataFrame(
+        [(i, i - 2) for i in range(10)], "rid int, age int"
+    )
+    out = audit_output(
+        schema, df, instance_columns=["age"], id_cols=["rid"],
+        where=F.col("rid") >= 5, include_passing=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "CollectLimit" not in plan and "GlobalLimit" not in plan, plan
+    rows = out.collect()
+    # rids 5,6 have age 3,4 ≥ 0 → pass; nothing else selected
+    assert rows == [] or all(r.rid >= 5 for r in rows)
+    full = audit_output(
+        schema, df, instance_columns=["age"], id_cols=["rid"],
+        where="rid < 5", include_passing=False,
+    ).collect()
+    bad = {r.rid for r in full if r.keyword_path == "/properties/age"}
+    assert bad == {0, 1}  # age -2, -1 fail minimum; age 0.. pass
+
+
+def test_audit_output_agrees_with_verbose(spark, validated):
+    """Every audit row for a document matches the flattened verbose
+    result tree at the same (keywordLocation, instanceLocation) — the
+    two views are the same trace, surfaced distributed vs driver-side."""
+    from jschon_spark.output import audit_output, verbose_output
+
+    df = spark.createDataFrame(
+        [(1, "ok", 3), (2, "x", -1)], "rid long, name string, age long"
+    )
+    audit = audit_output(
+        SCHEMA, df, instance_columns=["name", "age"], id_cols=["rid"]
+    ).collect()
+    verb = verbose_output(
+        SCHEMA, df, instance_columns=["name", "age"], id_cols=["rid"], max_rows=10
+    )
+
+    def flatten(node, acc):
+        acc[(node["keywordLocation"], node["instanceLocation"])] = node["valid"]
+        for ch in node.get("results", []):
+            flatten(ch, acc)
+        return acc
+
+    by_rid = {v["rid"]: flatten(v["result"], {}) for v in verb}
+    for r in audit:
+        key = (r.keyword_path, r.instance_path)
+        if key in by_rid[r.rid] and r.applied:
+            assert by_rid[r.rid][key] == r.valid, (r.rid, key)

@@ -491,3 +491,62 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     got = sorted(map(tuple, out[key].values.tolist()))
     want = sorted(map(tuple, batch[key].values.tolist()))
     assert got == want and len(got) == 4
+
+
+def test_streaming_transcript_gate_batch_parity(spark, clips_stream_dir, tmp_path):
+    """Streaming WER gate (stream-static join + Arrow WER kernel) keeps
+    EXACTLY the rows the batch gate keeps on the same 500 clips: no
+    reference row (SLOT_NO_TRANSCRIPT) and null transcripts fail
+    closed; the fixture's near-identical second-source texts pass;
+    appended-MISMATCH rows pass or fail purely by the shared max_wer
+    threshold — identical in both engines."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jschon_spark import fixtures as fx
+    from jschon_spark.operators.transcripts import transcript_agreement_gate
+    from jschon_spark.streaming import streaming_transcript_gate
+
+    refs = spark.createDataFrame(
+        fx.gen_transcripts_batch(np.arange(500)), schema=fx.TRANSCRIPTS_DDL
+    )
+    max_wer = 0.05  # tight: the ' MISMATCH' suffix on short texts must fail
+
+    stream = spark.readStream.schema(fx.CLIPS_DDL).parquet(clips_stream_dir)
+    gated = streaming_transcript_gate(stream, refs, max_wer=max_wer).select(
+        "clip_id", "wer"
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("wer_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from wer_sink").toPandas()
+    finally:
+        q.stop()
+
+    batch_clips = spark.createDataFrame(
+        fx.gen_clips_batch(np.arange(500), audio=True), schema=fx.CLIPS_DDL
+    )
+    want = (
+        transcript_agreement_gate(
+            batch_clips.join(
+                refs.select("clip_id", F.col("text").alias("ref_transcript")),
+                "clip_id",
+                "left",
+            ),
+            max_wer=max_wer,
+        )
+        .where(F.col("keep_transcript"))
+        .select("clip_id", "wer")
+        .toPandas()
+    )
+    assert sorted(got["clip_id"]) == sorted(want["clip_id"])
+    assert len(got) < 500  # the gate really dropped the injected rows
+    gw = dict(zip(got["clip_id"], got["wer"]))
+    for cid, wer in zip(want["clip_id"], want["wer"]):
+        assert abs(gw[cid] - wer) < 1e-12
