@@ -69,6 +69,27 @@ def q_validate_orders_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed verbose-style audit rows (output.py audit_output, r5):
+    one row per (selected order, schema node) with per-node validity —
+    the whole thing ONE map-only plan (array-of-structs explode, no
+    Exchange, no per-doc jobs), row subset via a where-predicate pushed
+    into the scan (o_orderkey % 20 == 3 → 5% of the table). Only
+    APPLIED nodes are emitted so DuckDB can replay each node's keyword
+    predicate plus the /properties group gate exactly."""
+    from jschon_spark.output import audit_output
+
+    orders = _t(spark, sf_dir, "orders")
+    out = audit_output(
+        ORDERS_SCHEMA,
+        orders,
+        instance_columns=_ORDERS_COLS,
+        id_cols=["o_orderkey"],
+        where=F.col("o_orderkey") % 20 == 3,
+    )
+    return out.where("applied").select("o_orderkey", "keyword_path", "valid")
+
+
 def q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.output import basic_output
 
@@ -1586,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_flag": q_validate_orders_flag,
+        "validate_orders_audit": q_validate_orders_audit,
         "validate_orders_violations": q_validate_orders_violations,
         "validate_custom_vocab": q_validate_custom_vocab,
         "column_stats_lineitem": q_column_stats_lineitem,
@@ -1768,6 +1790,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, '/n_chars', '/properties/n_chars', 'description', '"character count"'
               FROM valid_docs WHERE n_chars IS NOT NULL
+        """,
+        # Per-node audit rows: each traced schema node's keyword
+        # predicate replayed per selected order, APPLIED nodes only
+        # (property nodes exist when the column is non-null); the
+        # /properties group gate ignores unapplied children.
+        "validate_orders_audit": """
+            WITH sel AS (SELECT * FROM orders WHERE o_orderkey % 20 = 3)
+            SELECT o_orderkey, '' AS keyword_path,
+                   (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+                    AND o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+                    AND o_orderstatus IN ('O','F')
+                    AND o_totalprice >= 1000 AND o_totalprice <= 300000
+                    AND regexp_matches(o_orderpriority, '^[1-3]-')) AS valid
+            FROM sel
+            UNION ALL
+            SELECT o_orderkey, '/properties/o_orderstatus', o_orderstatus IN ('O','F')
+            FROM sel WHERE o_orderstatus IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, '/properties/o_totalprice',
+                   o_totalprice >= 1000 AND o_totalprice <= 300000
+            FROM sel WHERE o_totalprice IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, '/properties/o_orderpriority',
+                   regexp_matches(o_orderpriority, '^[1-3]-')
+            FROM sel WHERE o_orderpriority IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, '/properties',
+                   coalesce(o_orderstatus IN ('O','F'), TRUE)
+                   AND coalesce(o_totalprice >= 1000 AND o_totalprice <= 300000, TRUE)
+                   AND coalesce(regexp_matches(o_orderpriority, '^[1-3]-'), TRUE)
+            FROM sel
         """,
         "validate_orders_flag": f"""
             SELECT o_orderstatus,

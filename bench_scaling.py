@@ -85,14 +85,14 @@ print("CHILD_RESULT " + json.dumps({{"cpus": {cpus}, "n_rows": n,
 """
 
 
-def run_at(cpus: int, data_dir: str, runs: int = 3) -> dict:
+def run_at(cpus: int, data_dir: str, runs: int = 3, timeout: int = 2400) -> dict:
     """One fresh JVM; warmup then best-of-`runs` steady-state (noise on
     this VM is +/-2x; max throughput is the capacity measurement)."""
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD.format(repo=REPO, cpus=cpus, data=data_dir, runs=runs)],
         capture_output=True,
         text=True,
-        timeout=2400,
+        timeout=timeout,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
@@ -113,8 +113,11 @@ def main() -> None:
         bench.ensure_clips(spark, n_rows)
         spark.stop()
 
-    lo = run_at(lo_cpus, data_dir)
-    hi = run_at(hi_cpus, data_dir)
+    # 5 runs per child (2 warmup + 3 measured): scale the kill-switch
+    # with input size so a 1M-row local[1] ladder rung can finish
+    budget = max(2400, (n_rows // lo_cpus) // 100)
+    lo = run_at(lo_cpus, data_dir, timeout=budget)
+    hi = run_at(hi_cpus, data_dir, timeout=budget)
     eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
