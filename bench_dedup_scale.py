@@ -51,6 +51,22 @@ def main() -> None:
     from jschon_spark.operators import dedup
     from jschon_spark.session import get_session
 
+    # LSH knobs MUST scale with the corpus (the r5 1M rung lesson: the
+    # 50k-tuned defaults — 4 minhash rows/band, 64-bit simhash chunks,
+    # radius-12 128-bit pair keys — go quadratic in candidates at 1M
+    # and spilled 44 GB before failing). Env overrides let the ladder
+    # state each rung's correctly-sized parameters explicitly:
+    #   BENCH_NPERM/BENCH_BANDS  minhash signature width / band count
+    #   BENCH_SIM64=0            skip 64-bit simhash (k<=4 tier only;
+    #                            its n^2/2^(64/(k+1)) candidate bound
+    #                            cannot reach 1M docs at any k)
+    #   BENCH_R128/BENCH_RC      simhash128 radius / require_chunks
+    n_perm = int(os.environ.get("BENCH_NPERM", "16"))
+    bands = int(os.environ.get("BENCH_BANDS", "4"))
+    run_sim64 = os.environ.get("BENCH_SIM64", "1") != "0"
+    r128 = int(os.environ.get("BENCH_R128", "12"))
+    rc128 = int(os.environ.get("BENCH_RC", "2"))
+
     spark = get_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,16 +82,17 @@ def main() -> None:
     ).mode("overwrite").save()
 
     t0 = time.perf_counter()
-    mh = dedup.minhash_near_duplicates(docs, threshold=0.8, n_perm=16, bands=4)
+    mh = dedup.minhash_near_duplicates(docs, threshold=0.8, n_perm=n_perm, bands=bands)
     mh_pairs = mh.collect()
     mh_sec = time.perf_counter() - t0
     mh_planted = sum(1 for r in mh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
 
-    t0 = time.perf_counter()
-    sh = dedup.simhash_near_duplicates(dedup.with_simhash(docs), max_hamming=6)
-    sh_pairs = sh.collect()
-    sh_sec = time.perf_counter() - t0
-    sh_planted = sum(1 for r in sh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
+    if run_sim64:
+        t0 = time.perf_counter()
+        sh = dedup.simhash_near_duplicates(dedup.with_simhash(docs), max_hamming=6)
+        sh_pairs = sh.collect()
+        sh_sec = time.perf_counter() - t0
+        sh_planted = sum(1 for r in sh_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
 
     # 128-bit fingerprint at the driver query's calibration (VERDICT r2
     # #2): radius 12 ≈ the old 64-bit radius 8 in similarity;
@@ -96,19 +113,19 @@ def main() -> None:
                 F.bit_count(F.col("l.simhash_a").bitwiseXOR(F.col("r.simhash_a")))
                 + F.bit_count(F.col("l.simhash_b").bitwiseXOR(F.col("r.simhash_b")))
             )
-            <= 12
+            <= r128
         )
         .count()
     )
     t0 = time.perf_counter()
-    buckets = dedup.simhash128_buckets(sigs128, max_hamming=12, require_chunks=2)
+    buckets = dedup.simhash128_buckets(sigs128, max_hamming=r128, require_chunks=rc128)
     cand = (
         buckets.groupBy("chunk_id", "chunk")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("pairs"))
         .collect()[0]["pairs"]
     )
-    sh128 = dedup.simhash128_near_duplicates(sigs128, max_hamming=12, require_chunks=2)
+    sh128 = dedup.simhash128_near_duplicates(sigs128, max_hamming=r128, require_chunks=rc128)
     sh128_pairs = sh128.collect()
     sh128_sec = time.perf_counter() - t0
     sh128_planted = sum(1 for r in sh128_pairs if r.id_b == r.id_a + 1 and r.id_b % 50 == 1)
@@ -126,13 +143,20 @@ def main() -> None:
                     "pairs_found": len(mh_pairs),
                     "planted_recall": round(mh_planted / planted, 3),
                 },
-                "simhash": {
-                    "sec": round(sh_sec, 2),
-                    "docs_per_sec": round(n_docs / sh_sec, 1),
-                    "pairs_found": len(sh_pairs),
-                    "planted_recall": round(sh_planted / planted, 3),
-                },
-                "simhash128_r12_m2": {
+                "minhash_params": {"n_perm": n_perm, "bands": bands},
+                "simhash": (
+                    {
+                        "sec": round(sh_sec, 2),
+                        "docs_per_sec": round(n_docs / sh_sec, 1),
+                        "pairs_found": len(sh_pairs),
+                        "planted_recall": round(sh_planted / planted, 3),
+                    }
+                    if run_sim64
+                    else "skipped: 64-bit single-chunk banding is the <=100k tier"
+                ),
+                "simhash128": {
+                    "radius": r128,
+                    "require_chunks": rc128,
                     "sec": round(sh128_sec, 2),
                     "docs_per_sec": round(n_docs / sh128_sec, 1),
                     "candidate_pairs": int(cand),
