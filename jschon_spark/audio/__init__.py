@@ -97,6 +97,10 @@ def decode_pcm(blob: bytes, codec: str) -> tuple[np.ndarray | None, int | None]:
         if blob is None:
             return None, None
         return lut[np.frombuffer(blob, dtype=np.uint8)], None
+    if codec == "adpcm_ima":
+        from jschon_spark.audio.adpcm import decode_ima_adpcm
+
+        return decode_ima_adpcm(blob), None
     if codec == "wav":
         try:
             with wave.open(io.BytesIO(blob), "rb") as w:
@@ -106,6 +110,14 @@ def decode_pcm(blob: bytes, codec: str) -> tuple[np.ndarray | None, int | None]:
                 data = w.readframes(w.getnframes())
             return np.frombuffer(data, dtype="<i2"), sr
         except Exception:
+            # the stdlib wave module rejects compressed fmt tags — try
+            # the IMA ADPCM container walk (WAVE fmt 0x11) before
+            # giving up
+            from jschon_spark.audio.adpcm import parse_wav_ima
+
+            got = parse_wav_ima(blob)
+            if got is not None:
+                return got
             return None, None
     return None, None  # unknown codec (flac/opus reserved, not decodable here)
 

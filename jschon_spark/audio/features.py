@@ -197,6 +197,8 @@ def iter_decoded(batch):
         elif c == "wav":
             parsed = _parse_wav_header(raw, s0, s1)
             if parsed is None:
+                # slow path: stdlib wave parse, then the IMA ADPCM
+                # (fmt 0x11) container walk — both inside decode_pcm
                 dec, hdr_sr = decode_pcm(bytes(raw[s0:s1]), "wav")
                 if dec is None:
                     continue
@@ -208,6 +210,16 @@ def iter_decoded(batch):
                     continue
                 dec = np.frombuffer(raw, dtype="<i2", count=(d1 - d0) // 2, offset=d0)
                 sr = hdr_sr
+        elif c == "adpcm_ima":
+            # 4-bit IMA ADPCM blocks (audio/adpcm.py): block-lane
+            # vectorized scan over a zero-copy uint8 view
+            from jschon_spark.audio.adpcm import decode_ima_adpcm
+
+            dec = decode_ima_adpcm(
+                np.frombuffer(raw, dtype=np.uint8, count=s1 - s0, offset=s0)
+            )
+            if dec is None:
+                continue
         else:
             continue
         yield i, dec, sr
