@@ -322,6 +322,8 @@ def sniff_format(blob: bytes) -> Optional[str]:
         return "pgm"
     if blob[:2] == b"\xff\xd8":
         return "jpeg"
+    if blob[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -344,6 +346,26 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ImageDecodeError(str(e)) from None
 
 
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Single-frame GIF89a (operators/gif.py — pure stdlib/numpy LZW)."""
+    from jschon_spark.operators import gif as _gif
+
+    try:
+        return _gif.encode_gif(arr)
+    except _gif.ImageDecodeError as e:
+        raise ImageDecodeError(str(e)) from None
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First GIF frame → HxWx3/HxWx4 uint8 (operators/gif.py)."""
+    from jschon_spark.operators import gif as _gif
+
+    try:
+        return _gif.decode_gif(blob)
+    except _gif.ImageDecodeError as e:
+        raise ImageDecodeError(str(e)) from None
+
+
 _BUILTIN_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "png": decode_png,
     "bmp": decode_bmp,
@@ -351,6 +373,7 @@ _BUILTIN_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "pgm": decode_ppm,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
+    "gif": decode_gif,
 }
 
 
