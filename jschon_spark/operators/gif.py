@@ -297,10 +297,47 @@ def gif_frame_count(blob: bytes) -> int:
     return count
 
 
+def quantize_median_cut(arr: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Classic median-cut palette quantization (Heckbert 1982): split
+    the occupied color boxes along their widest channel at the pixel
+    median until ``n_colors`` boxes exist, then map every pixel to its
+    box's mean color. Vectorized per split; deterministic. Returns an
+    HxWx3 uint8 image with ≤ n_colors unique colors — the standard
+    preprocessing for ``encode_gif`` on photographic input."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3).astype(np.int32)
+    boxes = [np.arange(flat.shape[0])]
+    while len(boxes) < n_colors:
+        # split the box with the widest channel range (and >1 color)
+        widths = []
+        for idx in boxes:
+            px = flat[idx]
+            widths.append(int((px.max(axis=0) - px.min(axis=0)).max()) if len(idx) > 1 else -1)
+        b = int(np.argmax(widths))
+        if widths[b] <= 0:
+            break  # every box is a single color already
+        idx = boxes[b]
+        px = flat[idx]
+        ch = int(np.argmax(px.max(axis=0) - px.min(axis=0)))
+        order = np.argsort(px[:, ch], kind="stable")
+        mid = len(order) // 2
+        boxes[b : b + 1] = [idx[order[:mid]], idx[order[mid:]]]
+    out = np.empty_like(flat)
+    for idx in boxes:
+        if len(idx):
+            out[idx] = np.round(flat[idx].mean(axis=0)).astype(np.int32)
+    return out.reshape(h, w, 3).astype(np.uint8)
+
+
 def encode_gif(arr: np.ndarray) -> bytes:
     """Single-frame GIF89a from HxWx3 (or HxW / HxWx1 grayscale) uint8;
-    the palette is the image's unique colors (> 256 raises — quantize
-    first; GIF is an indexed format)."""
+    the palette is the image's unique colors (> 256 raises — run
+    ``quantize_median_cut`` first; GIF is an indexed format)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]

@@ -110,3 +110,24 @@ def test_sniff_and_image_stats(spark):
     assert out["g1"]["format"] == "gif"
     assert abs(out["g1"]["mean_luma"] - y.mean()) < 1e-9
     assert out["g2"]["decode_error"] is not None
+
+
+def test_median_cut_quantize_then_encode():
+    """Photographic (>256-color) input: median-cut to 256 colors, then
+    a lossless GIF round trip of the quantized image; quantization
+    error stays small on smooth content."""
+    from jschon_spark.operators.gif import quantize_median_cut
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    q = quantize_median_cut(img, 256)
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 256
+    assert np.array_equal(decode_gif(encode_gif(q)), q)
+    # smooth gradient quantizes tightly (mean abs error < 8/channel)
+    grad = np.stack(
+        [np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8) * 2] * 3, axis=-1
+    )
+    qg = quantize_median_cut(grad, 64)
+    assert np.abs(qg.astype(int) - grad.astype(int)).mean() < 8.0
+    # determinism
+    assert np.array_equal(quantize_median_cut(img, 256), q)
