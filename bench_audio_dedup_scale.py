@@ -95,7 +95,19 @@ def main() -> None:
     )
     from jschon_spark.session import get_session
 
-    spark = get_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # size shuffle width to the BANDING volume, exactly as a cluster
+    # deployment would (~250k exploded rows per post-shuffle partition
+    # keeps the shuffle-hash build side memory-resident): n_clips ×
+    # C(radius+rc, rc) rows feed the self-join, which at rc=3 is 560
+    # rows/clip — the session default (max(cpus, 8)) OOMs the hash map
+    import math
+
+    n_band_rows = n_clips * math.comb(radius + rc, rc)
+    shuffle = min(512, max(16, n_band_rows // 250_000))
+    spark = get_session(
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        shuffle_partitions=shuffle,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     clips = spark.range(n_clips).repartition(64).mapInPandas(
         gen_batches, "clip_id string, bytes binary, codec string, sr_hz int"

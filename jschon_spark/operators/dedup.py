@@ -790,17 +790,38 @@ def simhash128_buckets(
             F.struct(F.lit(c).alias("chunk_id"), chunk_cols[c].alias("chunk"))
             for c in range(n_chunks)
         ]
-    else:
-        # one composite key per chunk COMBINATION: pack the member
-        # values with xxhash64 so the join key stays one long
-        parts = []
-        for ci, combo in enumerate(itertools.combinations(range(n_chunks), require_chunks)):
-            key = F.xxhash64(*[chunk_cols[j] for j in combo])
-            parts.append(F.struct(F.lit(ci).alias("chunk_id"), key.alias("chunk")))
-    chunks = F.array(*parts)
-    return df.select(
-        F.col(id_col), a.alias("fp_a"), b.alias("fp_b"), F.explode(chunks).alias("c")
-    ).select(id_col, "fp_a", "fp_b", "c.chunk_id", "c.chunk")
+        chunks = F.array(*parts)
+        return df.select(
+            F.col(id_col), a.alias("fp_a"), b.alias("fp_b"), F.explode(chunks).alias("c")
+        ).select(id_col, "fp_a", "fp_b", "c.chunk_id", "c.chunk")
+    # one composite key per chunk COMBINATION, packed to one long with
+    # xxhash64. The combination table is a DATA literal (one ArrayType
+    # Literal via F.lit), NOT C(c,m) generated struct expressions: at
+    # C(16,3)=560 combos the expression form exceeded the JVM's 64 KB
+    # codegen method limit and fell back to interpreted row generation
+    # (measured in bench_audio_dedup_scale; BASELINE.md r5). Here the
+    # per-row generated code is constant-size — build the c chunk
+    # values once, posexplode the literal, hash m element_at lookups.
+    combos = [
+        list(combo)
+        for combo in itertools.combinations(range(n_chunks), require_chunks)
+    ]
+    ex = df.select(
+        F.col(id_col),
+        a.alias("fp_a"),
+        b.alias("fp_b"),
+        F.array(*chunk_cols).alias("_chunks"),
+        F.posexplode(F.lit(combos)).alias("chunk_id", "_combo"),
+    )
+    key = F.xxhash64(
+        *[
+            F.element_at(F.col("_chunks"), F.col("_combo")[i] + 1)
+            for i in range(require_chunks)
+        ]
+    )
+    return ex.select(
+        id_col, "fp_a", "fp_b", "chunk_id", key.alias("chunk")
+    )
 
 
 def simhash128_near_duplicates(
