@@ -379,19 +379,21 @@ def synth_image(seed64: int, w: int = 48, h: int = 32) -> np.ndarray:
     return img
 
 
-_IMG_FMT_CYCLE = ("png", "bmp", "ppm", "jpeg")
+_IMG_FMT_CYCLE = ("png", "bmp", "ppm", "jpeg", "gif")
 
 
 def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
     """(media_id, format, payload) rows — format round-robins through
-    png/bmp/ppm/jpeg so every built-in codec is exercised (jpeg at
-    quality 95: near-lossless on the quadrant fixture, deterministic
-    bytes); payload bytes are a pure function of the id (stable under
-    any partitioning). Every MOD-th id gets a corrupted payload
+    png/bmp/ppm/jpeg/gif so every built-in codec is exercised (jpeg at
+    quality 95: near-lossless on the quadrant fixture; gif: exactly
+    lossless — the fixture has ≤13 colors; all bytes deterministic);
+    payload bytes are a pure function of the id (stable under any
+    partitioning). Every MOD-th id gets a corrupted payload
     (truncated) so decode-error handling has a deterministic oracle:
     ids ≡ SLOT_TRUNC (mod MOD)."""
     from jschon_spark.operators.multimodal import (
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_png,
         encode_ppm,
@@ -402,6 +404,7 @@ def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
         "bmp": encode_bmp,
         "ppm": encode_ppm,
         "jpeg": lambda img: encode_jpeg(img, quality=95),
+        "gif": encode_gif,
     }
     rows = {"media_id": [], "format": [], "payload": []}
     for i in np.asarray(ids, dtype=np.int64):

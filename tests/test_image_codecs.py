@@ -192,7 +192,7 @@ def test_image_stats_synthesis_contract(spark):
     injected truncated payload surfaces as a decode_error row."""
     ids = np.array([0, 1, 2, fx.SLOT_TRUNC], dtype=np.int64)
     pdf = fx.gen_images_batch(ids)
-    assert set(pdf["format"]) == {"png", "bmp", "ppm"}
+    assert set(pdf["format"]) == {"png", "bmp", "ppm", "gif"}  # ids 0,1,2 + 9%5=4
     df = spark.createDataFrame(pdf[["media_id", "payload"]])
     out = {r["media_id"]: r for r in mm.image_stats(df).collect()}
     assert len(out) == len(ids)

@@ -113,16 +113,16 @@ def test_image_stats_over_planted_jpegs(spark):
     """gen_images_batch now cycles jpeg payloads (ids ≡ 3 mod 4);
     image_stats decodes them with stats close to the known source image
     (q95 lossy bound), and a truncated jpeg surfaces as a decode_error
-    row (truncated by hand — SLOT_TRUNC ≡ 9 mod 1000 is always ≡ 1
-    mod 4, i.e. the fixture's own trunc slot lands on bmp)."""
-    ids = np.array([3, 7], dtype=np.int64)
+    row (truncated by hand — the fixture's own trunc slot, id ≡ 9 mod
+    1000, never lands on jpeg in the 5-cycle)."""
+    ids = np.array([3, 13], dtype=np.int64)
     pdf = fx.gen_images_batch(ids)
     assert list(pdf["format"]) == ["jpeg", "jpeg"]
     trunc_blob = pdf["payload"][0][: len(pdf["payload"][0]) // 3]
     rows = list(zip(pdf["media_id"], pdf["payload"])) + [("trunc", trunc_blob)]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = {r["media_id"]: r for r in mm.image_stats(df).collect()}
-    for i in (3, 7):
+    for i in (3, 13):
         r = out[f"img{int(i):08d}"]
         img = fx.synth_image(int(fx._splitmix64(np.array([i], dtype=np.uint64))[0]))
         assert r["decode_error"] is None
