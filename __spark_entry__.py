@@ -1157,6 +1157,64 @@ def q_wds_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-provenance extraction (audio/metadata.py, r5):
+    deterministic tagged payloads synthesized per doc_id — WAV+INFO
+    tags for even ids, ID3v2.4 prefixes for odd, raw pcm every 10th
+    (container=null) — then the headers-only metadata stage. Rows-only:
+    DuckDB cannot parse binary containers; determinism + the per-kind
+    construction make the output stable for the hash check."""
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from jschon_spark.audio.conditioning import wav_bytes
+    from jschon_spark.audio.metadata import with_audio_metadata
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "bytes": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                out["media_id"].append(f"m{i:08d}")
+                if i % 10 == 7:
+                    out["bytes"].append(b"\x00\x01" * 8)  # raw: no container
+                elif i % 2 == 0:
+                    x = (_np.arange(64) % 32).astype(_np.int16)
+                    base = wav_bytes(x, 8000)
+                    v = f"clip {i}".encode() + b"\x00"
+                    info = b"INFO" + b"INAM" + _struct.pack("<I", len(v)) + v
+                    info += b"" if len(v) % 2 == 0 else b"\x00"
+                    chunk = b"LIST" + _struct.pack("<I", len(info)) + info
+                    whole = base + chunk
+                    out["bytes"].append(
+                        b"RIFF" + _struct.pack("<I", len(whole) - 8) + whole[8:]
+                    )
+                else:
+                    t = f"title {i}".encode("utf-8")
+                    payload = bytes([3]) + t
+                    sz = len(payload)
+                    frame = b"TIT2" + bytes(
+                        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+                    ) + b"\x00\x00" + payload
+                    total = len(frame)
+                    hdr = b"ID3\x04\x00\x00" + bytes(
+                        [(total >> 21) & 0x7F, (total >> 14) & 0x7F, (total >> 7) & 0x7F, total & 0x7F]
+                    )
+                    out["bytes"].append(hdr + frame + b"\xff\xfbXX")
+            yield _pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    media = docs.mapInPandas(synth, "media_id string, bytes binary")
+    return with_audio_metadata(media).select(
+        "media_id",
+        "container",
+        "header_sr",
+        F.element_at(F.col("tags"), "title").alias("title"),
+    )
+
+
 def q_clip_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize the mixed-rate clips corpus to 16 kHz / -20 dBFS
     pcm_s16le (audio/conditioning.py: resample + gain in one zero-copy
@@ -1676,6 +1734,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_transcript_rate": q_clip_transcript_rate,
         "clip_audio_near_dups": q_clip_audio_near_dups,
         "clip_conditioning": q_clip_conditioning,
+        "clip_metadata": q_clip_metadata,
         "clip_audio_containment": q_clip_audio_containment,
         "wds_shard_stats": q_wds_shard_stats,
         "events_click_attribution": q_events_click_attribution,
