@@ -3,8 +3,10 @@
 ≙ the reference's ``Catalog`` (jschon/catalog/__init__.py:70-391): a
 registry of schema documents keyed by canonical URI plus URI-prefix
 sources that lazily load documents from local directories
-(``LocalSource``, catalog/__init__.py:26-46 — no network in the target
-environment, so there is deliberately no RemoteSource). Compiled
+(``LocalSource``, catalog/__init__.py:26-46) or fetch them over
+HTTP(S) (``add_remote_source`` ≙ RemoteSource,
+catalog/__init__.py:57-67 — stdlib urllib, fetch-once-per-catalog at
+compile time, precise errors when the deploy has no egress). Compiled
 schemas are cached per URI, mirroring ``Catalog.get_schema``'s cache
 (catalog/__init__.py:313-368): compile once, validate many.
 """
@@ -92,15 +94,29 @@ class SchemaCatalog:
         self._sources.append((uri_prefix, directory, suffix))
         self._sources.sort(key=lambda s: -len(s[0]))
 
-    def add_remote_source(self, uri_prefix: str) -> None:
+    def add_remote_source(
+        self,
+        uri_prefix: str,
+        base_url: Optional[str] = None,
+        suffix: str = "",
+        timeout: float = 10.0,
+    ) -> None:
         """≙ the reference's RemoteSource (jschon/catalog/__init__.py:
-        57-67), which fetches ``{prefix}foo`` over HTTP. This
-        environment has NO network, so the source is registered only to
-        produce a precise error at lookup time — the failing URI names
-        the remote source instead of surfacing as a generic
-        unresolvable-ref error."""
+        57-67): a lookup of ``{uri_prefix}foo`` fetches
+        ``{base_url or uri_prefix}foo{suffix}`` over HTTP(S) with the
+        stdlib urllib, parses it as JSON, and caches the document like
+        any locally registered schema (fetched once per catalog, at
+        compile time — never per row). ``base_url`` lets canonical
+        ``$id`` URIs map to a different serving host (e.g. a test
+        server or an internal mirror). A failed fetch raises a precise
+        error naming the URI and source — including the
+        likely-no-network-access cause, since sandboxed deploys often
+        lack egress."""
         self._remote_prefixes = getattr(self, "_remote_prefixes", [])
-        self._remote_prefixes.append(uri_prefix)
+        self._remote_prefixes.append(
+            (uri_prefix, base_url if base_url is not None else uri_prefix, suffix, timeout)
+        )
+        self._remote_prefixes.sort(key=lambda s: -len(s[0]))
 
     def lookup(self, uri: str) -> Optional[Any]:
         """Resolve a canonical (fragmentless) URI to a document, loading
@@ -122,13 +138,23 @@ class SchemaCatalog:
                         doc = json.load(f)
                     self._docs[key] = doc
                     return doc
-        for prefix in getattr(self, "_remote_prefixes", []):
+        for prefix, base, suffix, timeout in getattr(self, "_remote_prefixes", []):
             if key.startswith(prefix):
-                raise RuntimeError(
-                    f"schema {key!r} is mapped to remote source {prefix!r}, but "
-                    "this environment has no network access; register the "
-                    "document locally with add_schema/add_directory_source"
-                )
+                import urllib.request
+
+                url = base + key[len(prefix):] + suffix
+                try:
+                    with urllib.request.urlopen(url, timeout=timeout) as resp:
+                        doc = json.loads(resp.read().decode("utf-8"))
+                except Exception as e:
+                    raise RuntimeError(
+                        f"schema {key!r} could not be fetched from remote "
+                        f"source {prefix!r} (GET {url}): {e!r} — if this "
+                        "environment has no network access, register the "
+                        "document locally with add_schema/add_directory_source"
+                    ) from e
+                self._docs[key] = doc
+                return doc
         return None
 
     def del_schema(self, uri: str) -> None:
