@@ -550,3 +550,53 @@ def test_streaming_transcript_gate_batch_parity(spark, clips_stream_dir, tmp_pat
     gw = dict(zip(got["clip_id"], got["wer"]))
     for cid, wer in zip(want["clip_id"], want["wer"]):
         assert abs(gw[cid] - wer) < 1e-12
+
+
+def test_streaming_audit_output_parity(spark, tmp_path):
+    """audit_output is a stateless projection+explode, so the SAME call
+    runs under Structured Streaming — a live audit trail per
+    micro-batch. Rows must match the batch audit over the same input
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from jschon_spark.output import audit_output
+
+    schema = {
+        "type": "object",
+        "required": ["a"],
+        "properties": {"a": {"minimum": 3}, "b": {"maxLength": 2}},
+    }
+    src = str(tmp_path / "audit_src")
+    rows = [(i, i - 2, "x" * (i % 4)) for i in range(20)]
+    df = spark.createDataFrame(rows, "rid int, a int, b string")
+    df.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema("rid int, a int, b string").parquet(src)
+    audited = audit_output(
+        schema, stream, instance_columns=["a", "b"], id_cols=["rid"],
+        where=F.col("rid") % 2 == 0,
+    )
+    assert audited.isStreaming
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("audit_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_audit"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from audit_sink").toPandas()
+    finally:
+        q.stop()
+
+    want = audit_output(
+        schema, df, instance_columns=["a", "b"], id_cols=["rid"],
+        where=F.col("rid") % 2 == 0,
+    ).toPandas()
+    key = ["rid", "keyword_path", "instance_path"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for col in ("rid", "keyword_path", "valid", "applied"):
+        assert list(g[col]) == list(w[col]), col
