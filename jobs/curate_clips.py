@@ -63,6 +63,9 @@ def parse_args(argv):
                    help="parquet of (clip_id, transcript) second-source transcripts; enables the WER gate")
     p.add_argument("--max-wer", type=float, default=0.3)
     p.add_argument("--partition-col", default="part_id")
+    p.add_argument("--provenance", action="store_true",
+                   help="also write container metadata (headers-only, audio/metadata.py) "
+                        "for EVERY input clip — including gated-out ones — to <out>/provenance")
     return p.parse_args(argv)
 
 
@@ -154,6 +157,19 @@ def main(argv=None) -> int:
         print(f"curate_clips: processing {n_pending} pending partitions")
 
     run_id = args.run_id or mf.new_run_id()
+    if args.provenance:
+        # provenance of EVERY processed clip, captured BEFORE any gate
+        # (the audit value is exactly the clips that were dropped);
+        # headers-only reads, metadata-sized output, same run_id so
+        # read_committed gives the same exactly-once view over it
+        from jschon_spark.audio.metadata import with_audio_metadata
+
+        prov = with_audio_metadata(
+            clips.select("clip_id", args.partition_col, "bytes")
+        ).drop("bytes")
+        prov.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            f"{args.out}/provenance"
+        )
     curated, _ = curate(
         spark,
         clips,

@@ -152,3 +152,24 @@ def test_curate_with_wer_gate(spark):
     assert got <= agree  # survivors only from the agreeing half
     assert got & agree  # and a healthy number of them
     assert not (got & disagree)
+
+
+def test_job_provenance_output(spark, corpus, tmp_path):
+    """--provenance writes container metadata for EVERY input clip —
+    including gated-out ones — committed under the same run_id."""
+    from jschon_spark import manifest as mf
+
+    src = str(tmp_path / "clips_p")
+    out = str(tmp_path / "curated_p")
+    man = str(tmp_path / "man_p")
+    corpus.write.partitionBy("part_id").parquet(src)
+    assert main(["--clips", src, "--out", out, "--manifest", man, "--provenance"]) == 0
+    prov = mf.read_committed(spark, man, spark.read.parquet(f"{out}/provenance"))
+    pdf = prov.toPandas()
+    assert len(pdf) == corpus.count()  # every input row, gated or not
+    # pcm_s16le payloads have no container; the malformed clip neither
+    assert set(pdf["container"].dropna()) <= {"wav", "id3"}
+    assert set(prov.columns) >= {"clip_id", "container", "header_sr", "tags", "run_id"}
+    # rerun: manifest complete → no provenance duplication
+    assert main(["--clips", src, "--out", out, "--manifest", man, "--provenance"]) == 0
+    assert spark.read.parquet(f"{out}/provenance").count() == len(pdf)
