@@ -697,7 +697,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = fx.gen_images_batch(pdf["doc_id"].to_numpy())
             yield out[["media_id", "payload"]]
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    # the documents parquet is ONE file → one scan partition; without a
+    # repartition the whole synth+decode stage would run on a single
+    # task (measured: 9-11 s serial vs ~3 s spread). The exchange ships
+    # only doc_id longs — payload synthesis happens after the spread.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media = docs.mapInPandas(synth, "media_id string, payload binary")
     stats = image_stats(media)
     rounded = [
@@ -1205,7 +1213,14 @@ def q_clip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["bytes"].append(hdr + frame + b"\xff\xfbXX")
             yield _pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    # one-file parquet scan → repartition the id-only frame so payload
+    # synthesis + header parsing spread across the cluster (same
+    # single-task fix as q_multimodal_features)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media = docs.mapInPandas(synth, "media_id string, bytes binary")
     return with_audio_metadata(media).select(
         "media_id",
