@@ -1263,10 +1263,16 @@ class Compiler:
                 return F.lit(False)
             # SQL NULL conflates JSON "absent" and "explicit null" — the
             # one type that disambiguates is NullType, which can ONLY
-            # hold an explicit null, so such a field is always present
-            # (matches the suite's null-valued required-property cases)
+            # hold an explicit null, so such a field is present whenever
+            # its PARENT object is (matches the suite's null-valued
+            # required-property cases). Gating on the parent matters:
+            # an unconditional True leaked presence into rows where the
+            # whole struct is NULL — fuzz seed ext/9097 surfaced a
+            # propertyNames violation for a field of a null array
+            # element, which cascaded into surfacing a noassert-if's
+            # internal errors (the ancestor node wrongly went invalid).
             if isinstance(ctx.dtype[name].dataType, T.NullType):
-                return F.lit(True)
+                return ctx.col.isNotNull()
             return ctx.col.getField(name).isNotNull()
         return F.map_contains_key(ctx.col, F.lit(name))
 
