@@ -991,7 +991,12 @@ def test_fuzz_2019_09_spark_matches_reference(spark, ref19, seed):
 # ------------------------------------------ external-catalog fuzzing
 
 # 5088: the round-3 ext-family deep-nesting OOM seed (see SEEDS note).
-EXT_SEEDS = list(range(10)) + [5088]
+# 9097: the round-5 null-array-element presence bug — a NullType struct
+# field's presence ignored the NULL parent, so propertyNames fired on a
+# null element's static field name and cascaded into surfacing a
+# noassert-if's internal errors (core.py _has_prop; the campaign's one
+# genuine mismatch in ~980 fresh r5 cases).
+EXT_SEEDS = list(range(10)) + [5088, 9097]
 
 
 def gen_external_pair(rng: random.Random, seed: int) -> tuple[dict, dict, list]:
